@@ -1,0 +1,126 @@
+"""Codec round-trips + fixture determinism (no Spark)."""
+
+import numpy as np
+
+from gdal_spark.codecs import png as PNG
+from gdal_spark.codecs.fakelossy import decode_fake_lossy, encode_fake_lossy
+from gdal_spark.codecs.registry import decode, encode
+from gdal_spark.fixtures.images import (
+    FMT_CYCLE,
+    encode_row,
+    generate_images_pdf,
+    make_pixels,
+    row_meta,
+)
+from gdal_spark.fixtures.points import caption_points_pdf
+from gdal_spark.fixtures.tile_grid import parse_wkb_polygon, tile_grid_pdf
+from gdal_spark.oracle.resample import psnr
+
+
+class TestPNG:
+    def test_roundtrip_gray(self):
+        a = ((np.arange(300) * 7) % 256).astype(np.uint8).reshape(20, 15)
+        assert np.array_equal(PNG.decode_png(PNG.encode_png(a)), a)
+
+    def test_roundtrip_rgb(self):
+        a = make_pixels(37, 23)
+        assert np.array_equal(PNG.decode_png(PNG.encode_png(a)), a)
+
+    def test_signature(self):
+        data = PNG.encode_png(np.zeros((4, 4), dtype=np.uint8))
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_filters_decode(self):
+        # craft a 2-line image with filter 2 (Up) on second line
+        import struct
+        import zlib
+
+        line0 = bytes([0]) + bytes([10, 20, 30])
+        line1 = bytes([2]) + bytes([1, 1, 1])  # up-filtered: +prev line
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+        raw = zlib.compress(line0 + line1)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + PNG._chunk(b"IHDR", ihdr)
+            + PNG._chunk(b"IDAT", raw)
+            + PNG._chunk(b"IEND", b"")
+        )
+        out = PNG.decode_png(data)
+        assert out.tolist() == [[10, 20, 30], [11, 21, 31]]
+
+
+class TestFakeLossy:
+    def test_roundtrip_stable(self):
+        a = make_pixels(64, 64)
+        enc = encode_fake_lossy(a, "jpeg")
+        dec = decode_fake_lossy(enc)
+        # idempotent: re-encoding the decoded image changes nothing
+        assert np.array_equal(decode_fake_lossy(encode_fake_lossy(dec, "jpeg")), dec)
+
+    def test_psnr_gate(self):
+        a = make_pixels(128, 128)
+        for fmt in ("jpeg", "webp"):
+            dec = decode_fake_lossy(encode_fake_lossy(a, fmt))
+            assert psnr(a, dec) >= 40.0, fmt
+
+    def test_registry_dispatch(self):
+        a = make_pixels(16, 16)
+        for fmt in FMT_CYCLE:
+            dec = decode(encode(a, fmt), fmt)
+            assert dec.shape == a.shape
+            if fmt == "png":
+                assert np.array_equal(dec, a)
+
+
+class TestFixtures:
+    def test_deterministic(self):
+        a = generate_images_pdf(20)
+        b = generate_images_pdf(20)
+        assert a.equals(b)
+        # order-independence: generating rows 10..20 directly matches the slice
+        c = generate_images_pdf(10, start=10).reset_index(drop=True)
+        sl = a.iloc[10:20].reset_index(drop=True)
+        assert c.equals(sl)
+
+    def test_schema(self):
+        df = generate_images_pdf(5)
+        assert list(df.columns) == [
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "lon", "lat", "gsd_m",
+        ]
+        assert df["image_id"][0] == "img00000000"
+
+    def test_skew_cluster(self):
+        meta = row_meta(np.arange(1000))
+        hot = np.abs(meta["lon"] - 2.3) <= 0.5
+        hot &= np.abs(meta["lat"] - 48.8) <= 0.5
+        assert 0.18 <= hot.mean() <= 0.25  # ~20% skew cluster
+
+    def test_bytes_decode(self):
+        df = generate_images_pdf(6)
+        for _, r in df.iterrows():
+            arr = decode(r["bytes"], r["fmt"])
+            assert arr.shape == (r["h"], r["w"], 3)
+            exp = make_pixels(r["w"], r["h"])
+            assert psnr(exp, arr) >= 40.0
+            if r["fmt"] == "png":
+                assert np.array_equal(arr, exp)
+
+    def test_encode_row_matches_cycle(self):
+        data = encode_row(0)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"  # i=0 -> png
+
+    def test_tile_grid(self):
+        g = tile_grid_pdf(0, 3)
+        assert len(g) == 1 + 4 + 16 + 64
+        world = g[g.z == 0].iloc[0]
+        assert world["minx"] < -20037508 and world["maxx"] > 20037508
+        ring = parse_wkb_polygon(world["wkb"])
+        assert ring.shape == (5, 2)
+        assert np.array_equal(ring[0], ring[-1])
+
+    def test_caption_points(self):
+        a = caption_points_pdf(50)
+        b = caption_points_pdf(50)
+        assert a.equals(b)
+        assert (a["cell_r7"].to_numpy() >> 58 == 7).all()
