@@ -20,6 +20,14 @@ def get_spark(
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Make this package importable in executor Python workers regardless of
+    # the driver's cwd — the local-mode analogue of `spark-submit --py-files`.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 32)
     b = (
