@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship north-rule pipeline at sf0.001.
+queries()       — operator queries from SURVEY.md §2 (see gdal_spark.queries).
+oracle_sql()    — DuckDB-equivalent SQL per query where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the north-rule pipeline end to end at sf0.001 —
+    synthesize the image+caption table (input_hint schema), H3-role cell
+    encode, spatial join against the tile grid, native-zoom tile render +
+    overview reduction, captions joined back byte-identical."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import images_df
+    from gdal_spark.functions import cells as C
+    from gdal_spark.operators.tiling import build_tile_pyramid
+
+    imgs = images_df(spark, 60).persist()
+    tiles = build_tile_pyramid(imgs, tminz=8)
+    return (
+        tiles.join(imgs.select("image_id", "caption", "lon", "lat"), "image_id")
+        .withColumn("cell", C.cell("lon", "lat", "z"))
+        .select("image_id", "z", "x", "y", "cell", "cs1", "cs2", "cs3", "caption")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gdal_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,282 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, all shaped for 100 TB inputs:
+
+* **exact**: one hash-groupBy on a 64-bit fingerprint — one shuffle keyed by
+  fingerprint, partial-aggregated map-side.
+* **MinHash + LSH**: shingle -> k minhash values -> b bands; candidate pairs
+  only form inside identical (band, band_hash) buckets, so the shuffle is a
+  bucket-key groupBy instead of an O(n^2) cross join; exact Jaccard refine
+  on the candidate pairs only.
+* **SimHash**: 64-bit signature whose Hamming distance tracks cosine/token
+  overlap; banded into 4x16-bit keys so near pairs (Hamming <= 3 in
+  expectation) collide in at least one band.
+* **embedding cosine**: random-hyperplane LSH over `array<float>` columns +
+  exact cosine refine inside buckets.
+
+MinHash/SimHash signatures are computed in a vectorized Arrow UDF (numpy over
+all shingle hashes of a batch); everything before/after is JVM column math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text import fingerprint, shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Groups of byte-equal (whitespace/case-normalized) documents:
+    (fingerprint, keep_id = min id, n_dups). One shuffle."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count("*") - 1).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 5) -> DataFrame:
+    """(id, sig: array<long>[num_hashes], shingles) via k universal hashes
+    min-folded over xxhash64 shingle hashes."""
+    a, b = _minhash_params(num_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            h = np.asarray(hs, dtype=np.int64) & 0x7FFFFFFFFFFFFFFF
+            if h.size == 0:
+                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+                continue
+            # (a*h + b) mod p, vectorized (k, n) -> min over n
+            vals = (a[:, None].astype(object) * h[None, :] + b[:, None]) % _MERSENNE
+            out.append(np.asarray(vals.min(axis=1), dtype=np.int64))
+        return pd.Series(out)
+
+    sh = shingles(text_col, shingle_n)
+    return df.select(
+        F.col(id_col),
+        sh.alias("sh"),
+        sig_udf(F.transform(sh, lambda s: F.xxhash64(s))).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidates from LSH band-bucket self-join; exact Jaccard on shingle sets
+    (JVM array_intersect/array_union) refines. Only bucket-mates shuffle."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col), "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), i * rows + 1, rows))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs — the small-data oracle the LSH
+    path approximates (use only on bounded inputs / within partitions)."""
+    s = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token xxhash64s (sign-sum per bit, numpy)."""
+
+    @F.pandas_udf(LongType())
+    def sim_udf(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        bits = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bitmat - 1).sum(axis=0)
+            out[i] = np.int64(((acc > 0).astype(np.uint64) << bits).sum().astype(np.uint64).view(np.int64))
+        return pd.Series(out)
+
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    return df.select(
+        F.col(id_col),
+        sim_udf(F.transform(toks, lambda t: F.xxhash64(t))).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3
+                       ) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming, candidate-generated by
+    4x16-bit band collisions (any pair within Hamming 3 shares a band)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col), "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash", b * 16)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("bh"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select(F.col(id_col), "simhash", "bk.band", "bk.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.95,
+                         planes: int = 8, tables: int = 6, seed: int = 42
+                         ) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine >= threshold): multi-table
+    random-hyperplane LSH candidates + exact cosine refine (JVM array math).
+
+    L independent tables of p planes: a cosine-0.95 pair (angle ~0.32 rad)
+    collides in >=1 of 6 8-plane tables w.p. ~0.96; a single 16-plane table
+    would recall only ~0.18 — the standard (L, p) trade."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    hp = rng.normal(size=(tables, planes, dim))
+
+    def _bucket(c, t):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(c, F.array(*[F.lit(float(v)) for v in hp[t, p]]),
+                               lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+            for p in range(planes)
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    norm = F.sqrt(
+        F.aggregate(F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0),
+                    lambda a, x: a + x)
+    )
+    sigs = df.select(
+        F.col(id_col), F.col(vec_col), norm.alias("nrm"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), _bucket(F.col(vec_col), t).alias("bk"))
+                for t in range(tables)
+            ])
+        ).alias("tb"),
+    ).select(F.col(id_col), F.col(vec_col), "nrm", "tb.tbl", "tb.bk")
+    l, r = sigs.alias("l"), sigs.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl")) & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,146 @@
+"""Distributed tile-pyramid pipeline — the north-star job.
+
+Execution shape (chosen for 10^12-image scale):
+
+* **Base tiles = map-only.** Each image's tiles depend only on that image's
+  row, so rendering is ``mapInPandas`` over the image table: zero shuffle,
+  bytes deserialized once per row, Arrow-batched. The reference reaches the
+  same shape with a process pool over tile jobs
+  (gdal2tiles multi_threaded_tiling :4512, apps/gdalalg_raster_tile.cpp
+  worker processes :3628-3810); Spark gives it cluster-wide.
+* **Overview levels = K small shuffles.** Level z-1 groups level-z tiles by
+  ``(image_id, x>>1, y>>1)`` — a level-synchronous reduction exactly like
+  create_overview_tile/group_overview_base_tiles (gdal2tiles.py:1466-1530,
+  :1661-1689). Each level is ~4x smaller than the last, so the total shuffle
+  volume is bounded by 4/3 of the base-tile volume.
+* **Skew**: base rendering has none (per-image work is bounded by the tile
+  range of one image). Overview grouping keys include image_id, so dense
+  geographic cells do not concentrate — the key space follows images, not
+  locations.
+* **Resume** (--resume semantics, gdal2tiles.py:1492-1495): anti-join the
+  job list against already-written tile keys before rendering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.registry import decode, encode
+from ..oracle.checksum import checksum_image
+from ..oracle.tiling import (
+    TILE,
+    build_pyramid,  # noqa: F401  (oracle twin, re-exported for tests)
+    native_zoom,
+    overview_tile_from_children,
+    render_image_tiles,
+)
+
+TILE_SCHEMA = (
+    "image_id string, z int, x int, y int, tile binary, "
+    "cs1 long, cs2 long, cs3 long"
+)
+
+
+def _tile_row(image_id, z, tx, ty, arr) -> dict:
+    cs = checksum_image(arr)
+    return dict(
+        image_id=image_id, z=int(z), x=int(tx), y=int(ty),
+        tile=encode(arr, "png"),
+        cs1=cs[0], cs2=cs[1] if len(cs) > 1 else None,
+        cs3=cs[2] if len(cs) > 2 else None,
+    )
+
+
+def render_base_tiles(images: DataFrame, method: str = "nearest",
+                      zoom: int | None = None) -> DataFrame:
+    """images (input_hint schema) -> base tile rows at native (or fixed) zoom."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode(r.bytes)
+                for z, tx, ty, tile in render_image_tiles(
+                    arr, r.lon, r.lat, r.gsd_m, method, zoom=zoom
+                ):
+                    out.append(_tile_row(r.image_id, z, tx, ty, tile))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
+            )
+
+    return images.select(
+        "image_id", "bytes", "lon", "lat", "gsd_m"
+    ).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def _reduce_level(tiles_z: DataFrame) -> DataFrame:
+    """One overview step: level z tiles -> level z-1 tiles."""
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, px, py = key
+        children = {}
+        z = None
+        for r in pdf.itertuples(index=False):
+            z = r.z
+            children[(r.x & 1, r.y & 1)] = decode(r.tile)
+        first = next(iter(children.values()))
+        bands = first.shape[2] if first.ndim == 3 else 1
+        out = overview_tile_from_children(children, dtype=first.dtype, bands=bands)
+        return pd.DataFrame([_tile_row(image_id, z - 1, px, py, out)])
+
+    return (
+        tiles_z.groupBy(
+            "image_id",
+            (F.col("x") / 2).cast("int").alias("_px"),
+            (F.col("y") / 2).cast("int").alias("_py"),
+        )
+        .applyInPandas(
+            lambda key, pdf: assemble(key, pdf), schema=TILE_SCHEMA
+        )
+    )
+
+
+def build_tile_pyramid(images: DataFrame, tminz: int = 0,
+                       method: str = "nearest",
+                       existing_tiles: DataFrame | None = None) -> DataFrame:
+    """Full pyramid: base tiles at each image's native zoom plus overview
+    levels down to ``tminz``. Images with different native zooms reduce
+    independently (per-image pyramids, like running gdal2tiles per input).
+
+    ``existing_tiles`` (columns image_id, z, x, y): resume mode — rendered
+    keys already present are skipped via anti-join before any decode work.
+    """
+    base = render_base_tiles(images, method)
+    if existing_tiles is not None:
+        base = base.join(
+            existing_tiles.select("image_id", "z", "x", "y"),
+            ["image_id", "z", "x", "y"],
+            "left_anti",
+        )
+    base = base.persist()
+    levels = [base]
+    zmax = base.agg(F.max("z")).collect()[0][0]
+    if zmax is None:
+        return base
+    current_by_z = base
+    for z in range(int(zmax), tminz, -1):
+        tiles_z = current_by_z.where(F.col("z") == z)
+        reduced = _reduce_level(tiles_z).persist()
+        levels.append(reduced)
+        # next iteration reduces what we just built plus any base tiles that
+        # natively live at z-1 (images with coarser gsd)
+        current_by_z = reduced.unionByName(base.where(F.col("z") == z - 1))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def write_tiles(tiles: DataFrame, path: str, mode: str = "append") -> None:
+    """Tile sink: parquet partitioned by zoom (the z/x/y directory layout of
+    the tile-directory sink, gdal2tiles.py:1278-1434, adapted to a columnar
+    table partitioned for partition-pruned reads by zoom)."""
+    tiles.write.partitionBy("z").mode(mode).parquet(path)

@@ -1,0 +1,635 @@
+"""Driver-contract query registry.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs in DuckDB over the pre-registered parquet views; output
+column NAMES and VALUES must match the Spark result (the driver hashes
+values after sorting columns by name), so:
+
+* every computed column is aliased identically on both sides;
+* float outputs are rounded (engine libm ulp differences);
+* sums over doubles go through DECIMAL (associative, order-independent);
+* cell/tile math shares one template text (gdal_spark.sql.templates).
+
+Queries cover SURVEY.md §2 operator rows; reference files cited per entry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .sql import templates as T
+from .sql.geoviews import (
+    CUSTOMER_POINTS_CTE,
+    ORDERS_POINTS_CTE,
+    SUPPLIER_POINTS_CTE,
+    register_tpch_views,
+)
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _images_n(sf_dir: str) -> int:
+    """Deterministic synthetic-image count per scale dir."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = 0.01
+    return max(60, int(20000 * sf))
+
+
+# ---------------------------------------------------------------------------
+# Cell / tile key layer (gdal2tiles GlobalMercator semantics, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+_TILE_ASSIGN_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT pid,
+       {T.sql_tile_x('lon', '7')} AS tx,
+       {T.sql_tile_y_tms('lat', '7')} AS ty,
+       {T.sql_tile_y_xyz('lat', '7')} AS ty_xyz,
+       {T.sql_cell('lon', 'lat', '7')} AS cell
+FROM customer_points
+"""
+
+
+@q("tile_assign", _TILE_ASSIGN_SQL)
+def tile_assign(spark, sf_dir):
+    """lon/lat -> z7 TMS/XYZ tile + Morton cell id, pure column math.
+    Ref: gdal2tiles.py:423-487 LatLonToMeters/MetersToTile."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_TILE_ASSIGN_SQL)
+
+
+_CELL_ROLLUP_SQL = f"""
+WITH {ORDERS_POINTS_CTE.strip()},
+cells AS (
+  SELECT {T.sql_cell('lon', 'lat', '12')} AS cell12 FROM orders_points
+)
+SELECT {T.sql_cell_parent('cell12', 7)} AS cell5, COUNT(*) AS n
+FROM cells
+GROUP BY {T.sql_cell_parent('cell12', 7)}
+"""
+
+
+@q("cell_rollup", _CELL_ROLLUP_SQL)
+def cell_rollup(spark, sf_dir):
+    """Hierarchical rollup: z12 cells aggregated at parent z5 (the pyramid
+    LOD-selection pattern, gcore/rasterio.cpp:401 overview choice)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_CELL_ROLLUP_SQL)
+
+
+_SPATIAL_JOIN_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT pid,
+       {T.sql_tile_x('lon', '6')} AS x,
+       {T.sql_tile_y_tms('lat', '6')} AS y
+FROM customer_points
+"""
+
+
+@q("spatial_join_tiles", _SPATIAL_JOIN_SQL)
+def spatial_join_tiles(spark, sf_dir):
+    """Point-in-tile spatial join via the operator (broadcast grid + cell
+    equi-join + ray-cast refine); oracle = direct containment math.
+    Ref semantics: ogrlayer.cpp:3902-4067 SetSpatialFilter + FilterGeometry."""
+    from .fixtures.tile_grid import tile_grid_df
+    from .operators.spatial_join import spatial_join_points_tiles
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT * FROM customer_points")
+    grid = tile_grid_df(spark, 6, 6)
+    return spatial_join_points_tiles(pts, grid, 6, refine="raycast").select(
+        "pid", "x", "y"
+    )
+
+
+_PIP_BOXES = [
+    # (poly_id, minx, miny, maxx, maxy) EPSG:3857 — off-boundary coords
+    (0, -7812345.678, 1234567.891, -2345678.912, 5678901.234),
+    (1, -1234567.891, -6789012.345, 4567890.123, -123456.789),
+    (2, 123456.789, 4567890.123, 9876543.210, 8765432.109),
+    (3, -18012345.678, -8901234.567, -9876543.210, -1234567.891),
+    (4, 10123456.789, -3456789.012, 17890123.456, 3456789.012),
+]
+
+_PIP_BOXES_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS poly_id, CAST({a!r} AS DOUBLE) AS minx, CAST({b!r} AS DOUBLE) AS miny,"
+    f" CAST({c!r} AS DOUBLE) AS maxx, CAST({d!r} AS DOUBLE) AS maxy"
+    for p, a, b, c, d in _PIP_BOXES
+)
+
+_PIP_JOIN_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+boxes AS ({_PIP_BOXES_SQL}),
+pts AS (
+  SELECT pid, {T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my
+  FROM customer_points
+)
+SELECT p.pid, b.poly_id
+FROM pts p JOIN boxes b
+  ON p.mx > b.minx AND p.mx < b.maxx AND p.my > b.miny AND p.my < b.maxy
+"""
+
+
+@q("pip_polygon_join", _PIP_JOIN_SQL)
+def pip_polygon_join(spark, sf_dir):
+    """Points x arbitrary polygons: covering-cell candidates + exact even-odd
+    ray cast (ogrlinearring.cpp:452-517). Boxes sit off any representable
+    point coordinate, so the ray-cast set == the strict-bbox oracle set."""
+    from .fixtures.tile_grid import wkb_polygon
+    from .operators.spatial_join import spatial_join_points_polygons
+    import pandas as pd
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT * FROM customer_points")
+    rows = [
+        dict(
+            poly_id=p, minx=a, miny=b, maxx=c, maxy=d,
+            wkb=wkb_polygon([(a, b), (c, b), (c, d), (a, d), (a, b)]),
+        )
+        for p, a, b, c, d in _PIP_BOXES
+    ]
+    polys = spark.createDataFrame(pd.DataFrame(rows))
+    return spatial_join_points_polygons(
+        pts, polys, zoom=4, broadcast_polys=True
+    ).select("pid", "poly_id")
+
+
+_KNN_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{SUPPLIER_POINTS_CTE.strip()},
+qp AS (SELECT pid, {T.sql_mx('lon')} AS qx, {T.sql_my('lat')} AS qy FROM customer_points),
+cp AS (SELECT sid, {T.sql_mx('lon')} AS cx, {T.sql_my('lat')} AS cy FROM supplier_points),
+pairs AS (
+  SELECT pid, sid,
+         sqrt((qx - cx) * (qx - cx) + (qy - cy) * (qy - cy)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY pid
+           ORDER BY sqrt((qx - cx) * (qx - cx) + (qy - cy) * (qy - cy)), sid
+         ) AS rank
+  FROM qp CROSS JOIN cp
+)
+SELECT pid, sid, rank, CAST(floor(dist / 100.0) AS BIGINT) AS dist_hm
+FROM pairs WHERE rank <= 2
+"""
+
+
+@q("knn_nearest_supplier", _KNN_SQL)
+def knn_nearest_supplier(spark, sf_dir):
+    """2 nearest suppliers per customer point via the expanding-ring cell
+    search (alg/gdalgrid.cpp:905-982 radius doubling); oracle = brute force.
+    Distance reported in hectometers (floor) to absorb libm ulp skew."""
+    from .operators.knn import knn_join
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT * FROM customer_points")
+    cand = spark.sql(f"WITH {SUPPLIER_POINTS_CTE.strip()} SELECT * FROM supplier_points")
+    res = knn_join(pts, cand, k=2, zoom=4)
+    return res.select(
+        "pid", "sid", "rank",
+        F.floor(F.col("dist_m") / 100.0).cast("bigint").alias("dist_hm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OGR SQL surface (SURVEY §2.2, §2.4, §2.5 — ogr_swq.h / ogr_gensql.cpp)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS cnt,
+         COUNT(DISTINCT l_returnflag) AS cnt_distinct_flag,
+         MIN(l_quantity) AS min_qty,
+         MAX(l_quantity) AS max_qty,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         -- doubles -> exact integer micro-units BEFORE summing: integer sums
+         -- are order-independent, so partial-agg scheduling can't move the
+         -- last decimal (plain SUM(double) differs between engines/runs)
+         SUM(CAST(ROUND(l_discount * 1000000.0) AS BIGINT)) AS sum_disc_u,
+         SUM(CAST(ROUND(l_tax * 1000000.0) AS BIGINT)) AS sum_tax_u,
+         SUM(CAST(ROUND(l_tax * 1000000.0) AS BIGINT)
+             * CAST(ROUND(l_tax * 1000000.0) AS BIGINT)) AS sum_tax2_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+)
+SELECT cnt, cnt_distinct_flag, min_qty, max_qty, sum_qty, sum_price,
+       ROUND(CAST(sum_disc_u AS DOUBLE) / cnt / 1000000.0, 6) AS avg_disc,
+       ROUND(sqrt((CAST(sum_tax2_u AS DOUBLE)
+                   - CAST(sum_tax_u AS DOUBLE) * CAST(sum_tax_u AS DOUBLE) / cnt)
+                  / cnt) / 1000000.0, 6) AS stddev_pop_tax,
+       ROUND(sqrt((CAST(sum_tax2_u AS DOUBLE)
+                   - CAST(sum_tax_u AS DOUBLE) * CAST(sum_tax_u AS DOUBLE) / cnt)
+                  / (cnt - 1)) / 1000000.0, 6) AS stddev_samp_tax
+FROM s
+"""
+
+
+@q("summary_stats", _SUMMARY_SQL)
+def summary_stats(spark, sf_dir):
+    """OGR SQL summary-record mode: whole-table MIN/MAX/COUNT/COUNT DISTINCT/
+    SUM/AVG/STDDEV_* in one pass (ogr/ogr_swq.h:324-398 accumulators,
+    ogr_gensql.cpp:864-990). DECIMAL sums for order-independence."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_SUMMARY_SQL)
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag AS flag FROM lineitem
+"""
+
+
+@q("distinct_list", _DISTINCT_SQL)
+def distinct_list(spark, sf_dir):
+    """SWQM_DISTINCT_LIST single-column mode (ogr/ogr_swq.h:322)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_DISTINCT_SQL)
+
+
+_FIRST_MATCH_JOIN_SQL = """
+WITH first_line AS (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS rn
+  FROM lineitem
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       COALESCE(f.l_partkey, -1) AS l_partkey,
+       COALESCE(f.l_linenumber, -1) AS l_linenumber
+FROM orders o
+LEFT JOIN first_line f ON o.o_orderkey = f.l_orderkey AND f.rn = 1
+"""
+
+
+@q("left_join_first_match", _FIRST_MATCH_JOIN_SQL)
+def left_join_first_match(spark, sf_dir):
+    """OGR SQL LEFT JOIN keeps only the FIRST matching secondary feature
+    (ogr_gensql.cpp:1516-1546 nested fetch-first loop) — cloned with a
+    row_number window; Spark plans broadcast/SMJ instead of a per-row loop."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_FIRST_MATCH_JOIN_SQL)
+
+
+_ORDER_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100 OFFSET 10
+"""
+
+
+@q("order_limit_offset", _ORDER_LIMIT_SQL)
+def order_limit_offset(spark, sf_dir):
+    """ORDER BY multi-key + LIMIT/OFFSET (ogr_gensql.cpp:2218 merge sort,
+    ogr/ogr_swq.h:479-483); Spark plans TakeOrdered, no full sort."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_ORDER_LIMIT_SQL)
+
+
+_EXPR_SQL = """
+SELECT p_partkey,
+       SUBSTR(p_name, 1, 8) AS name8,
+       CONCAT(p_brand, '#', CAST(p_size AS STRING)) AS brand_size,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_int,
+       (p_size BETWEEN 10 AND 20) AS size_mid,
+       (p_brand IN ('Brand#1', 'Brand#2')) AS brand_sel
+FROM part
+WHERE LOWER(p_type) LIKE '%econ%' OR p_name ILIKE '%RED%'
+"""
+
+
+@q("expr_projection", _EXPR_SQL)
+def expr_projection(spark, sf_dir):
+    """SWQ scalar surface: SUBSTR/CONCAT/CAST/LIKE/ILIKE/BETWEEN/IN
+    (ogr/swq_op_general.cpp:41-1202, ogr/ogr_swq.h:43-78)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_EXPR_SQL)
+
+
+_UNION_SQL = """
+SELECT c_custkey AS k, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT s_suppkey AS k, 'SUPPLIER' AS seg FROM supplier WHERE s_acctbal > 0
+"""
+
+
+@q("union_all", _UNION_SQL)
+def union_all(spark, sf_dir):
+    """UNION ALL of selects (OGRUnionLayer, gcore/gdaldataset.cpp:7560-7602)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_UNION_SQL)
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       CAST(LAG(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS prev_key
+FROM orders
+"""
+
+
+@q("window_rank", _WINDOW_SQL)
+def window_rank(spark, sf_dir):
+    """Window functions (absent in OGR SQL; provided via the SQLite dialect,
+    gcore/gdaldataset.cpp:7416-7420) — native in Spark."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_WINDOW_SQL)
+
+
+_GROUPBY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("group_by_agg", _GROUPBY_SQL)
+def group_by_agg(spark, sf_dir):
+    """GROUP BY aggregation (SQLite-dialect surface in the reference,
+    ogrsqliteexecutesql.cpp; TPC-H Q1 shape). Map-side partial agg + one
+    shuffle on the group keys."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(_GROUPBY_SQL)
+
+
+@q(
+    "events_tumbling_window",
+    """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark, sf_dir):
+    """5-minute tumbling-window aggregation — the batch twin of the
+    Structured Streaming windowed agg (gdal_spark.streaming runs the same
+    plan with readStream/availableNow)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT CAST(floor(unix_timestamp(ts) / 300) AS BIGINT) * 300 AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+    )
+
+
+@q(
+    "events_props_extract",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def events_props_extract(spark, sf_dir):
+    """Key-value extraction from a JSON props column — the engine's
+    HSTORE_GET_VALUE (ogr/swq_op_general.cpp:1202)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+@q(
+    "exact_dedup_docs",
+    """
+SELECT md5(lower(trim(text))) AS fp_md5,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) - 1 AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup groups on normalized text (md5 so DuckDB can oracle it;
+    production path uses the cheaper xxhash64 fingerprint)."""
+    register_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT md5(lower(trim(text))) AS fp_md5,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) - 1 AS n_dups
+FROM documents
+GROUP BY 1
+"""
+    )
+
+
+@q(
+    "text_metrics",
+    r"""
+SELECT doc_id,
+       length(text) AS n_chars2,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+""",
+)
+def text_metrics(spark, sf_dir):
+    """Token counting + basic text metrics (JVM split/length only)."""
+    from .functions.text import token_count
+
+    register_tpch_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars2"),
+            token_count("text").alias("n_tokens"),
+            (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias(
+                "n_spaces"
+            ),
+        )
+    )
+
+
+@q("lang_quality", None)
+def lang_quality(spark, sf_dir):
+    """Language-ID + quality scoring per document (heuristics not worth
+    re-deriving in SQL — rows-only check; pytest pins exact behavior)."""
+    from .functions.text import lang_id, quality_score
+
+    register_tpch_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@q("minhash_lsh_pairs", None)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs w/ exact-Jaccard refine."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    register_tpch_views(spark, sf_dir)
+    return minhash_lsh_pairs(spark.table("documents"), jaccard_threshold=0.3)
+
+
+@q("simhash_pairs", None)
+def simhash_pairs_q(spark, sf_dir):
+    from .operators.dedup import simhash_near_pairs
+
+    register_tpch_views(spark, sf_dir)
+    return simhash_near_pairs(spark.table("documents"), max_hamming=10)
+
+
+@q("embedding_near_pairs", None)
+def embedding_near_pairs_q(spark, sf_dir):
+    from .operators.dedup import embedding_near_pairs
+
+    register_tpch_views(spark, sf_dir)
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.4);
+    # 0.25 exercises the LSH+refine path with a non-empty result
+    return embedding_near_pairs(spark.table("embeddings"), threshold=0.25)
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])), 4) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@q("similarity_topk", _TOPK_SQL)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 (exact ANN baseline); double-cast so both
+    engines accumulate in f64; ROUND(4) absorbs fold-order ulps."""
+    from .operators.similarity import cosine_topk
+
+    register_tpch_views(spark, sf_dir)
+    qv = np.asarray(
+        spark.table("embeddings").where(F.col("vec_id") == 3).first()["embedding"],
+        dtype=np.float64,
+    )
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    got = cosine_topk(emb, qv, k=10)
+    return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@q("similarity_ann_lsh", None)
+def similarity_ann_lsh(spark, sf_dir):
+    """LSH-prefiltered ANN variant of similarity_topk (scale path)."""
+    from .operators.similarity import lsh_topk
+
+    register_tpch_views(spark, sf_dir)
+    qv = np.asarray(
+        spark.table("embeddings").where(F.col("vec_id") == 3).first()["embedding"],
+        dtype=np.float64,
+    )
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    return lsh_topk(emb, qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Raster pipeline (synthetic image table per input_hint; rows-only checks —
+# pixel correctness is pinned by the pytest oracles)
+# ---------------------------------------------------------------------------
+
+@q("tile_pyramid", None)
+def tile_pyramid_q(spark, sf_dir):
+    """North-star job: decode + native-zoom base tiles + overview reduction;
+    output tile keys + per-band checksums (gdal2tiles semantics)."""
+    from .fixtures.images import images_df
+    from .operators.tiling import build_tile_pyramid
+
+    imgs = images_df(spark, _images_n(sf_dir))
+    zmin = 8  # gsd cycle -> native zooms 8..13; reduce coarsest level to z8
+    return build_tile_pyramid(imgs, tminz=zmin).select(
+        "image_id", "z", "x", "y", "cs1", "cs2", "cs3"
+    )
+
+
+@q("image_decode_stats", None)
+def image_decode_stats(spark, sf_dir):
+    """Per-image band statistics computed inside the decode UDF
+    (GDALRasterBand::ComputeStatistics, gcore/gdalrasterband.cpp:4978)."""
+    import pandas as pd
+
+    from .codecs.registry import decode as _dec
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _dec(r.bytes)
+                out.append(
+                    dict(
+                        image_id=r.image_id,
+                        min1=int(a[..., 0].min()), max1=int(a[..., 0].max()),
+                        mean1=float(np.round(a[..., 0].mean(), 4)),
+                        std1=float(np.round(a[..., 0].std(), 4)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "min1", "max1", "mean1", "std1"])
+
+    from .fixtures.images import images_df
+
+    imgs = images_df(spark, _images_n(sf_dir))
+    return imgs.mapInPandas(
+        stats, schema="image_id string, min1 int, max1 int, mean1 double, std1 double"
+    )
+
+
+@q("caption_passthrough", None)
+def caption_passthrough(spark, sf_dir):
+    """Captions survive the full pipeline byte-identical (input_hint gate):
+    tile pyramid joined back to the caption column."""
+    from .fixtures.images import images_df
+    from .operators.tiling import render_base_tiles
+
+    imgs = images_df(spark, _images_n(sf_dir)).persist()
+    tiles = render_base_tiles(imgs)
+    return (
+        tiles.join(imgs.select("image_id", "caption", "phash"), "image_id")
+        .select("image_id", "z", "x", "y", "caption", "phash")
+    )
+
+
+def all_queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def all_oracles():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

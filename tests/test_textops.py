@@ -1,0 +1,204 @@
+"""Text analysis, dedup families, and similarity search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    import duckdb
+
+    con = duckdb.connect()
+    return con.sql(f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')").df()
+
+
+class TestTextFunctions:
+    def test_token_count_matches_python(self, spark, docs):
+        from gdal_spark.functions.text import token_count
+
+        got = docs.select("doc_id", token_count("text").alias("n")).toPandas()
+        texts = docs.select("doc_id", "text").toPandas()
+        merged = got.merge(texts, on="doc_id")
+        exp = merged["text"].str.split().str.len()
+        np.testing.assert_array_equal(merged["n"].to_numpy(), exp.to_numpy())
+
+    def test_quality_score_range(self, spark, docs):
+        from gdal_spark.functions.text import quality_score
+
+        q = docs.select(quality_score("text").alias("q")).toPandas()["q"]
+        assert (q >= 0).all() and (q <= 1).all()
+        assert q.nunique() > 1
+
+    def test_lang_id_crafted(self, spark):
+        from gdal_spark.functions.text import lang_id
+
+        samples = pd.DataFrame(
+            {
+                "text": [
+                    "the cat sat on the mat and it was happy",
+                    "der Hund ist nicht mit der Katze auf dem Sofa",
+                    "le chat est dans la maison et les enfants",
+                    "el perro es un animal que vive con las personas",
+                    "这是 一个 中文 句子",
+                    "zzz qqq xxx",
+                ]
+            }
+        )
+        got = spark.createDataFrame(samples).select(lang_id("text").alias("lg")).toPandas()
+        assert got["lg"].tolist() == ["en", "de", "fr", "es", "zh", "und"]
+
+    def test_fingerprint_normalization(self, spark):
+        from gdal_spark.functions.text import fingerprint
+
+        pdf = pd.DataFrame({"text": ["Hello   World", "hello world", "other"]})
+        got = spark.createDataFrame(pdf).select(fingerprint("text").alias("fp")).toPandas()
+        assert got["fp"][0] == got["fp"][1]
+        assert got["fp"][0] != got["fp"][2]
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Real doc texts + crafted near/exact duplicates."""
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+        .toPandas()
+    )
+    rows = list(base.itertuples(index=False))
+    extra = []
+    for i in range(5):
+        src = rows[i]
+        extra.append((1000 + i, src.text))  # exact dup
+        words = src.text.split()
+        words[len(words) // 2] = "CHANGED"
+        extra.append((2000 + i, " ".join(words)))  # near dup
+    pdf = pd.concat(
+        [base, pd.DataFrame(extra, columns=["doc_id", "text"])], ignore_index=True
+    )
+    return spark.createDataFrame(pdf)
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, near_dup_docs):
+        from gdal_spark.operators.dedup import exact_dedup
+
+        groups = exact_dedup(near_dup_docs).toPandas()
+        assert groups["n_dups"].sum() == 5
+        assert (groups[groups.n_dups > 0]["keep_id"] < 1000).all()
+
+    def test_minhash_lsh_recovers_near_dups(self, spark, near_dup_docs):
+        from gdal_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        lsh = minhash_lsh_pairs(near_dup_docs, jaccard_threshold=0.6).toPandas()
+        exact = ngram_jaccard_pairs(
+            near_dup_docs, shingle_n=5, threshold=0.6
+        ).toPandas()
+        lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+        exact_pairs = set(zip(exact.id_a, exact.id_b))
+        # every planted pair recovered by both paths
+        for i in range(5):
+            assert (i, 1000 + i) in exact_pairs
+            assert (i, 1000 + i) in lsh_pairs
+            assert (i, 2000 + i) in exact_pairs
+            assert (i, 2000 + i) in lsh_pairs
+        # LSH never invents pairs below threshold (refined by exact jaccard)
+        assert lsh_pairs <= exact_pairs
+
+    def test_lsh_jaccard_equals_exact(self, spark, near_dup_docs):
+        from gdal_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        lsh = minhash_lsh_pairs(near_dup_docs, jaccard_threshold=0.6).toPandas()
+        exact = ngram_jaccard_pairs(near_dup_docs, shingle_n=5, threshold=0.6).toPandas()
+        m = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+        np.testing.assert_allclose(m["jaccard_l"], m["jaccard_e"], atol=1e-6)
+
+    def test_simhash_near_pairs(self, spark, near_dup_docs):
+        from gdal_spark.operators.dedup import simhash_near_pairs
+
+        got = simhash_near_pairs(near_dup_docs, max_hamming=8).toPandas()
+        pairs = set(zip(got.id_a, got.id_b))
+        for i in range(5):
+            assert (i, 1000 + i) in pairs  # exact dups at hamming 0
+        assert (got[got.id_b >= 1000]["hamming"] <= 8).all()
+
+    def test_embedding_near_pairs(self, spark, emb_pdf):
+        from gdal_spark.operators.dedup import embedding_near_pairs
+
+        # plant near-dups: jitter 5 vectors slightly
+        base = emb_pdf.copy()
+        extra = base.head(5).copy()
+        extra["vec_id"] = extra["vec_id"] + 10000
+        extra["embedding"] = extra["embedding"].apply(
+            lambda v: (np.asarray(v) + np.random.default_rng(1).normal(0, 0.01, len(v))).tolist()
+        )
+        pdf = pd.concat([base, extra], ignore_index=True)
+        pdf["embedding"] = pdf["embedding"].apply(lambda v: [float(x) for x in v])
+        df = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        got = embedding_near_pairs(df, threshold=0.95).toPandas()
+        pairs = set(zip(got.id_a, got.id_b))
+        found = sum((i, i + 10000) in pairs for i in base.head(5)["vec_id"])
+        assert found >= 4  # multi-table LSH recall
+
+        # no false positives: every reported cosine really >= threshold (numpy)
+        vecs = {r.vec_id: np.asarray(r.embedding) for r in pdf.itertuples(index=False)}
+        for r in got.itertuples(index=False):
+            a, b = vecs[r.id_a], vecs[r.id_b]
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos >= 0.95 - 1e-6
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, emb_pdf):
+        from gdal_spark.operators.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": emb_pdf["vec_id"],
+                    "embedding": emb_pdf["embedding"].apply(
+                        lambda v: [float(x) for x in v]
+                    ),
+                }
+            )
+        )
+        q = np.asarray(emb_pdf.iloc[7]["embedding"], dtype=np.float64)
+        got = cosine_topk(df, q, k=10).toPandas()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb_pdf["embedding"]])
+        cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -cos))[:10]
+        np.testing.assert_array_equal(
+            got["vec_id"].to_numpy(), emb_pdf["vec_id"].to_numpy()[order]
+        )
+        assert got["vec_id"].iloc[0] == emb_pdf["vec_id"].iloc[7]  # self first
+
+    def test_lsh_topk_subset_and_scores(self, spark, emb_pdf):
+        from gdal_spark.operators.similarity import cosine_topk, lsh_topk
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": emb_pdf["vec_id"],
+                    "embedding": emb_pdf["embedding"].apply(
+                        lambda v: [float(x) for x in v]
+                    ),
+                }
+            )
+        )
+        q = np.asarray(emb_pdf.iloc[3]["embedding"], dtype=np.float64)
+        ann = lsh_topk(df, q, k=5).toPandas()
+        assert len(ann) > 0
+        # the query's own vector survives the prefilter (hamming 0)
+        assert ann["vec_id"].iloc[0] == emb_pdf["vec_id"].iloc[3]
+        exact = cosine_topk(df, q, k=500).toPandas().set_index("vec_id")["cosine"]
+        for r in ann.itertuples(index=False):
+            assert abs(exact.loc[r.vec_id] - r.cosine) < 1e-5

@@ -1,0 +1,98 @@
+"""Distributed tile pyramid vs the single-image oracle twin."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.codecs.registry import decode
+from gdal_spark.fixtures.images import generate_images_pdf
+from gdal_spark.oracle.tiling import build_pyramid, native_zoom, render_image_tiles
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return generate_images_pdf(15)
+
+
+@pytest.fixture(scope="module")
+def images_sdf(spark, images_pdf):
+    return spark.createDataFrame(images_pdf)
+
+
+def _oracle_tiles(images_pdf, method="nearest", tminz=None):
+    exp = {}
+    for r in images_pdf.itertuples(index=False):
+        arr = decode(r.bytes)
+        if tminz is None:
+            for z, tx, ty, tile in render_image_tiles(
+                arr, r.lon, r.lat, r.gsd_m, method
+            ):
+                exp[(r.image_id, z, tx, ty)] = tile
+        else:
+            for (z, tx, ty), tile in build_pyramid(
+                arr, r.lon, r.lat, r.gsd_m, tminz, method
+            ).items():
+                exp[(r.image_id, z, tx, ty)] = tile
+    return exp
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear"])
+def test_base_tiles_match_oracle(spark, images_pdf, images_sdf, method):
+    from gdal_spark.operators.tiling import render_base_tiles
+
+    got = render_base_tiles(images_sdf, method).toPandas()
+    exp = _oracle_tiles(images_pdf, method)
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        tile = decode(r.tile)
+        np.testing.assert_array_equal(
+            tile, exp[(r.image_id, r.z, r.x, r.y)],
+            err_msg=f"{r.image_id} z{r.z} ({r.x},{r.y})",
+        )
+
+
+def test_native_zoom_spread(images_pdf):
+    zs = {native_zoom(g) for g in images_pdf["gsd_m"].unique()}
+    assert zs == {13, 11, 10, 8}  # gsd 10/50/100/500 m/px
+
+
+def test_pyramid_matches_oracle(spark, images_pdf, images_sdf):
+    from gdal_spark.operators.tiling import build_tile_pyramid
+
+    tminz = 6
+    got = build_tile_pyramid(images_sdf, tminz=tminz).toPandas()
+    exp = _oracle_tiles(images_pdf, tminz=tminz)
+    got_keys = {(r.image_id, r.z, r.x, r.y) for r in got.itertuples(index=False)}
+    assert got_keys == set(exp.keys())
+    for r in got.itertuples(index=False):
+        np.testing.assert_array_equal(
+            decode(r.tile), exp[(r.image_id, r.z, r.x, r.y)],
+            err_msg=f"{r.image_id} z{r.z} ({r.x},{r.y})",
+        )
+    # every image reduced down to tminz
+    per_img = got.groupby("image_id")["z"].min()
+    assert (per_img == tminz).all()
+
+
+def test_resume_anti_join_skips_existing(spark, images_sdf):
+    from gdal_spark.operators.tiling import render_base_tiles
+
+    first = render_base_tiles(images_sdf).select("image_id", "z", "x", "y")
+    first_pdf = first.toPandas()
+    from gdal_spark.operators.tiling import build_tile_pyramid
+
+    base_again = render_base_tiles(images_sdf).join(
+        spark.createDataFrame(first_pdf), ["image_id", "z", "x", "y"], "left_anti"
+    )
+    assert base_again.count() == 0
+
+
+def test_checksums_populated_and_stable(spark, images_sdf):
+    from gdal_spark.operators.tiling import render_base_tiles
+
+    a = render_base_tiles(images_sdf).select("image_id", "z", "x", "y", "cs1").toPandas()
+    b = render_base_tiles(images_sdf).select("image_id", "z", "x", "y", "cs1").toPandas()
+    a = a.sort_values(["image_id", "z", "x", "y"], ignore_index=True)
+    b = b.sort_values(["image_id", "z", "x", "y"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["cs1"] >= 0).all()
