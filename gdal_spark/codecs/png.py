@@ -34,8 +34,12 @@ def encode_png(arr: np.ndarray) -> bytes:
         raise ValueError("encode_png: uint8 only")
     if a.ndim == 2:
         color_type, channels = 0, 1
-    elif a.ndim == 3 and a.shape[2] == 3:
-        color_type, channels = 2, 3
+    elif a.ndim == 3 and a.shape[2] in (1, 2, 3, 4):
+        channels = a.shape[2]
+        if channels == 1:
+            a = a[:, :, 0]
+        # gray / gray+alpha / RGB / RGBA
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     else:
         raise ValueError(f"encode_png: unsupported shape {a.shape}")
     h, w = a.shape[0], a.shape[1]
@@ -98,14 +102,16 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
-                raise ValueError("png: only 8-bit gray/RGB non-interlaced supported")
+            if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+                raise ValueError(
+                    "png: only 8-bit gray/GA/RGB/RGBA non-interlaced supported"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    channels = 1 if color_type == 0 else 3
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, stride + 1)
     out = _unfilter(raw, h, stride, channels)
-    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)

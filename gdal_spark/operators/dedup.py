@@ -27,13 +27,15 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text import fingerprint, shingles
 
-_MERSENNE = (1 << 61) - 1
+_EMPTY_SENTINEL = (1 << 61) - 1
 
 
 def _minhash_params(k: int, seed: int = 42):
+    """k multiplicative-universal hash params over Z/2^64 (odd multipliers);
+    wraparound uint64 math vectorizes in numpy with no object/bignum cost."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    a = (rng.integers(0, 1 << 62, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
     return a, b
 
 
@@ -61,14 +63,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
         out = []
-        for hs in hashes:
-            h = np.asarray(hs, dtype=np.int64) & 0x7FFFFFFFFFFFFFFF
-            if h.size == 0:
-                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
-                continue
-            # (a*h + b) mod p, vectorized (k, n) -> min over n
-            vals = (a[:, None].astype(object) * h[None, :] + b[:, None]) % _MERSENNE
-            out.append(np.asarray(vals.min(axis=1), dtype=np.int64))
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                if h.size == 0:
+                    out.append(np.full(num_hashes, _EMPTY_SENTINEL, dtype=np.int64))
+                    continue
+                # (a*h + b) mod 2^64 (wraparound), (k, n) -> min over n;
+                # shift right 1 so the int64 view stays non-negative/ordered
+                vals = (a[:, None] * h[None, :] + b[:, None]) >> np.uint64(1)
+                out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     sh = shingles(text_col, shingle_n)
@@ -88,9 +92,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Candidates from LSH band-bucket self-join; exact Jaccard on shingle sets
     (JVM array_intersect/array_union) refines. Only bucket-mates shuffle."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    # band join carries ids only — shingle arrays re-attach AFTER the
+    # candidate pairs are deduped, so the 16x banded explode and the
+    # self-join never ship the (large) shingle sets
     banded = sigs.select(
-        F.col(id_col), "sh",
+        F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -102,11 +109,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 ),
             )
         ).alias("bk"),
-    ).select(F.col(id_col), "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    pair_ids = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -116,10 +123,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select(F.col(id_col), "sh")
+    cand = (
+        pair_ids.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -27,7 +27,8 @@ from ..functions import cells as C
 from ..oracle import mercator as M
 
 
-def knn_join(points: DataFrame, candidates: DataFrame, k: int, zoom: int,
+def knn_join(points: DataFrame, candidates: DataFrame, k: int,
+             zoom: int | None = None,
              point_id: str = "pid", cand_id: str = "sid",
              plon: str = "lon", plat: str = "lat",
              clon: str = "lon", clat: str = "lat",
@@ -36,7 +37,18 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int, zoom: int,
 
     Returns (point_id, cand_id, dist_m, rank) with rank in [1, k]; ties
     broken by candidate id (deterministic, matches the brute-force oracle).
+
+    ``zoom=None`` picks the grid so cells average ~max(4, k) candidates:
+    dense grids waste rounds doubling through empty cells, coarse grids
+    over-gather — the same density trade the reference's quadtree leaf
+    size makes (alg/gdalgrid.cpp quadtree bucket sizing).
     """
+    if zoom is None:
+        import math
+
+        n_cand = candidates.count()
+        target = max(4, 2 * k)
+        zoom = max(0, min(12, int(math.log(max(n_cand, 1) / target, 4))))
     cell_m = float(M.resolution(zoom)) * M.TILE_SIZE
     n_tiles = 2 ** zoom
 

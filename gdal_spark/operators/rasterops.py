@@ -1,0 +1,370 @@
+"""Raster operators over the image table — gdal_translate / gdalwarp /
+gdaldem / gdal_footprint / zonal-stats / InterpolateAtPoint analogues.
+
+Every operator is ``mapInPandas`` over image rows (map-only, Arrow batches,
+numpy kernels): at 10^12 images the work is embarrassingly parallel with
+zero shuffle; aggregation-style ops (zonal stats, mosaic) emit per-image
+PARTIALS and merge with one groupBy — the map-side-combine shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.registry import decode, encode
+from ..fixtures.tile_grid import wkb_polygon
+from ..oracle import dem as DEM
+from ..oracle import mercator as M
+from ..oracle.checksum import checksum_image
+from ..oracle.resample import resample_bilinear, resample_nearest
+from ..oracle.tiling import geotransform_3857
+from ..oracle.warp import warp_3857_to_4326
+
+
+def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
+              bands=None, ot: str | None = None) -> DataFrame:
+    """gdal_translate semantics (apps/gdal_translate_lib.cpp:90-313):
+    -srcwin (x, y, w, h) subset, -outsize (w, h) resize (nearest, the
+    RasterIO default), -scale (src_min, src_max, dst_min, dst_max) linear
+    rescale, -b band selection (1-based list), -ot type cast.
+    Emits re-encoded PNG rows + band-1 checksum."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                if srcwin is not None:
+                    x, y, ww, hh = srcwin
+                    a = a[y : y + hh, x : x + ww]
+                if bands is not None:
+                    a = a[:, :, [b - 1 for b in bands]]
+                    if a.shape[2] == 1:
+                        a = a[:, :, 0]
+                if outsize is not None:
+                    a = resample_nearest(a, outsize[1], outsize[0])
+                if scale is not None:
+                    s0, s1, d0, d1 = scale
+                    af = a.astype(np.float64)
+                    af = (af - s0) / (s1 - s0) * (d1 - d0) + d0
+                    a = np.clip(np.floor(af + 0.5), 0, 255).astype(np.uint8)
+                if ot is not None:
+                    a = a.astype(ot)
+                h2, w2 = a.shape[0], a.shape[1]
+                cs = checksum_image(a)
+                enc = encode(a.astype(np.uint8) if a.dtype != np.uint8 else a, "png")
+                out.append(
+                    dict(image_id=r.image_id, w2=int(w2), h2=int(h2),
+                         bytes=enc, cs1=cs[0])
+                )
+            yield pd.DataFrame(out, columns=["image_id", "w2", "h2", "bytes", "cs1"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, w2 int, h2 int, bytes binary, cs1 long"
+    )
+
+
+def warp_to_wgs84(images: DataFrame, method: str = "nearest",
+                  approx_every: int = 0) -> DataFrame:
+    """gdalwarp EPSG:3857 -> EPSG:4326 per image (dst->src inverse mapping,
+    apps/gdalwarp_lib.cpp:1210; kernel alg/gdalwarpkernel.cpp). Returns
+    warped image rows + dst geotransform + checksum."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+                warped, dst_gt = warp_3857_to_4326(
+                    a, gt, method=method, approx_every=approx_every
+                )
+                cs = checksum_image(warped)
+                out.append(
+                    dict(
+                        image_id=r.image_id,
+                        bytes=encode(warped, "png"),
+                        dst_gt=[float(v) for v in dst_gt],
+                        cs1=cs[0], cs2=cs[1], cs3=cs[2],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "dst_gt", "cs1", "cs2", "cs3"]
+            )
+
+    return images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
+        gen,
+        schema="image_id string, bytes binary, dst_gt array<double>, "
+               "cs1 long, cs2 long, cs3 long",
+    )
+
+
+def dem_metrics(images: DataFrame, operation: str = "hillshade",
+                z_factor: float = 1.0, azimuth: float = 315.0,
+                altitude: float = 45.0) -> DataFrame:
+    """gdaldem over band 1 treated as elevation (apps/gdaldem_lib.cpp
+    3x3 kernels). operation in hillshade|slope|aspect|tri|tpi|roughness.
+    Emits per-image result checksum + summary stats."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                res = float(r.gsd_m)
+                if operation == "hillshade":
+                    v = DEM.hillshade(a, res, res, z_factor, azimuth, altitude)
+                elif operation == "slope":
+                    v = DEM.slope_degrees(a, res, res, z_factor)
+                elif operation == "aspect":
+                    v = DEM.aspect_degrees(a, res, res)
+                elif operation == "tri":
+                    v = DEM.tri(a)
+                elif operation == "tpi":
+                    v = DEM.tpi(a)
+                elif operation == "roughness":
+                    v = DEM.roughness(a)
+                else:
+                    raise ValueError(operation)
+                out.append(
+                    dict(
+                        image_id=r.image_id,
+                        cs=checksum_image(np.asarray(v))[0],
+                        vmin=float(np.round(np.min(v), 4)),
+                        vmax=float(np.round(np.max(v), 4)),
+                        vmean=float(np.round(np.mean(v), 4)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "cs", "vmin", "vmax", "vmean"])
+
+    return images.select("image_id", "bytes", "gsd_m").mapInPandas(
+        gen, schema="image_id string, cs long, vmin double, vmax double, vmean double"
+    )
+
+
+def band_calc(images: DataFrame, expr: str = "norm_diff") -> DataFrame:
+    """Raster algebra / VRT pixel functions
+    (frmts/vrt/pixelfunctions.cpp:4313-4441): norm_diff|sum|diff|mul|mean
+    over bands 1 and 2; per-image stats out."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes).astype(np.float64)
+                b1, b2 = a[:, :, 0], a[:, :, 1]
+                if expr == "norm_diff":
+                    v = (b1 - b2) / np.maximum(b1 + b2, 1e-9)
+                elif expr == "sum":
+                    v = b1 + b2
+                elif expr == "diff":
+                    v = b1 - b2
+                elif expr == "mul":
+                    v = b1 * b2
+                elif expr == "mean":
+                    v = (b1 + b2) / 2.0
+                else:
+                    raise ValueError(expr)
+                out.append(
+                    dict(
+                        image_id=r.image_id,
+                        vmin=float(np.round(v.min(), 6)),
+                        vmax=float(np.round(v.max(), 6)),
+                        vmean=float(np.round(v.mean(), 6)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "vmin", "vmax", "vmean"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, vmin double, vmax double, vmean double"
+    )
+
+
+def footprint(images: DataFrame, threshold: int = 0) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint_lib.cpp:1304): polygon of the
+    valid-data mask (> threshold in band 1), v0 as the mask's bbox ring in
+    EPSG:3857 + valid-pixel count."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                mask = a[:, :, 0] > threshold
+                n = int(mask.sum())
+                gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+                if n == 0:
+                    out.append(dict(image_id=r.image_id, n_valid=0, wkb=None,
+                                    area_m2=0.0))
+                    continue
+                ys, xs = np.nonzero(mask)
+                x0, x1 = xs.min(), xs.max() + 1
+                y0, y1 = ys.min(), ys.max() + 1
+                minx = gt[0] + x0 * gt[1]
+                maxx = gt[0] + x1 * gt[1]
+                maxy = gt[3] + y0 * gt[5]
+                miny = gt[3] + y1 * gt[5]
+                ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+                        (minx, miny)]
+                out.append(
+                    dict(
+                        image_id=r.image_id,
+                        n_valid=n,
+                        wkb=wkb_polygon(ring),
+                        area_m2=float((maxx - minx) * (maxy - miny)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "n_valid", "wkb", "area_m2"])
+
+    return images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
+        gen, schema="image_id string, n_valid long, wkb binary, area_m2 double"
+    )
+
+
+def zonal_stats(images: DataFrame, zone_zoom: int = 9) -> DataFrame:
+    """Zonal statistics (alg/zonal.cpp:361 GDALRasterZonalStats): band-1
+    pixels grouped by the mercator tile cell containing each pixel center.
+
+    Two-phase: per-image partial (count/sum/sumsq/min/max per zone, numpy
+    bincount inside the decode UDF — no per-pixel rows ever leave the task),
+    then one groupBy(zone) merge. The scalable zonal shape."""
+
+    def partials(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                h, w = a.shape
+                gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+                # pixel-center mercator coords
+                mx = gt[0] + (np.arange(w) + 0.5) * gt[1]
+                my = gt[3] + (np.arange(h) + 0.5) * gt[5]
+                tx, _ = M.pixels_to_tile(*M.meters_to_pixels(mx, np.zeros(w), zone_zoom))
+                _, ty = M.pixels_to_tile(*M.meters_to_pixels(np.zeros(h), my, zone_zoom))
+                n = 2**zone_zoom - 1
+                tx = np.clip(tx, 0, n)
+                ty = np.clip(ty, 0, n)
+                zone = (tx[None, :] << 32) | ty[:, None]
+                flat_zone = zone.ravel()
+                flat_val = a.ravel()
+                uniq, inv = np.unique(flat_zone, return_inverse=True)
+                cnt = np.bincount(inv)
+                s = np.bincount(inv, weights=flat_val)
+                s2 = np.bincount(inv, weights=flat_val * flat_val)
+                vmin = np.full(uniq.size, np.inf)
+                np.minimum.at(vmin, inv, flat_val)
+                vmax = np.full(uniq.size, -np.inf)
+                np.maximum.at(vmax, inv, flat_val)
+                for j, z in enumerate(uniq):
+                    out.append(
+                        dict(zone=int(z), cnt=int(cnt[j]), s=float(s[j]),
+                             s2=float(s2[j]), vmin=float(vmin[j]),
+                             vmax=float(vmax[j]))
+                    )
+            yield pd.DataFrame(out, columns=["zone", "cnt", "s", "s2", "vmin", "vmax"])
+
+    part = images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
+        partials,
+        schema="zone long, cnt long, s double, s2 double, vmin double, vmax double",
+    )
+    agg = part.groupBy("zone").agg(
+        F.sum("cnt").alias("pixel_count"),
+        F.sum("s").alias("_s"),
+        F.sum("s2").alias("_s2"),
+        F.min("vmin").alias("zmin"),
+        F.max("vmax").alias("zmax"),
+    )
+    mean = F.col("_s") / F.col("pixel_count")
+    var = F.col("_s2") / F.col("pixel_count") - mean * mean
+    return agg.select(
+        "zone", "pixel_count",
+        F.round(mean, 4).alias("zmean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("zstd"),
+        "zmin", "zmax",
+    )
+
+
+def sample_at_points(images: DataFrame, points: DataFrame,
+                     method: str = "bilinear") -> DataFrame:
+    """InterpolateAtPoint (gcore/gdalrasterband.cpp:11497,
+    alg/gdal_interpolateatpoint.cpp:165): sample band values at fractional
+    pixel positions of per-image points. Join on image_id ships each image's
+    bytes to its points' partition; sampling is vectorized per image."""
+    joined = points.join(
+        images.select("image_id", "bytes", "lon", "lat", "gsd_m", "w", "h"),
+        "image_id",
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for img_id, grp in pdf.groupby("image_id", sort=False):
+                r0 = grp.iloc[0]
+                a = decode(r0["bytes"]).astype(np.float64)
+                gt = geotransform_3857(
+                    r0["lon"], r0["lat"], int(r0["w"]), int(r0["h"]), r0["gsd_m"]
+                )
+                pmx, pmy = M.lonlat_to_meters(
+                    grp["plon"].to_numpy(), grp["plat"].to_numpy()
+                )
+                fx = (pmx - gt[0]) / gt[1]
+                fy = (pmy - gt[3]) / gt[5]
+                hh, ww = a.shape[0], a.shape[1]
+                inside = (fx >= 0) & (fx < ww) & (fy >= 0) & (fy < hh)
+                if method == "nearest":
+                    ix = np.clip(np.floor(fx).astype(int), 0, ww - 1)
+                    iy = np.clip(np.floor(fy).astype(int), 0, hh - 1)
+                    val = a[iy, ix, 0]
+                else:  # bilinear
+                    gx = np.clip(fx - 0.5, 0, ww - 1)
+                    gy = np.clip(fy - 0.5, 0, hh - 1)
+                    x0 = np.floor(gx).astype(int)
+                    y0 = np.floor(gy).astype(int)
+                    x1 = np.clip(x0 + 1, 0, ww - 1)
+                    y1 = np.clip(y0 + 1, 0, hh - 1)
+                    wx = gx - x0
+                    wy = gy - y0
+                    val = (
+                        a[y0, x0, 0] * (1 - wx) * (1 - wy)
+                        + a[y0, x1, 0] * wx * (1 - wy)
+                        + a[y1, x0, 0] * (1 - wx) * wy
+                        + a[y1, x1, 0] * wx * wy
+                    )
+                val = np.where(inside, np.round(val, 4), np.nan)
+                for pid, v in zip(grp["point_id"].to_numpy(), val):
+                    out.append(dict(image_id=img_id, point_id=int(pid),
+                                    value=None if np.isnan(v) else float(v)))
+            yield pd.DataFrame(out, columns=["image_id", "point_id", "value"])
+
+    return joined.mapInPandas(
+        gen, schema="image_id string, point_id long, value double"
+    )
+
+
+def mosaic_tiles(images: DataFrame, zoom: int | None = None,
+                 reducer: str = "mean") -> DataFrame:
+    """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp): render every
+    image's base tiles at a fixed zoom, then merge tiles sharing (z, x, y)
+    across images — 'mean' averages overlaps, 'last' takes the highest
+    image_id (VRT ordering semantics: later sources on top)."""
+    from .tiling import TILE_SCHEMA, render_base_tiles, _tile_row
+
+    z = zoom if zoom is not None else 8
+    base = render_base_tiles(images, zoom=z)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zz, xx, yy = key
+        arrs = []
+        pdf = pdf.sort_values("image_id")
+        for r in pdf.itertuples(index=False):
+            arrs.append(decode(r.tile).astype(np.float64))
+        if reducer == "mean":
+            out = np.clip(np.floor(np.mean(arrs, axis=0) + 0.5), 0, 255).astype(np.uint8)
+        else:  # last
+            out = arrs[-1].astype(np.uint8)
+        row = _tile_row("__mosaic__", zz, xx, yy, out)
+        return pd.DataFrame([row])
+
+    return base.groupBy("z", "x", "y").applyInPandas(merge, schema=TILE_SCHEMA)

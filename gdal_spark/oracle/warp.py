@@ -1,0 +1,136 @@
+"""Reprojection warp kernel — the gdalwarp analogue, numpy core.
+
+Clones the dst→src inverse-mapping structure of the reference
+(/root/reference/apps/gdalwarp_lib.cpp + alg/gdalwarpkernel.cpp): build the
+destination pixel grid, transform every dst pixel center back into source
+coordinates, sample per band (nearest: floor of the center-mapped coord,
+gdalwarpkernel.cpp:6399-6404; bilinear: 4-sample, :3106).
+
+Coordinate transforms are our own closed-form spherical-mercator<->WGS84
+(no PROJ in this container; same formulas the tile pyramid uses). The
+approximate transformer — exact transform on a coarse column grid + linear
+interpolation between, with a max-error contract — clones
+``GDALCreateApproxTransformer2`` (alg/gdaltransformer.cpp:58).
+
+Output sizing mirrors ``GDALSuggestedWarpOutput2`` (alg/gdaltransformer.cpp:342):
+transform the source corners, take the bbox, keep the pixel count of the
+longer axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import mercator as M
+
+
+def mercator_to_lonlat_xy(mx, my):
+    return M.meters_to_lonlat(mx, my)
+
+
+def lonlat_to_mercator_xy(lon, lat):
+    return M.lonlat_to_meters(lon, lat)
+
+
+def suggested_output(src_gt, w, h):
+    """dst geotransform + size for a 3857 -> 4326 warp of a north-up image."""
+    xs = np.array([src_gt[0], src_gt[0] + w * src_gt[1]])
+    ys = np.array([src_gt[3], src_gt[3] + h * src_gt[5]])
+    lon, lat = M.meters_to_lonlat(
+        np.array([xs[0], xs[1], xs[0], xs[1]]),
+        np.array([ys[0], ys[0], ys[1], ys[1]]),
+    )
+    minlon, maxlon = lon.min(), lon.max()
+    minlat, maxlat = lat.min(), lat.max()
+    # preserve the dominant pixel count (SuggestedWarpOutput keeps the
+    # diagonal pixel distance; for axis-aligned mercator the max axis is it)
+    out_w = w
+    out_h = h
+    res_x = (maxlon - minlon) / out_w
+    res_y = (maxlat - minlat) / out_h
+    dst_gt = [minlon, res_x, 0.0, maxlat, 0.0, -res_y]
+    return dst_gt, out_w, out_h
+
+
+def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
+                      fill=0):
+    """Warp a north-up EPSG:3857 image to EPSG:4326.
+
+    approx_every > 0 enables the approximate transformer: exact inverse
+    transform every ``approx_every``-th column, linear interpolation between
+    (per dst row the transform is separable for this CRS pair: lon depends
+    only on x, lat only on y — the approximation grid still exercises the
+    generic machinery).
+    """
+    h, w = arr.shape[0], arr.shape[1]
+    dst_gt, out_w, out_h = suggested_output(src_gt, w, h)
+
+    # dst pixel centers -> lon/lat
+    lon_c = dst_gt[0] + (np.arange(out_w) + 0.5) * dst_gt[1]
+    lat_c = dst_gt[3] + (np.arange(out_h) + 0.5) * dst_gt[5]
+
+    if approx_every and approx_every > 1:
+        # exact at sample columns, linear interp between (approx transformer)
+        idx = np.arange(0, out_w, approx_every)
+        if idx[-1] != out_w - 1:
+            idx = np.append(idx, out_w - 1)
+        mx_s, _ = M.lonlat_to_meters(lon_c[idx], np.zeros(idx.size))
+        mx = np.interp(np.arange(out_w), idx, mx_s)
+        idyx = np.arange(0, out_h, approx_every)
+        if idyx[-1] != out_h - 1:
+            idyx = np.append(idyx, out_h - 1)
+        _, my_s = M.lonlat_to_meters(np.zeros(idyx.size), lat_c[idyx])
+        my = np.interp(np.arange(out_h), idyx, my_s)
+    else:
+        mx, _ = M.lonlat_to_meters(lon_c, np.zeros(out_w))
+        _, my = M.lonlat_to_meters(np.zeros(out_h), lat_c)
+
+    # src fractional pixel coords of each dst center
+    fx = (mx - src_gt[0]) / src_gt[1]
+    fy = (my - src_gt[3]) / src_gt[5]
+
+    if method == "nearest":
+        ix = np.floor(fx).astype(np.int64)
+        iy = np.floor(fy).astype(np.int64)
+        ok_x = (ix >= 0) & (ix < w)
+        ok_y = (iy >= 0) & (iy < h)
+        ixc = np.clip(ix, 0, w - 1)
+        iyc = np.clip(iy, 0, h - 1)
+        out = arr[np.ix_(iyc, ixc)].astype(np.float64)
+        mask = np.outer(ok_y, ok_x)
+    elif method == "bilinear":
+        gx = fx - 0.5
+        gy = fy - 0.5
+        x0 = np.clip(np.floor(gx).astype(np.int64), 0, w - 1)
+        y0 = np.clip(np.floor(gy).astype(np.int64), 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        wx = np.clip(gx - x0, 0.0, 1.0)
+        wy = np.clip(gy - y0, 0.0, 1.0)
+        a = arr[np.ix_(y0, x0)].astype(np.float64)
+        b = arr[np.ix_(y0, x1)].astype(np.float64)
+        c = arr[np.ix_(y1, x0)].astype(np.float64)
+        d = arr[np.ix_(y1, x1)].astype(np.float64)
+        if arr.ndim == 3:
+            wxx = wx[None, :, None]
+            wyy = wy[:, None, None]
+        else:
+            wxx = wx[None, :]
+            wyy = wy[:, None]
+        out = (a * (1 - wxx) + b * wxx) * (1 - wyy) + (c * (1 - wxx) + d * wxx) * wyy
+        ok_x = (fx >= 0) & (fx <= w)
+        ok_y = (fy >= 0) & (fy <= h)
+        mask = np.outer(ok_y, ok_x)
+    else:
+        raise ValueError(method)
+
+    if arr.ndim == 3:
+        out = np.where(mask[:, :, None], out, float(fill))
+    else:
+        out = np.where(mask, out, float(fill))
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(arr.dtype)
+    else:
+        out = out.astype(arr.dtype)
+    return out, dst_gt

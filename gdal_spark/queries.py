@@ -194,7 +194,7 @@ def knn_nearest_supplier(spark, sf_dir):
     register_tpch_views(spark, sf_dir)
     pts = spark.sql(f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT * FROM customer_points")
     cand = spark.sql(f"WITH {SUPPLIER_POINTS_CTE.strip()} SELECT * FROM supplier_points")
-    res = knn_join(pts, cand, k=2, zoom=4)
+    res = knn_join(pts, cand, k=2)  # auto zoom from candidate density
     return res.select(
         "pid", "sid", "rank",
         F.floor(F.col("dist_m") / 100.0).cast("bigint").alias("dist_hm"),
@@ -625,6 +625,178 @@ def caption_passthrough(spark, sf_dir):
         tiles.join(imgs.select("image_id", "caption", "phash"), "image_id")
         .select("image_id", "z", "x", "y", "caption", "phash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Layer algebra (ogrlayer.cpp Intersection/Erase/Identity) + raster operators
+# ---------------------------------------------------------------------------
+
+from .sql.geoviews import CUSTOMER_RECTS_TEMPLATE, SUPPLIER_RECTS_TEMPLATE
+
+_CUSTOMER_RECTS = CUSTOMER_RECTS_TEMPLATE.format(
+    MX=T.sql_mx("lon"), MY=T.sql_my("lat")
+)
+_SUPPLIER_RECTS = SUPPLIER_RECTS_TEMPLATE.format(
+    MX=T.sql_mx("lon"), MY=T.sql_my("lat")
+)
+
+_RECT_INTERSECTION_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{SUPPLIER_POINTS_CTE.strip()},
+{_CUSTOMER_RECTS.strip()},
+{_SUPPLIER_RECTS.strip()}
+SELECT a.aid, b.bid,
+       greatest(a.minx, b.minx) AS minx,
+       greatest(a.miny, b.miny) AS miny,
+       least(a.maxx, b.maxx) AS maxx,
+       least(a.maxy, b.maxy) AS maxy
+FROM customer_rects a JOIN supplier_rects b
+  ON a.minx < b.maxx AND a.maxx > b.minx
+ AND a.miny < b.maxy AND a.maxy > b.miny
+"""
+
+
+def _rect_layers(spark):
+    a = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()}, {_CUSTOMER_RECTS.strip()} "
+        "SELECT * FROM customer_rects"
+    )
+    b = spark.sql(
+        f"WITH {SUPPLIER_POINTS_CTE.strip()}, {_SUPPLIER_RECTS.strip()} "
+        "SELECT * FROM supplier_rects"
+    )
+    return a, b
+
+
+@q("rect_intersection", _RECT_INTERSECTION_SQL)
+def rect_intersection(spark, sf_dir):
+    """Layer algebra Intersection (ogrlayer.cpp:5385) via covering-cell
+    candidates; closed-form rectangle overlay, zero UDF."""
+    from .operators.layer_algebra import intersection
+
+    register_tpch_views(spark, sf_dir)
+    a, b = _rect_layers(spark)
+    return intersection(a, b)
+
+
+@q("rect_erase", None)
+def rect_erase(spark, sf_dir):
+    """Layer algebra Erase (ogrlayer.cpp:7846): sequential multi-coverage
+    subtraction per feature; output remainder rects + area."""
+    from .operators.layer_algebra import erase, rect_area
+
+    register_tpch_views(spark, sf_dir)
+    a, b = _rect_layers(spark)
+    return rect_area(erase(a, b)).select(
+        "aid", F.round("minx", 3).alias("minx"), F.round("miny", 3).alias("miny"),
+        F.round("maxx", 3).alias("maxx"), F.round("maxy", 3).alias("maxy"),
+        F.round("area", 1).alias("area"),
+    )
+
+
+@q("warp_wgs84", None)
+def warp_wgs84_q(spark, sf_dir):
+    """gdalwarp EPSG:3857->4326 per image, bilinear kernel; per-band
+    checksums of the warped rasters (apps/gdalwarp_lib.cpp semantics)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return warp_to_wgs84(imgs, "bilinear").select("image_id", "cs1", "cs2", "cs3")
+
+
+@q("dem_hillshade", None)
+def dem_hillshade_q(spark, sf_dir):
+    """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328) over
+    band 1 as elevation."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import dem_metrics
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return dem_metrics(imgs, "hillshade")
+
+
+@q("raster_translate", None)
+def raster_translate_q(spark, sf_dir):
+    """gdal_translate -srcwin -outsize -scale -b pipeline
+    (apps/gdal_translate_lib.cpp:90-313)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import translate
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return translate(
+        imgs, srcwin=(2, 2, 16, 16), outsize=(64, 64), scale=(0, 255, 0, 100),
+        bands=[1, 2],
+    ).select("image_id", "w2", "h2", "cs1")
+
+
+@q("footprint", None)
+def footprint_q(spark, sf_dir):
+    """gdal_footprint valid-data polygon + area
+    (apps/gdal_footprint_lib.cpp:1304)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import footprint
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return footprint(imgs, threshold=0).select(
+        "image_id", "n_valid", F.round("area_m2", 1).alias("area_m2")
+    )
+
+
+@q("zonal_stats", None)
+def zonal_stats_q(spark, sf_dir):
+    """Zonal statistics per mercator cell zone (alg/zonal.cpp:361):
+    per-image numpy partials + one groupBy merge."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import zonal_stats
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return zonal_stats(imgs, zone_zoom=7)
+
+
+@q("mosaic_mean", None)
+def mosaic_mean_q(spark, sf_dir):
+    """gdalbuildvrt-style mosaic: per-image tiles merged across images on
+    (z,x,y) (apps/gdalbuildvrt_lib.cpp)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import mosaic_tiles
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return mosaic_tiles(imgs, zoom=7, reducer="mean").select(
+        "z", "x", "y", "cs1", "cs2", "cs3"
+    )
+
+
+@q("point_sample", None)
+def point_sample_q(spark, sf_dir):
+    """InterpolateAtPoint (gcore/gdalrasterband.cpp:11497): bilinear sample
+    of each image at its own jittered caption point."""
+    import pandas as pd
+
+    from .fixtures.images import images_df
+    from .fixtures.points import caption_points_pdf
+    from .operators.rasterops import sample_at_points
+
+    n = min(_images_n(sf_dir), 200)
+    imgs = images_df(spark, n)
+    pts_pdf = caption_points_pdf(n)
+    pts_pdf["point_id"] = np.arange(n, dtype=np.int64)
+    pts = spark.createDataFrame(
+        pts_pdf.rename(columns={"lon": "plon", "lat": "plat"})[
+            ["image_id", "point_id", "plon", "plat"]
+        ]
+    )
+    return sample_at_points(imgs, pts, "bilinear")
+
+
+@q("band_calc_normdiff", None)
+def band_calc_q(spark, sf_dir):
+    """VRT pixel-function band algebra (frmts/vrt/pixelfunctions.cpp)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import band_calc
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200))
+    return band_calc(imgs, "norm_diff")
 
 
 def all_queries():

@@ -57,6 +57,30 @@ orders_points AS (
   FROM orders
 )"""
 
+# Rect layers for layer-algebra queries: boxes centered on the derived
+# points, size keyed off the id (meters, EPSG:3857). Shared text — both
+# engines compute identical doubles. Template placeholders {MX}/{MY} are
+# filled by queries.py with the mercator expressions.
+CUSTOMER_RECTS_TEMPLATE = """
+customer_rects AS (
+  SELECT pid AS aid,
+         {MX} - (200000.0 + (pid % 7) * 50000.0) AS minx,
+         {MY} - (150000.0 + (pid % 5) * 50000.0) AS miny,
+         {MX} + (200000.0 + (pid % 7) * 50000.0) AS maxx,
+         {MY} + (150000.0 + (pid % 5) * 50000.0) AS maxy
+  FROM customer_points
+)"""
+
+SUPPLIER_RECTS_TEMPLATE = """
+supplier_rects AS (
+  SELECT sid AS bid,
+         {MX} - 1200000.0 AS minx,
+         {MY} - 900000.0 AS miny,
+         {MX} + 1200000.0 AS maxx,
+         {MY} + 900000.0 AS maxy
+  FROM supplier_points
+)"""
+
 TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -1,0 +1,256 @@
+"""Raster operators (translate/warp/dem/footprint/zonal/sample/mosaic) and
+layer algebra vs numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.codecs.registry import decode
+from gdal_spark.fixtures.images import generate_images_pdf, make_pixels
+from gdal_spark.oracle import dem as DEM
+from gdal_spark.oracle import mercator as M
+from gdal_spark.oracle.checksum import checksum_image
+from gdal_spark.oracle.resample import resample_nearest
+from gdal_spark.oracle.tiling import geotransform_3857
+from gdal_spark.oracle.warp import warp_3857_to_4326
+
+
+@pytest.fixture(scope="module")
+def imgs_pdf():
+    return generate_images_pdf(8)
+
+
+@pytest.fixture(scope="module")
+def imgs(spark, imgs_pdf):
+    return spark.createDataFrame(imgs_pdf)
+
+
+class TestTranslate:
+    def test_srcwin_outsize_scale(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import translate
+
+        got = translate(
+            imgs, srcwin=(2, 3, 16, 12), outsize=(32, 24),
+            scale=(0, 255, 0, 100), bands=[1, 3]
+        ).toPandas().set_index("image_id")
+        for r in imgs_pdf.itertuples(index=False):
+            a = decode(r.bytes)[3 : 3 + 12, 2 : 2 + 16][:, :, [0, 2]]
+            a = resample_nearest(a, 24, 32)
+            af = a.astype(np.float64) / 255.0 * 100.0
+            exp = np.clip(np.floor(af + 0.5), 0, 255).astype(np.uint8)
+            row = got.loc[r.image_id]
+            assert (row["w2"], row["h2"]) == (32, 24)
+            assert row["cs1"] == checksum_image(exp)[0]
+            np.testing.assert_array_equal(decode(row["bytes"]), exp)
+
+
+class TestWarp:
+    @pytest.mark.parametrize("method", ["nearest", "bilinear"])
+    def test_warp_matches_oracle(self, spark, imgs, imgs_pdf, method):
+        from gdal_spark.operators.rasterops import warp_to_wgs84
+
+        got = warp_to_wgs84(imgs, method).toPandas().set_index("image_id")
+        for r in imgs_pdf.itertuples(index=False):
+            a = decode(r.bytes)
+            gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+            exp, dst_gt = warp_3857_to_4326(a, gt, method)
+            row = got.loc[r.image_id]
+            np.testing.assert_array_equal(decode(row["bytes"]), exp)
+            np.testing.assert_allclose(np.array(row["dst_gt"]), dst_gt, rtol=1e-12)
+
+    def test_approx_transformer_error_bound(self, imgs_pdf):
+        """Approximate transformer (exact every 16 cols + interp) stays
+        close to the exact warp — the GDALApproxTransformer contract."""
+        r = imgs_pdf.iloc[4]  # 512x512
+        a = decode(r.bytes)
+        gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+        exact, _ = warp_3857_to_4326(a, gt, "nearest")
+        approx, _ = warp_3857_to_4326(a, gt, "nearest", approx_every=16)
+        # identical except possibly a thin band of off-by-one-source-pixel
+        frac_diff = (exact != approx).mean()
+        assert frac_diff < 0.02
+
+    def test_warp_roundtrip_identity_region(self, imgs_pdf):
+        """Center region survives 3857->4326 nearest warp with the same
+        value distribution (no resample loss at matched resolution)."""
+        r = imgs_pdf.iloc[2]
+        a = decode(r.bytes)
+        gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+        warped, _ = warp_3857_to_4326(a, gt, "nearest")
+        assert warped.shape == a.shape
+        assert warped.mean() == pytest.approx(a.mean(), rel=0.2)
+
+
+class TestDEM:
+    def test_flat_dem(self):
+        flat = np.full((20, 20), 100.0)
+        assert (DEM.slope_degrees(flat) == 0).all()
+        assert (DEM.hillshade(flat) == DEM.hillshade(flat)[0, 0]).all()
+        assert (DEM.aspect_degrees(flat) == -9999.0).all()
+        assert (DEM.tri(flat) == 0).all()
+        assert (DEM.roughness(flat) == 0).all()
+
+    def test_ramp_slope(self):
+        # 45-degree ramp at unit resolution: dz/dx == 1
+        ramp = np.tile(np.arange(32, dtype=np.float64), (8, 1))
+        s = DEM.slope_degrees(ramp)
+        np.testing.assert_allclose(s[2:-2, 2:-2], 45.0)
+
+    def test_spark_dem_matches_oracle(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import dem_metrics
+
+        got = dem_metrics(imgs, "hillshade").toPandas().set_index("image_id")
+        for r in imgs_pdf.head(4).itertuples(index=False):
+            a = decode(r.bytes)[:, :, 0].astype(np.float64)
+            exp = DEM.hillshade(a, r.gsd_m, r.gsd_m)
+            assert got.loc[r.image_id, "cs"] == checksum_image(exp)[0]
+
+
+class TestFootprintZonal:
+    def test_footprint_full_coverage(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import footprint
+
+        got = footprint(imgs, threshold=-1).toPandas().set_index("image_id")
+        for r in imgs_pdf.itertuples(index=False):
+            row = got.loc[r.image_id]
+            assert row["n_valid"] == r.w * r.h
+            assert row["area_m2"] == pytest.approx(
+                (r.w * r.gsd_m) * (r.h * r.gsd_m), rel=1e-9
+            )
+
+    def test_zonal_stats_matches_numpy(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import zonal_stats
+
+        zoom = 9
+        got = zonal_stats(imgs, zone_zoom=zoom).toPandas().set_index("zone")
+        # numpy oracle: accumulate all pixels by zone across all images
+        acc = {}
+        for r in imgs_pdf.itertuples(index=False):
+            a = decode(r.bytes)[:, :, 0].astype(np.float64)
+            h, w = a.shape
+            gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+            mx = gt[0] + (np.arange(w) + 0.5) * gt[1]
+            my = gt[3] + (np.arange(h) + 0.5) * gt[5]
+            px, _ = M.meters_to_pixels(mx, np.zeros(w), zoom)
+            _, py = M.meters_to_pixels(np.zeros(h), my, zoom)
+            tx, _ = M.pixels_to_tile(px, np.zeros(w))
+            _, ty = M.pixels_to_tile(np.zeros(h), py)
+            n = 2**zoom - 1
+            tx = np.clip(tx, 0, n)
+            ty = np.clip(ty, 0, n)
+            zone = (tx[None, :] << 32) | ty[:, None]
+            for z, v in zip(zone.ravel(), a.ravel()):
+                acc.setdefault(int(z), []).append(v)
+        assert set(got.index) == set(acc.keys())
+        for z, vals in acc.items():
+            vals = np.asarray(vals)
+            assert got.loc[z, "pixel_count"] == len(vals)
+            assert got.loc[z, "zmean"] == pytest.approx(round(vals.mean(), 4), abs=2e-4)
+            assert got.loc[z, "zmin"] == vals.min()
+            assert got.loc[z, "zmax"] == vals.max()
+
+    def test_sample_at_points(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import sample_at_points
+
+        # points at each image's center -> value of the center pixel
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": imgs_pdf["image_id"],
+                    "point_id": np.arange(len(imgs_pdf)),
+                    "plon": imgs_pdf["lon"],
+                    "plat": imgs_pdf["lat"],
+                }
+            )
+        )
+        got = sample_at_points(imgs, pts, "nearest").toPandas().set_index("image_id")
+        for r in imgs_pdf.itertuples(index=False):
+            a = decode(r.bytes)
+            exp = float(a[r.h // 2, r.w // 2, 0])
+            assert got.loc[r.image_id, "value"] == pytest.approx(exp)
+
+
+class TestMosaicBandCalc:
+    def test_band_calc_norm_diff(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import band_calc
+
+        got = band_calc(imgs, "norm_diff").toPandas().set_index("image_id")
+        r = imgs_pdf.iloc[0]
+        a = decode(r["bytes"]).astype(np.float64)
+        v = (a[:, :, 0] - a[:, :, 1]) / np.maximum(a[:, :, 0] + a[:, :, 1], 1e-9)
+        assert got.loc[r["image_id"], "vmean"] == pytest.approx(round(v.mean(), 6), abs=1e-6)
+
+    def test_mosaic_merges_overlaps(self, spark):
+        from gdal_spark.operators.rasterops import mosaic_tiles
+
+        # two co-located images -> mosaic tile = mean of their tiles
+        pdf = generate_images_pdf(2).copy()
+        pdf["lon"] = 10.0
+        pdf["lat"] = 10.0
+        pdf["gsd_m"] = 100.0
+        df = spark.createDataFrame(pdf)
+        got = mosaic_tiles(df, zoom=9, reducer="mean").toPandas()
+        assert (got["image_id"] == "__mosaic__").all()
+        assert got.groupby(["z", "x", "y"]).size().max() == 1
+
+
+class TestLayerAlgebra:
+    @pytest.fixture(scope="class")
+    def layers(self, spark):
+        a = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(aid=1, minx=0.0, miny=0.0, maxx=10e5, maxy=10e5),
+                    dict(aid=2, minx=5e5, miny=5e5, maxx=15e5, maxy=15e5),
+                    dict(aid=3, minx=-20e5, miny=-20e5, maxx=-10e5, maxy=-10e5),
+                ]
+            )
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(bid=10, minx=2e5, miny=2e5, maxx=7e5, maxy=7e5),
+                    dict(bid=11, minx=12e5, miny=12e5, maxx=30e5, maxy=30e5),
+                ]
+            )
+        )
+        return a, b
+
+    def test_intersection(self, layers):
+        from gdal_spark.operators.layer_algebra import intersection
+
+        a, b = layers
+        got = intersection(a, b).toPandas().sort_values(["aid", "bid"], ignore_index=True)
+        exp = pd.DataFrame(
+            [
+                dict(aid=1, bid=10, minx=2e5, miny=2e5, maxx=7e5, maxy=7e5),
+                dict(aid=2, bid=10, minx=5e5, miny=5e5, maxx=7e5, maxy=7e5),
+                dict(aid=2, bid=11, minx=12e5, miny=12e5, maxx=15e5, maxy=15e5),
+            ]
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_erase_area_conservation(self, layers):
+        from gdal_spark.operators.layer_algebra import erase, intersection
+
+        a, b = layers
+        erased = erase(a, b).toPandas()
+        inter = intersection(a, b).toPandas()
+
+        def area(df):
+            return ((df.maxx - df.minx) * (df.maxy - df.miny)).sum()
+
+        a_pdf = a.toPandas()
+        # pieces don't overlap (disjoint remainder construction) and
+        # area(A) == area(erased) + area(A ∩ B) when no double-coverage
+        assert area(a_pdf) == pytest.approx(area(erased) + area(inter))
+        # untouched rect passes through whole
+        assert ((erased.aid == 3) & (erased.minx == -20e5)).any()
+
+    def test_identity(self, layers):
+        from gdal_spark.operators.layer_algebra import identity
+
+        a, b = layers
+        got = identity(a, b).toPandas()
+        assert got[got.bid.isna()].shape[0] > 0  # outside pieces
+        assert got[got.bid.notna()].shape[0] == 3  # intersection pieces

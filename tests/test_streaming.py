@@ -1,0 +1,95 @@
+"""Structured Streaming incremental tiling + resume semantics."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["src"])
+    return d
+
+
+def _write_batch(spark, src, n, start):
+    from gdal_spark.fixtures.images import generate_images_pdf
+
+    pdf = generate_images_pdf(n, start=start)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_incremental_tiles_availablenow(spark, dirs):
+    from gdal_spark.streaming.incremental import incremental_tiles
+
+    _write_batch(spark, dirs["src"], 6, 0)
+    incremental_tiles(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+    first = spark.read.parquet(dirs["sink"]).select("image_id", "z", "x", "y").toPandas()
+    assert len(first) > 0
+    n_first = len(first)
+
+    # new files arrive; re-run processes ONLY them (checkpointed progress)
+    _write_batch(spark, dirs["src"], 4, 100)
+    incremental_tiles(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+    second = spark.read.parquet(dirs["sink"]).select("image_id", "z", "x", "y").toPandas()
+    new_ids = {i for i in second["image_id"]} - {i for i in first["image_id"]}
+    assert new_ids == {f"img{100+i:08d}" for i in range(4)}
+    # no duplicates for the original images (exactly-once)
+    assert len(second[second["image_id"].isin(first["image_id"])]) == n_first
+
+
+def test_resume_tiles_anti_join(spark, dirs):
+    from gdal_spark.fixtures.images import generate_images_pdf
+    from gdal_spark.operators.tiling import render_base_tiles
+    from gdal_spark.streaming.incremental import resume_tiles
+
+    imgs = spark.createDataFrame(generate_images_pdf(8))
+    # first run: nothing exists -> everything rendered
+    t1 = resume_tiles(spark, imgs, dirs["sink"])
+    t1.write.partitionBy("z").mode("append").parquet(dirs["sink"])
+    n1 = spark.read.parquet(dirs["sink"]).count()
+    assert n1 == render_base_tiles(imgs).count()
+    # second run: all keys exist -> zero work
+    t2 = resume_tiles(spark, imgs, dirs["sink"])
+    assert t2.count() == 0
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, dirs, tmp_path):
+    from gdal_spark.streaming.incremental import windowed_event_counts
+
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "events_sink")
+    ckpt = str(tmp_path / "events_ckpt")
+    windowed_event_counts(spark, src, ckpt, sink)
+    got = spark.read.parquet(sink).toPandas()
+    from pyspark.sql import functions as F
+
+    exp = (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        .toPandas()
+    )
+    m = got.merge(exp, on=["win_start", "event_type"], suffixes=("_s", "_b"))
+    # append mode withholds windows not yet past the watermark when the
+    # stream drains — every emitted row matches batch, and only trailing
+    # windows (within watermark of the stream end) may be missing
+    assert len(m) == len(got)
+    np.testing.assert_array_equal(m["n_s"].to_numpy(), m["n_b"].to_numpy())
+    missing = exp.merge(
+        got[["win_start", "event_type"]], on=["win_start", "event_type"],
+        how="left", indicator=True,
+    )
+    missing = missing[missing["_merge"] == "left_only"]
+    if len(missing):
+        horizon = exp["win_start"].max() - pd.Timedelta(minutes=15)
+        assert (missing["win_start"] >= horizon).all()
