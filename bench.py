@@ -65,6 +65,10 @@ def run_pipeline(spark, images_path: str) -> tuple[float, int]:
     from gdal_spark.operators.tiling import build_tile_pyramid
 
     imgs = spark.read.parquet(images_path)
+    # drop any cached plans (build_tile_pyramid persists levels; Spark's
+    # CacheManager matches canonicalized plans, so a previous run's cache
+    # would silently serve this one and fake the timing)
+    spark.catalog.clearCache()
     t0 = time.time()
     tiles = build_tile_pyramid(imgs, tminz=8)
     out = (
@@ -101,8 +105,10 @@ def main():
     spark = fresh_spark(CPUS)
     images_path = ensure_images(spark, N_IMAGES)
 
-    # warm-up (JVM/codegen) on a small slice
-    run_pipeline(spark, os.path.join(CACHE_DIR, f"images_{N_IMAGES}.parquet"))
+    # warm-up (JVM/codegen) on a small DISJOINT table — same path as the
+    # timed input would leave matching cached plans behind
+    warm_path = ensure_images(spark, 800)
+    run_pipeline(spark, warm_path)
 
     t_full, n_tiles = run_pipeline(spark, images_path)
     result["metric"] = "e2e_tile_pipeline_sec"
@@ -126,6 +132,7 @@ def main():
     if DO_SCALING:
         small = max(2, CPUS // 4)
         spark_small = fresh_spark(small)
+        run_pipeline(spark_small, warm_path)  # JVM/codegen warm-up
         t_small, _ = run_pipeline(spark_small, images_path)
         eff = (t_small / t_full) / (CPUS / small)
         result["scaling"] = {

@@ -1,0 +1,139 @@
+"""Raster<->vector conversion operators: rasterize (burn), polygonize
+(connected components), sieve, proximity — per-image Arrow UDFs over the
+numpy kernels in oracle/rasterize.py.
+
+Reference semantics: alg/gdalrasterize.cpp:999 (GDALRasterizeGeometries,
+even-odd scanline fill), alg/polygonize.cpp (GDALPolygonize),
+alg/gdalsievefilter.cpp (GDALSieveFilter), alg/gdalproximity.cpp
+(GDALComputeProximity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codecs.registry import decode
+from ..oracle.checksum import checksum_image
+from ..oracle.rasterize import (
+    polygonize as _polygonize,
+    proximity as _proximity,
+    rasterize_points as _rasterize_points,
+    sieve as _sieve,
+)
+from ..oracle.tiling import geotransform_3857
+
+
+def polygonize(images: DataFrame, quantize: int = 64,
+               downsample_to: int | None = 64) -> DataFrame:
+    """GDALPolygonize over band 1 quantized to ``256/quantize`` classes
+    (polygonize runs on classified rasters); optional nearest downsample
+    bounds per-image component counts. One row per connected component."""
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0]
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                q = (a // quantize).astype(np.uint8)
+                for comp_id, (val, cnt, r0, c0, r1, c1) in enumerate(
+                    _polygonize(q), start=1
+                ):
+                    out.append(
+                        dict(image_id=r.image_id, comp_id=comp_id,
+                             value=int(val), pixel_count=cnt,
+                             min_row=r0, min_col=c0, max_row=r1, max_col=c1)
+                    )
+            yield pd.DataFrame(
+                out, columns=["image_id", "comp_id", "value", "pixel_count",
+                              "min_row", "min_col", "max_row", "max_col"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen,
+        schema="image_id string, comp_id int, value int, pixel_count long, "
+               "min_row int, min_col int, max_row int, max_col int",
+    )
+
+
+def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
+                 downsample_to: int = 32) -> DataFrame:
+    """GDALSieveFilter: drop components below ``threshold`` px (merged into
+    the largest neighbor); emits before/after component counts + checksum."""
+    from ..oracle.rasterize import label_components
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0]
+                a = resample_nearest(a, downsample_to, downsample_to)
+                q = (a // quantize).astype(np.uint8)
+                _, n_before = label_components(q)
+                s = _sieve(q, threshold)
+                _, n_after = label_components(s)
+                out.append(
+                    dict(image_id=r.image_id, n_before=n_before,
+                         n_after=n_after, cs=checksum_image(s)[0])
+                )
+            yield pd.DataFrame(out, columns=["image_id", "n_before", "n_after", "cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_before int, n_after int, cs long"
+    )
+
+
+def proximity_map(images: DataFrame, target_value: int = 0,
+                  downsample_to: int = 64) -> DataFrame:
+    """GDALComputeProximity: chamfer distance (pixels) to the nearest
+    band-1 pixel equal to ``target_value``; summary stats per image."""
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0]
+                a = resample_nearest(a, downsample_to, downsample_to)
+                mask = a == target_value
+                if not mask.any():
+                    out.append(dict(image_id=r.image_id, dmax=-1.0, dmean=-1.0))
+                    continue
+                d = _proximity(mask)
+                out.append(
+                    dict(image_id=r.image_id,
+                         dmax=float(np.round(d.max(), 4)),
+                         dmean=float(np.round(d.mean(), 4)))
+                )
+            yield pd.DataFrame(out, columns=["image_id", "dmax", "dmean"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, dmax double, dmean double"
+    )
+
+
+def rasterize_point_counts(points: DataFrame, minx: float, maxy: float,
+                           cell: float, nx: int, ny: int,
+                           x: str = "x", y: str = "y") -> DataFrame:
+    """gdal_rasterize point burn in ADD mode == point-count grid. Pure
+    column math + groupBy (no UDF): the scalable burn for point layers.
+    Output (px, py, n) for non-empty pixels; py from the top row."""
+    from pyspark.sql import functions as F
+
+    return (
+        points.select(
+            F.floor((F.col(x) - F.lit(minx)) / F.lit(cell)).cast("long").alias("px"),
+            F.floor((F.lit(maxy) - F.col(y)) / F.lit(cell)).cast("long").alias("py"),
+        )
+        .where((F.col("px") >= 0) & (F.col("px") < nx)
+               & (F.col("py") >= 0) & (F.col("py") < ny))
+        .groupBy("px", "py")
+        .count()
+        .withColumnRenamed("count", "n")
+    )

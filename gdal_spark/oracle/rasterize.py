@@ -1,0 +1,190 @@
+"""Vector -> raster burn + raster connected-component ops, numpy kernels.
+
+* scanline polygon fill, even-odd rule, pixel-center sampling — semantics of
+  ``GDALRasterizeGeometries`` (/root/reference/alg/gdalrasterize.cpp:999)
+  with the inner loop of ``llrasterize.cpp:29-38`` (dmax/dmin scanline
+  crossings at y = row + 0.5, fill [ceil(x0-0.5), floor(x1-0.5)]).
+* connected-component labeling (4-connectivity, equal pixel value) — the
+  core of ``GDALPolygonize`` (/root/reference/alg/polygonize.cpp) and
+  ``GDALSieveFilter`` (alg/gdalsievefilter.cpp); two-pass union-find.
+* proximity — two-pass chamfer distance transform approximating
+  ``GDALComputeProximity`` (alg/gdalproximity.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rasterize_polygon(ring_xy, gt, w: int, h: int, burn: float = 1.0,
+                      out=None, add: bool = False):
+    """Burn one polygon into a (h, w) array. Pixel (r, c) is burned when its
+    center (gt-transformed col+0.5, row+0.5) lies inside by the even-odd
+    rule — the reference's scanline crossing fill."""
+    if out is None:
+        out = np.zeros((h, w), dtype=np.float64)
+    ring = np.asarray(ring_xy, dtype=np.float64)
+    # to pixel space (gt: north-up affine)
+    px = (ring[:, 0] - gt[0]) / gt[1]
+    py = (ring[:, 1] - gt[3]) / gt[5]
+    ys = np.arange(h) + 0.5
+    x1, y1 = px[:-1], py[:-1]
+    x2, y2 = px[1:], py[1:]
+    for r, yc in enumerate(ys):
+        # segments straddling the scanline
+        m = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
+        if not m.any():
+            continue
+        xi = x1[m] + (yc - y1[m]) / (y2[m] - y1[m]) * (x2[m] - x1[m])
+        xi.sort()
+        for i in range(0, len(xi) - 1, 2):
+            c0 = int(np.ceil(xi[i] - 0.5))
+            c1 = int(np.floor(xi[i + 1] - 0.5))
+            c0 = max(c0, 0)
+            c1 = min(c1, w - 1)
+            if c1 >= c0:
+                if add:
+                    out[r, c0 : c1 + 1] += burn
+                else:
+                    out[r, c0 : c1 + 1] = burn
+    return out
+
+
+def rasterize_points(xs, ys, gt, w: int, h: int, burn: float = 1.0,
+                     add: bool = True):
+    """Burn points (pixel containing each point; add mode accumulates —
+    the gdal_rasterize point path / gdalgrid count metric)."""
+    out = np.zeros((h, w), dtype=np.float64)
+    cx = np.floor((np.asarray(xs, dtype=np.float64) - gt[0]) / gt[1]).astype(int)
+    cy = np.floor((np.asarray(ys, dtype=np.float64) - gt[3]) / gt[5]).astype(int)
+    ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    if add:
+        np.add.at(out, (cy[ok], cx[ok]), burn)
+    else:
+        out[cy[ok], cx[ok]] = burn
+    return out
+
+
+def label_components(band):
+    """4-connected components of equal pixel value. Returns (labels int32
+    starting at 1, renumbered in first-appearance row-major order, n) —
+    vectorized iterative min-label propagation (converges in O(component
+    geodesic diameter) full-array passes), the GDALPolygonize enumeration
+    core without per-pixel Python."""
+    a = np.asarray(band)
+    h, w = a.shape
+    lab = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    vsame = a[1:, :] == a[:-1, :]
+    hsame = a[:, 1:] == a[:, :-1]
+    while True:
+        new = lab.copy()
+        np.minimum(new[1:, :], np.where(vsame, lab[:-1, :], lab[1:, :]),
+                   out=new[1:, :])
+        np.minimum(new[:-1, :], np.where(vsame, new[1:, :], lab[:-1, :]),
+                   out=new[:-1, :])
+        np.minimum(new[:, 1:], np.where(hsame, new[:, :-1], new[:, 1:]),
+                   out=new[:, 1:])
+        np.minimum(new[:, :-1], np.where(hsame, new[:, 1:], new[:, :-1]),
+                   out=new[:, :-1])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # np.unique sorts by the component's min flat index == first-appearance
+    # row-major order, so inv+1 is already the renumbering we want
+    uniq, inv = np.unique(lab, return_inverse=True)
+    out = (inv + 1).reshape(h, w).astype(np.int32)
+    return out, int(uniq.size)
+
+
+def polygonize(band):
+    """Per-component rows: (value, pixel_count, min_row, min_col, max_row,
+    max_col) — the tabular form of GDALPolygonize's polygons (bbox instead
+    of traced rings in v0)."""
+    labels, n = label_components(band)
+    a = np.asarray(band)
+    h, w = a.shape
+    flat = labels.ravel() - 1
+    rr = np.repeat(np.arange(h), w)
+    cc = np.tile(np.arange(w), h)
+    counts = np.bincount(flat, minlength=n)
+    minr = np.full(n, h); np.minimum.at(minr, flat, rr)
+    maxr = np.full(n, -1); np.maximum.at(maxr, flat, rr)
+    minc = np.full(n, w); np.minimum.at(minc, flat, cc)
+    maxc = np.full(n, -1); np.maximum.at(maxc, flat, cc)
+    first = np.full(n, h * w); np.minimum.at(first, flat, np.arange(h * w))
+    vals = a.ravel()[first]
+    return [
+        (float(vals[i]), int(counts[i]), int(minr[i]), int(minc[i]),
+         int(maxr[i]), int(maxc[i]))
+        for i in range(n)
+    ]
+
+
+def sieve(band, threshold: int):
+    """Remove components smaller than ``threshold`` px by merging each into
+    its largest 4-neighbor component (GDALSieveFilter semantics)."""
+    a = np.asarray(band).copy()
+    while True:
+        labels, n = label_components(a)
+        sizes = np.bincount(labels.ravel())[1:]
+        small = np.nonzero(sizes < threshold)[0] + 1
+        if small.size == 0:
+            return a
+        changed = False
+        for lbl in small:
+            m = labels == lbl
+            # boundary neighbors
+            neigh = {}
+            rs, cs = np.nonzero(m)
+            for r, c in zip(rs, cs):
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < a.shape[0] and 0 <= cc < a.shape[1]:
+                        lab2 = labels[rr, cc]
+                        if lab2 != lbl:
+                            neigh[lab2] = neigh.get(lab2, 0) + 1
+            if not neigh:
+                continue
+            best = max(neigh.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            rs2, cs2 = np.nonzero(labels == best)
+            a[m] = a[rs2[0], cs2[0]]
+            changed = True
+        if not changed:
+            return a
+
+
+def proximity(mask, cell: float = 1.0):
+    """Distance to the nearest True pixel — two-pass 3x3 chamfer (weights
+    1, sqrt2), the classic approximation GDALComputeProximity implements
+    exactly per scanline pair."""
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    INF = 1e18
+    d = np.where(m, 0.0, INF)
+    s2 = np.sqrt(2.0)
+    idx = np.arange(w, dtype=np.float64)
+
+    def _row_scan(cand):
+        """Serial left-neighbor chain min(cand[j] + (c-j)) vectorized:
+        running-min of (cand[j] - j) + c; then the mirrored right chain."""
+        left = np.minimum.accumulate(cand - idx) + idx
+        right = (np.minimum.accumulate((cand - (w - 1 - idx))[::-1]) + (
+            w - 1 - idx
+        )[::-1])[::-1]
+        return np.minimum(np.minimum(left, right), cand)
+
+    for r in range(h):
+        cand = d[r].copy()
+        if r > 0:
+            up = d[r - 1]
+            cand = np.minimum(cand, up + 1.0)
+            cand[1:] = np.minimum(cand[1:], up[:-1] + s2)
+            cand[:-1] = np.minimum(cand[:-1], up[1:] + s2)
+        d[r] = _row_scan(cand)
+    for r in range(h - 2, -1, -1):
+        dn = d[r + 1]
+        cand = np.minimum(d[r], dn + 1.0)
+        cand[1:] = np.minimum(cand[1:], dn[:-1] + s2)
+        cand[:-1] = np.minimum(cand[:-1], dn[1:] + s2)
+        d[r] = _row_scan(cand)
+    return d * cell

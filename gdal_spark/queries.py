@@ -799,6 +799,156 @@ def band_calc_q(spark, sf_dir):
     return band_calc(imgs, "norm_diff")
 
 
+# ---------------------------------------------------------------------------
+# Grid interpolation, rasterize, polygonize/sieve/proximity, ST_* SQL
+# ---------------------------------------------------------------------------
+
+_GRID_IDW_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+pts AS (
+  SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+         {T.sql_my('lat')} / 1000000.0 AS y,
+         CAST(pid % 100 AS DOUBLE) AS v
+  FROM customer_points
+),
+cells AS (
+  SELECT px, py,
+         -20.0 + (px + 0.5) * 2.5 AS cx,
+         20.0 - (py + 0.5) * 2.5 AS cy
+  FROM (SELECT CAST(a AS BIGINT) AS px FROM (SELECT unnest(generate_series(0, 15)) AS a)) xs
+  CROSS JOIN (SELECT CAST(b AS BIGINT) AS py FROM (SELECT unnest(generate_series(0, 15)) AS b)) ys
+),
+pairs AS (
+  SELECT c.px, c.py, p.v,
+         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 25.0
+)
+SELECT px, py,
+       ROUND(CASE WHEN min(d2) = 0 THEN min_by(v, d2)
+                  ELSE sum(v / d2) / sum(1.0 / d2) END, 6) AS value,
+       COUNT(*) AS n
+FROM pairs
+GROUP BY px, py
+"""
+
+
+@q("grid_idw", _GRID_IDW_SQL)
+def grid_idw(spark, sf_dir):
+    """gdalgrid inverse-distance-to-a-power (alg/gdalgrid.cpp:110) over the
+    derived customer points (mercator megameters), 16x16 grid, radius 5:
+    scatter-to-cells + one groupBy — oracle is the direct SQL aggregation."""
+    from .operators.gridding import grid_interpolate
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"""WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+       {T.sql_my('lat')} / 1000000.0 AS y,
+       CAST(pid % 100 AS DOUBLE) AS v
+FROM customer_points"""
+    )
+    return grid_interpolate(
+        pts, minx=-20.0, miny=-20.0, cell=2.5, nx=16, ny=16, radius=5.0,
+        algorithm="invdist",
+    )
+
+
+_RASTERIZE_COUNT_SQL = f"""
+WITH {ORDERS_POINTS_CTE.strip()},
+px AS (
+  SELECT CAST(floor(({T.sql_mx('lon')} + 20037508.342789244) / 1252344.271424478) AS BIGINT) AS px,
+         CAST(floor((20037508.342789244 - {T.sql_my('lat')}) / 1252344.271424478) AS BIGINT) AS py
+  FROM orders_points
+)
+SELECT px, py, COUNT(*) AS n
+FROM px
+WHERE px >= 0 AND px < 32 AND py >= 0 AND py < 32
+GROUP BY px, py
+"""
+
+
+@q("rasterize_point_counts", _RASTERIZE_COUNT_SQL)
+def rasterize_point_counts_q(spark, sf_dir):
+    """gdal_rasterize point burn in ADD mode == density grid
+    (alg/gdalrasterize.cpp points path) — pure column math + groupBy."""
+    from .functions import cells as C
+    from .operators.vectorize import rasterize_point_counts
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"WITH {ORDERS_POINTS_CTE.strip()} SELECT "
+        f"{T.sql_mx('lon')} AS x, {T.sql_my('lat')} AS y FROM orders_points"
+    )
+    os_ = 20037508.342789244
+    return rasterize_point_counts(
+        pts, minx=-os_, maxy=os_, cell=2 * os_ / 32, nx=32, ny=32
+    )
+
+
+@q("polygonize", None)
+def polygonize_q(spark, sf_dir):
+    """GDALPolygonize (alg/polygonize.cpp): connected components of the
+    quantized band per image."""
+    from .fixtures.images import images_df
+    from .operators.vectorize import polygonize
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return polygonize(imgs, quantize=64, downsample_to=32)
+
+
+@q("sieve_proximity", None)
+def sieve_proximity_q(spark, sf_dir):
+    """GDALSieveFilter + GDALComputeProximity summary per image."""
+    from .fixtures.images import images_df
+    from .operators.vectorize import proximity_map, sieve_filter
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).persist()
+    s = sieve_filter(imgs, threshold=3, downsample_to=24)
+    p = proximity_map(imgs, target_value=0, downsample_to=32)
+    return s.join(p, "image_id")
+
+
+@q("st_functions_sql", None)
+def st_functions_sql(spark, sf_dir):
+    """ST_* SQL surface (ogrsqlitesqlfunctions.cpp parity): area, centroid,
+    containment and distance over footprint polygons + caption points,
+    straight from spark.sql."""
+    import pandas as pd
+
+    from .fixtures.images import images_df
+    from .operators.rasterops import footprint
+    from .sql.ogr_compat import register_st_functions, wkb_point
+
+    register_st_functions(spark)
+    n = min(_images_n(sf_dir), 100)
+    imgs = images_df(spark, n).persist()
+    fp = footprint(imgs, threshold=-1)
+    fp.createOrReplaceTempView("footprints")
+    centers = imgs.select("image_id", "lon", "lat").toPandas()
+    from .oracle import mercator as M
+
+    mx, my = M.lonlat_to_meters(centers["lon"].to_numpy(), centers["lat"].to_numpy())
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": centers["image_id"],
+                "pt": [wkb_point(float(a), float(b)) for a, b in zip(mx, my)],
+            }
+        )
+    )
+    pts.createOrReplaceTempView("centers")
+    return spark.sql(
+        """
+        SELECT f.image_id,
+               ROUND(ST_Area(f.wkb), 1) AS area,
+               ST_Within(c.pt, f.wkb) AS center_inside,
+               ROUND(ST_Distance(ST_Centroid(f.wkb), c.pt), 1) AS centroid_dist
+        FROM footprints f JOIN centers c ON f.image_id = c.image_id
+        """
+    )
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
