@@ -44,16 +44,39 @@ def encode_png(arr: np.ndarray) -> bytes:
         raise ValueError(f"encode_png: unsupported shape {a.shape}")
     h, w = a.shape[0], a.shape[1]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 (None) prepended to each scanline
+    # filter 1 (Sub) on every scanline: horizontal-gradient imagery becomes
+    # near-constant diff rows (vectorized via uint8 wraparound subtract)
+    flat = a.reshape(h, w * channels)
     raw = np.empty((h, w * channels + 1), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = a.reshape(h, w * channels)
+    raw[:, 0] = 1
+    raw[:, 1 : 1 + channels] = flat[:, :channels]
+    raw[:, 1 + channels :] = flat[:, channels:] - flat[:, :-channels]
     idat = zlib.compress(raw.tobytes(), 6)
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters; raw is (h, 1+stride) uint8."""
+    filters = raw[:, 0]
+    if not filters.any():
+        # filter 0 everywhere: no per-row work
+        return np.ascontiguousarray(raw[:, 1:])
+    if (filters == 1).all():
+        # Sub everywhere (our encoder's output): cumulative sum mod 256 per
+        # channel lane, fully vectorized
+        h2 = raw.shape[0]
+        lanes = raw[:, 1:].reshape(h2, stride // bpp, bpp)
+        # uint8 cumsum wraps mod 256 — exactly the Sub reconstruction
+        out = np.cumsum(lanes, axis=1, dtype=np.uint8)
+        return out.reshape(h2, stride)
+    if ((filters == 0) | (filters == 2)).all():
+        # None/Up only: vectorized cumulative sum over up-filtered runs
+        out = raw[:, 1:].astype(np.int64)
+        for y in range(1, h):
+            if filters[y] == 2:
+                out[y] += out[y - 1]
+                out[y] &= 0xFF
+        return out.astype(np.uint8)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = int(raw[y, 0])

@@ -158,6 +158,56 @@ def identity(a: DataFrame, b: DataFrame, a_id: str = "aid", b_id: str = "bid",
     return inter.unionByName(outside.select(a_id, b_id, "minx", "miny", "maxx", "maxy"))
 
 
+def union(a: DataFrame, b: DataFrame, a_id: str = "aid", b_id: str = "bid",
+          zoom: int = 5, broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Union (ogrlayer.cpp:5803): intersection pieces carry both
+    ids; A-only pieces carry a NULL b id; B-only pieces a NULL a id."""
+    inter = intersection(a, b, a_id, b_id, zoom, broadcast_b)
+    a_only = erase(a, b, a_id, zoom, broadcast_b).withColumn(
+        b_id, F.lit(None).cast("long")
+    )
+    b_only = erase(
+        b.withColumnRenamed(b_id, a_id), a.withColumnRenamed(a_id, b_id),
+        a_id, zoom, broadcast_b,
+    ).withColumnRenamed(a_id, b_id).withColumn(a_id, F.lit(None).cast("long"))
+    cols = [a_id, b_id, "minx", "miny", "maxx", "maxy"]
+    return (
+        inter.select(cols)
+        .unionByName(a_only.select(cols))
+        .unionByName(b_only.select(cols))
+    )
+
+
+def sym_difference(a: DataFrame, b: DataFrame, a_id: str = "aid",
+                   b_id: str = "bid", zoom: int = 5,
+                   broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::SymDifference (ogrlayer.cpp:6340): A-not-B plus B-not-A."""
+    a_only = erase(a, b, a_id, zoom, broadcast_b).withColumn(
+        b_id, F.lit(None).cast("long")
+    )
+    b_only = erase(
+        b.withColumnRenamed(b_id, a_id), a.withColumnRenamed(a_id, b_id),
+        a_id, zoom, broadcast_b,
+    ).withColumnRenamed(a_id, b_id).withColumn(a_id, F.lit(None).cast("long"))
+    cols = [a_id, b_id, "minx", "miny", "maxx", "maxy"]
+    return a_only.select(cols).unionByName(b_only.select(cols))
+
+
+def update(a: DataFrame, b: DataFrame, a_id: str = "aid", b_id: str = "bid",
+           zoom: int = 5, broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Update (ogrlayer.cpp:7188): method features replace input
+    coverage — A-not-B pieces plus B features whole."""
+    a_only = erase(a, b, a_id, zoom, broadcast_b).withColumn(
+        b_id, F.lit(None).cast("long")
+    )
+    b_rows = b.select(
+        F.lit(None).cast("long").alias(a_id), F.col(b_id),
+        "minx", "miny", "maxx", "maxy",
+    )
+    cols = [a_id, b_id, "minx", "miny", "maxx", "maxy"]
+    return a_only.select(cols).unionByName(b_rows)
+
+
 def rect_area(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "area", (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))

@@ -343,6 +343,67 @@ def sample_at_points(images: DataFrame, points: DataFrame,
     )
 
 
+def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
+            downsample_to: int = 64) -> DataFrame:
+    """Marching-squares contours of band 1 (alg/contour.cpp +
+    alg/marching_squares): per-image per-level segment count + total
+    length in pixel units."""
+    from ..oracle.contour import contour_summary
+    from ..oracle.resample import resample_nearest
+
+    lv = list(levels)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                for level, (n, ln) in sorted(contour_summary(a, lv).items()):
+                    out.append(
+                        dict(image_id=r.image_id, level=float(level),
+                             n_segments=int(n), total_len=float(np.round(ln, 4)))
+                    )
+            yield pd.DataFrame(
+                out, columns=["image_id", "level", "n_segments", "total_len"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen,
+        schema="image_id string, level double, n_segments int, total_len double",
+    )
+
+
+def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
+                      max_distance: int = 8, downsample_to: int = 64
+                      ) -> DataFrame:
+    """GDALFillNodata (alg/rasterfill.cpp): IDW-fill band-1 pixels below a
+    threshold (treated as nodata); emits filled-count + checksum."""
+    from ..oracle.contour import fill_nodata
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0]
+                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                mask = a < nodata_below
+                filled = fill_nodata(a.astype(np.float64), mask, max_distance)
+                filled_u8 = np.clip(np.floor(filled + 0.5), 0, 255).astype(np.uint8)
+                out.append(
+                    dict(image_id=r.image_id, n_filled=int(mask.sum()),
+                         cs=checksum_image(filled_u8)[0])
+                )
+            yield pd.DataFrame(out, columns=["image_id", "n_filled", "cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_filled long, cs long"
+    )
+
+
 def mosaic_tiles(images: DataFrame, zoom: int | None = None,
                  reducer: str = "mean") -> DataFrame:
     """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp): render every

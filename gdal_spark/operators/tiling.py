@@ -77,30 +77,50 @@ def render_base_tiles(images: DataFrame, method: str = "nearest",
 
 
 def _reduce_level(tiles_z: DataFrame) -> DataFrame:
-    """One overview step: level z tiles -> level z-1 tiles."""
+    """One overview step: level z tiles -> level z-1 tiles.
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        image_id, px, py = key
-        children = {}
-        z = None
-        for r in pdf.itertuples(index=False):
-            z = r.z
-            children[(r.x & 1, r.y & 1)] = decode(r.tile)
-        first = next(iter(children.values()))
-        bands = first.shape[2] if first.ndim == 3 else 1
-        out = overview_tile_from_children(children, dtype=first.dtype, bands=bands)
-        return pd.DataFrame([_tile_row(image_id, z - 1, px, py, out)])
+    Children are gathered JVM-side (groupBy + collect_list of <=4 structs)
+    so Python sees whole Arrow batches of parent rows — applyInPandas with
+    per-<=4-row groups costs a pandas DataFrame + UDF call per parent
+    (~1 ms x 20k parents/level measured), an order of magnitude slower."""
 
-    return (
+    def assemble(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                children = {
+                    (int(c["dx"]), int(c["dy"])): decode(bytes(c["tile"]))
+                    for c in r.children
+                }
+                first = next(iter(children.values()))
+                bands = first.shape[2] if first.ndim == 3 else 1
+                tile = overview_tile_from_children(
+                    children, dtype=first.dtype, bands=bands
+                )
+                out.append(_tile_row(r.image_id, r.z - 1, r.px, r.py, tile))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
+            )
+
+    gathered = (
         tiles_z.groupBy(
             "image_id",
-            (F.col("x") / 2).cast("int").alias("_px"),
-            (F.col("y") / 2).cast("int").alias("_py"),
+            (F.col("x") / 2).cast("int").alias("px"),
+            (F.col("y") / 2).cast("int").alias("py"),
         )
-        .applyInPandas(
-            lambda key, pdf: assemble(key, pdf), schema=TILE_SCHEMA
+        .agg(
+            F.first("z").alias("z"),
+            F.collect_list(
+                F.struct(
+                    (F.col("x") % 2).alias("dx"),
+                    (F.col("y") % 2).alias("dy"),
+                    F.col("tile").alias("tile"),
+                )
+            ).alias("children"),
         )
     )
+    return gathered.mapInPandas(assemble, schema=TILE_SCHEMA)
 
 
 def build_tile_pyramid(images: DataFrame, tminz: int = 0,

@@ -13,6 +13,16 @@ from __future__ import annotations
 import numpy as np
 
 _PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+_PRIME_CACHE: dict = {}
+
+
+def _primes_for(n: int):
+    pat = _PRIME_CACHE.get(n)
+    if pat is None:
+        pat = np.resize(_PRIMES, n)
+        if len(_PRIME_CACHE) < 64:
+            _PRIME_CACHE[n] = pat
+    return pat
 
 
 def checksum(band):
@@ -22,11 +32,13 @@ def checksum(band):
     if np.issubdtype(a.dtype, np.floating):
         a = np.floor(a.astype(np.float64) + 0.5)
         a = np.clip(a, -2147483647, 2147483647)
-    flat = a.astype(np.int64).ravel()
-    primes = _PRIMES[np.arange(flat.size, dtype=np.int64) % 11]
-    # C's % truncates toward zero (matters only for negative values).
+        flat = a.astype(np.int64).ravel()
+    else:
+        flat = a.astype(np.int64).ravel()
+    primes = _primes_for(flat.size)
+    # C's % truncates toward zero (matters only for negative values)
     rem = np.fmod(flat, primes)
-    return int(rem.sum() & 0xFFFF)
+    return int(int(rem.sum(dtype=np.int64)) & 0xFFFF)
 
 
 def checksum_image(arr):

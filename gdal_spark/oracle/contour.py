@@ -1,0 +1,101 @@
+"""Contour (marching squares) + FillNodata — numpy kernels.
+
+* contour: iso-line segments at given levels via the classic 16-case
+  marching-squares walk over 2x2 pixel-center cells with linear edge
+  interpolation — semantics of the reference's contour engine
+  (/root/reference/alg/contour.cpp + alg/marching_squares/*.h), which
+  builds segments per cell from level crossings. v0 emits segments (and
+  per-level totals); ring assembly/stitching is a later phase, matching
+  how the reference accumulates segments before merging.
+* fill_nodata: inverse-distance-weighted fill of masked holes from valid
+  pixels within a search radius — GDALFillNodata semantics
+  (/root/reference/alg/rasterfill.cpp: IDW over nearest valid pixels,
+  optional smoothing iterations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _interp(p1, p2, v1, v2, level):
+    t = (level - v1) / (v2 - v1)
+    return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+
+
+def contour_segments(band, levels):
+    """Marching squares over pixel centers. Returns list of
+    (level, x1, y1, x2, y2) in pixel-center coordinates."""
+    a = np.asarray(band, dtype=np.float64)
+    h, w = a.shape
+    segs = []
+    for level in levels:
+        inside = a >= level
+        for r in range(h - 1):
+            for c in range(w - 1):
+                tl = inside[r, c]
+                tr = inside[r, c + 1]
+                br = inside[r + 1, c + 1]
+                bl = inside[r + 1, c]
+                case = (tl << 3) | (tr << 2) | (br << 1) | int(bl)
+                if case in (0, 15):
+                    continue
+                # corner coords (pixel centers)
+                ptl = (c, r)
+                ptr = (c + 1, r)
+                pbr = (c + 1, r + 1)
+                pbl = (c, r + 1)
+                vtl, vtr = a[r, c], a[r, c + 1]
+                vbr, vbl = a[r + 1, c + 1], a[r + 1, c]
+                top = lambda: _interp(ptl, ptr, vtl, vtr, level)
+                right = lambda: _interp(ptr, pbr, vtr, vbr, level)
+                bottom = lambda: _interp(pbl, pbr, vbl, vbr, level)
+                left = lambda: _interp(ptl, pbl, vtl, vbl, level)
+                table = {
+                    1: [(left, bottom)], 2: [(bottom, right)], 3: [(left, right)],
+                    4: [(top, right)], 5: [(left, top), (bottom, right)],
+                    6: [(top, bottom)], 7: [(left, top)],
+                    8: [(left, top)], 9: [(top, bottom)],
+                    10: [(left, bottom), (top, right)], 11: [(top, right)],
+                    12: [(left, right)], 13: [(bottom, right)], 14: [(left, bottom)],
+                }
+                for e1, e2 in table[case]:
+                    (x1, y1), (x2, y2) = e1(), e2()
+                    segs.append((float(level), x1, y1, x2, y2))
+    return segs
+
+
+def contour_summary(band, levels):
+    """Per-level (n_segments, total_length) — the tabular contour output."""
+    segs = contour_segments(band, levels)
+    out = {}
+    for lv, x1, y1, x2, y2 in segs:
+        n, ln = out.get(lv, (0, 0.0))
+        out[lv] = (n + 1, ln + float(np.hypot(x2 - x1, y2 - y1)))
+    return out
+
+
+def fill_nodata(band, mask, max_distance: int = 16):
+    """Fill ``mask`` (True = nodata) pixels with the inverse-distance
+    weighted mean of valid pixels within ``max_distance`` (chebyshev
+    window), the GDALFillNodata IDW core. Pixels with no valid neighbor in
+    range stay unchanged."""
+    a = np.asarray(band, dtype=np.float64).copy()
+    m = np.asarray(mask, dtype=bool)
+    h, w = a.shape
+    ys, xs = np.nonzero(m)
+    vy, vx = np.nonzero(~m)
+    if vy.size == 0 or ys.size == 0:
+        return a
+    valid_vals = a[vy, vx]
+    for y, x in zip(ys, xs):
+        y0, y1 = max(0, y - max_distance), min(h, y + max_distance + 1)
+        x0, x1 = max(0, x - max_distance), min(w, x + max_distance + 1)
+        sub = ~m[y0:y1, x0:x1]
+        if not sub.any():
+            continue
+        syy, sxx = np.nonzero(sub)
+        d2 = (syy + y0 - y) ** 2 + (sxx + x0 - x) ** 2
+        wgt = 1.0 / d2
+        a[y, x] = (wgt * a[y0:y1, x0:x1][syy, sxx]).sum() / wgt.sum()
+    return a

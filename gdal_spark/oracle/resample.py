@@ -124,28 +124,157 @@ def resample_bilinear(src, out_h, out_w):
 def average_2x2(src):
     """2x2 block-average downsample (H, W[, C]) -> (H//2, W//2[, C]).
     Requires even H and W. Integer inputs round half-up like the reference's
-    integer average overview (gcore/overview.cpp:1980 region)."""
+    integer average overview (gcore/overview.cpp:1980 region); uint8 takes
+    an exact integer fast path (floor(s/4 + 0.5) == (s + 2) >> 2)."""
     src = np.asarray(src)
     h, w = src.shape[0] & ~1, src.shape[1] & ~1
     s = src[:h, :w]
-    if s.ndim == 3:
-        acc = s.reshape(h // 2, 2, w // 2, 2, s.shape[2]).astype(np.float64).mean(axis=(1, 3))
-    else:
-        acc = s.reshape(h // 2, 2, w // 2, 2).astype(np.float64).mean(axis=(1, 3))
+    blocks = (
+        s.reshape(h // 2, 2, w // 2, 2, s.shape[2])
+        if s.ndim == 3
+        else s.reshape(h // 2, 2, w // 2, 2)
+    )
+    if src.dtype == np.uint8:
+        acc = (
+            s[0::2, 0::2].astype(np.uint16) + s[0::2, 1::2]
+            + s[1::2, 0::2] + s[1::2, 1::2]
+        )
+        return ((acc + 2) >> 2).astype(np.uint8)
+    acc = blocks.astype(np.float64).mean(axis=(1, 3))
     if np.issubdtype(src.dtype, np.integer):
         info = np.iinfo(src.dtype)
         return np.clip(np.floor(acc + 0.5), info.min, info.max).astype(src.dtype)
     return acc.astype(src.dtype)
 
 
+def _cubic_weight(x):
+    """Catmull-Rom (a = -0.5), GDAL's 'cubic' (alg/gdalwarper.h GRA_Cubic;
+    kernel in alg/gdalwarpkernel.cpp GWKCubicComputeWeights)."""
+    a = -0.5
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+        np.where(ax < 2.0, a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _lanczos_weight(x):
+    """Lanczos a=3 (GRA_Lanczos; alg/gdalwarpkernel.cpp GWKLanczosSinc)."""
+    ax = np.abs(x)
+    out = np.where(
+        ax < 1e-12, 1.0,
+        np.where(ax < 3.0, np.sinc(x) * np.sinc(x / 3.0), 0.0),
+    )
+    return out
+
+
+_KERNELS = {"cubic": (_cubic_weight, 2), "lanczos": (_lanczos_weight, 3)}
+
+
+def _convolve_axis(src, out_n, axis, kernel, radius):
+    """Separable 1-D convolution resize along ``axis`` (pixel-center space,
+    edge clamp, per-pixel weight normalization — GDAL normalizes partial
+    kernels at edges)."""
+    src_n = src.shape[axis]
+    scale = src_n / float(out_n)
+    # when downsampling, widen the kernel by the scale (GDAL warp does)
+    ksc = max(scale, 1.0)
+    centers = (np.arange(out_n) + 0.5) * scale - 0.5
+    half = int(np.ceil(radius * ksc))
+    offs = np.arange(-half, half + 1)
+    idx = np.floor(centers)[:, None] + offs[None, :]
+    w = kernel((idx - centers[:, None]) / ksc)
+    w = w / w.sum(axis=1, keepdims=True)
+    idx = np.clip(idx, 0, src_n - 1).astype(np.int64)
+    moved = np.moveaxis(np.asarray(src, dtype=np.float64), axis, 0)
+    gathered = moved[idx]  # (out_n, ktaps, ...)
+    out = np.einsum("ok,ok...->o...", w, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
+def resample_convolve(src, out_h, out_w, method="cubic"):
+    """Cubic (Catmull-Rom) / Lanczos separable resize matching the warp
+    kernel conventions; integer inputs round half-up and clip."""
+    kernel, radius = _KERNELS[method]
+    src_arr = np.asarray(src)
+    out = _convolve_axis(src_arr, out_h, 0, kernel, radius)
+    out = _convolve_axis(out, out_w, 1, kernel, radius)
+    if np.issubdtype(src_arr.dtype, np.integer):
+        info = np.iinfo(src_arr.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(src_arr.dtype)
+    return out.astype(src_arr.dtype)
+
+
+def _box_slices(out_n, src_n):
+    edges = (np.arange(out_n + 1) * src_n / out_n)
+    lo = np.floor(edges[:-1] + 1e-9).astype(np.int64)
+    hi = np.maximum(np.ceil(edges[1:] - 1e-9).astype(np.int64), lo + 1)
+    return lo, np.minimum(hi, src_n)
+
+
+def resample_average(src, out_h, out_w):
+    """Area-average downsample (GRA_Average, alg/gdalwarpkernel.cpp:194 /
+    overview AverageOrRMS): mean of the source pixels covered by each
+    destination cell. Integer inputs round half-up."""
+    src_arr = np.asarray(src)
+    ylo, yhi = _box_slices(out_h, src_arr.shape[0])
+    xlo, xhi = _box_slices(out_w, src_arr.shape[1])
+    out = np.empty(
+        (out_h, out_w) + src_arr.shape[2:], dtype=np.float64
+    )
+    for r in range(out_h):
+        band = src_arr[ylo[r] : yhi[r]].astype(np.float64)
+        for c in range(out_w):
+            block = band[:, xlo[c] : xhi[c]]
+            out[r, c] = block.mean(axis=(0, 1))
+    if np.issubdtype(src_arr.dtype, np.integer):
+        info = np.iinfo(src_arr.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(src_arr.dtype)
+    return out.astype(src_arr.dtype)
+
+
+def resample_mode(src, out_h, out_w):
+    """Mode downsample (GRA_Mode): most frequent value in each destination
+    cell; ties -> smallest value (deterministic)."""
+    src_arr = np.asarray(src)
+    if src_arr.ndim == 3:
+        return np.stack(
+            [resample_mode(src_arr[:, :, c], out_h, out_w)
+             for c in range(src_arr.shape[2])],
+            axis=2,
+        )
+    ylo, yhi = _box_slices(out_h, src_arr.shape[0])
+    xlo, xhi = _box_slices(out_w, src_arr.shape[1])
+    out = np.empty((out_h, out_w), dtype=src_arr.dtype)
+    for r in range(out_h):
+        for c in range(out_w):
+            block = src_arr[ylo[r] : yhi[r], xlo[c] : xhi[c]].ravel()
+            vals, cnts = np.unique(block, return_counts=True)
+            out[r, c] = vals[np.argmax(cnts)]
+    return out
+
+
+# querysize multiplier per method, after gdal2tiles options_post_processing
+# (near -> tile, bilinear -> 2x, everything else reads a 4x canvas)
+QUERYSIZE_FACTOR = {"nearest": 1, "bilinear": 2, "cubic": 4, "lanczos": 4,
+                    "average": 4, "mode": 4}
+
+
 def scale_to_tile(window, tile_size=256, method="nearest"):
     """Resize an extracted source window to a tile_size² tile —
-    the role of gdal2tiles' ``scale_query_to_tile`` (gdal2tiles.py:838-932)
-    restricted to the v0 kernels."""
+    the role of gdal2tiles' ``scale_query_to_tile`` (gdal2tiles.py:838-932)."""
     if method == "nearest":
         return resample_nearest(window, tile_size, tile_size)
     if method == "bilinear":
         return resample_bilinear(window, tile_size, tile_size)
+    if method in _KERNELS:
+        return resample_convolve(window, tile_size, tile_size, method)
+    if method == "average":
+        return resample_average(window, tile_size, tile_size)
+    if method == "mode":
+        return resample_mode(window, tile_size, tile_size)
     raise ValueError(f"unsupported resampling {method!r}")
 
 

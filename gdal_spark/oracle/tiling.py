@@ -68,9 +68,11 @@ def render_base_tile(arr: np.ndarray, gt, tx: int, ty: int, zoom: int,
     Missing coverage is 0-filled (the reference fills via the alpha band;
     v0 carries no alpha and documents 0-fill).
     """
+    from .resample import QUERYSIZE_FACTOR, scale_to_tile
+
     h, w = arr.shape[0], arr.shape[1]
     bminx, bminy, bmaxx, bmaxy = M.tile_bounds(tx, ty, zoom)
-    qs = TILE if method == "nearest" else 2 * TILE
+    qs = TILE * QUERYSIZE_FACTOR[method]
     (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
         gt, w, h, float(bminx), float(bmaxy), float(bmaxx), float(bminy),
         querysize=qs,
@@ -85,8 +87,8 @@ def render_base_tile(arr: np.ndarray, gt, tx: int, ty: int, zoom: int,
         canvas[wy : wy + wys, wx : wx + wxs] = resized
     if qs == TILE:
         return canvas
-    # scale_query_to_tile: bilinear canvas -> tile
-    return resample_bilinear(canvas, TILE, TILE)
+    # scale_query_to_tile: canvas -> tile with the method's kernel
+    return scale_to_tile(canvas, TILE, method)
 
 
 def render_image_tiles(arr: np.ndarray, lon: float, lat: float,

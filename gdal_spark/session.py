@@ -38,8 +38,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UDF stages cost ~per ROW, not per byte: AQE's 64 MB advisory size
+        # coalesces a 60 MB tile-shuffle into 1-2 partitions and strands the
+        # cluster on pandas work. 4 MB keeps post-shuffle stages wide enough.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Small Arrow batches + a large worker pipe buffer pipeline the
+        # JVM<->Python transfer of fat binary rows (~3.5x on the 2.5 GB
+        # image column: 10.2s -> 2.9s measured) — big batches serialize
+        # whole-batch-at-a-time and stall both sides on the default 64k pipe.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.buffer.size", str(1024 * 1024))
+        # Decode/render UDFs are CPU-heavy per byte: the 128 MB default packs
+        # a whole image table into a handful of scan tasks and strands the
+        # other cores (observed 8/32 busy). 32 MB splits ~= seconds-long
+        # tasks — the Spark analogue of the warp chunk memory budget
+        # (alg/gdalwarpoperation.cpp:611 dfWarpMemoryLimit).
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")

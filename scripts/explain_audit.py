@@ -1,0 +1,93 @@
+"""Physical-plan audit — asserts the plans are the plans we want.
+
+Checks, per representative query:
+* cell/tile math contains NO Python eval nodes (stays in codegen);
+* parquet scans show pushed filters / pruned schemas where expected;
+* the tile-grid spatial join broadcasts the grid side;
+* top-k similarity plans TakeOrderedAndProject (no full sort).
+
+Usage: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gdal_spark.session import get_spark
+from gdal_spark.sql.geoviews import CUSTOMER_POINTS_CTE, register_tpch_views
+from gdal_spark.sql import templates as T
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(cores=8, app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tpch_views(spark, sf)
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(("PASS " if ok else "FAIL ") + name + (f" — {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    # 1. cell math: pure JVM
+    df = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()} "
+        f"SELECT pid, {T.sql_cell('lon', 'lat', '7')} AS cell FROM customer_points"
+    )
+    p = plan_of(df)
+    check(
+        "cell-math has no Python nodes",
+        "EvalPython" not in p and "MapInPandas" not in p,
+    )
+
+    # 2. filter pushdown to parquet scan
+    df = spark.table("lineitem").where(F.col("l_quantity") > 45).select("l_orderkey")
+    p = plan_of(df)
+    check(
+        "filter pushed to scan",
+        "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters:")[1][:200],
+        "PushedFilters present",
+    )
+    check(
+        "column pruning (2-col read schema)",
+        "ReadSchema" in p and "l_extendedprice" not in p.split("ReadSchema")[1][:300],
+    )
+
+    # 3. tile join broadcasts the grid
+    from gdal_spark.fixtures.tile_grid import tile_grid_df
+    from gdal_spark.operators.spatial_join import spatial_join_points_tiles
+
+    pts = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT * FROM customer_points"
+    )
+    j = spatial_join_points_tiles(pts, tile_grid_df(spark, 6, 6), 6)
+    p = plan_of(j)
+    check("tile join is broadcast", "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p)
+    check("tile join not sort-merge", "SortMergeJoin" not in p)
+
+    # 4. top-k plans TakeOrdered
+    df = spark.table("orders").orderBy(F.col("o_totalprice").desc()).limit(10)
+    p = plan_of(df)
+    check("top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+
+    # 5. summary agg is partial (map-side combine)
+    df = spark.table("lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = plan_of(df)
+    check("group-by has partial aggregation", p.count("HashAggregate") >= 2)
+
+    print(f"\n{len(failures)} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
