@@ -187,12 +187,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def hamming_near_pairs(df: DataFrame, hash_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs of rows whose int64 ``hash_col`` values differ in
+    <= max_hamming bits — banded LSH on 4x16-bit slices (a pair within
+    Hamming 3 must agree on at least one band). Works for simhash columns
+    and for perceptual-hash (phash) columns alike."""
+    sigs = df.select(F.col(id_col), F.col(hash_col).alias("simhash"))
+    return _hamming_banded(sigs, id_col, max_hamming)
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3
                        ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, candidate-generated by
     4x16-bit band collisions (any pair within Hamming 3 shares a band)."""
     sigs = simhash_signatures(df, text_col, id_col)
+    return _hamming_banded(sigs, id_col, max_hamming)
+
+
+def _hamming_banded(sigs: DataFrame, id_col: str, max_hamming: int
+                    ) -> DataFrame:
     banded = sigs.select(
         F.col(id_col), "simhash",
         F.explode(

@@ -949,6 +949,120 @@ def st_functions_sql(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# phash hamming dedup (oracle-able), ExecuteSQL surface, contour/fillnodata
+# ---------------------------------------------------------------------------
+
+# deterministic 62-bit "phash" from c_custkey (integer ops only, identical
+# in both engines); every 10th key takes the PREVIOUS key's hash with 2 bits
+# flipped — planted near-duplicates at Hamming 2, inside the 4x16-band LSH
+# recall guarantee (a pair within Hamming <= 3 must share a band)
+def _phash_formula(k: str, xor_fn) -> str:
+    base = (
+        f"{xor_fn}((({k}) * 2654435761) % 4611686018427387904, "
+        f"((({k}) + 777) * 40503) % 4611686018427387904)"
+    )
+    return base
+
+
+def _phash_case(xor_fn) -> str:
+    f_pid = _phash_formula("pid", xor_fn)
+    f_prev = _phash_formula("pid - 1", xor_fn)
+    return (
+        f"CASE WHEN pid % 10 = 0 THEN {xor_fn}({f_prev}, 3) ELSE {f_pid} END"
+    )
+
+
+_PHASH_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT pid, {_phash_case('xor')} AS ph
+  FROM (SELECT c_custkey AS pid FROM customer)
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       bit_count(xor(a.ph, b.ph)) AS hamming
+FROM h a JOIN h b ON a.pid < b.pid
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+"""
+
+
+@q("phash_hamming_pairs", _PHASH_PAIRS_SQL)
+def phash_hamming_pairs(spark, sf_dir):
+    """Perceptual-hash near-duplicate pairs: banded Hamming LSH over an
+    int64 hash column (the image-dedup path for the input_hint ``phash``);
+    oracle = exhaustive DuckDB cross join with bit_count(xor)."""
+    from .operators.dedup import hamming_near_pairs
+
+    register_tpch_views(spark, sf_dir)
+    # Spark spells xor as the ^ operator; same integer math as the oracle
+    h = spark.sql(
+        "WITH k AS (SELECT c_custkey AS pid FROM customer) "
+        "SELECT pid, CASE WHEN pid % 10 = 0 THEN "
+        "((((pid - 1) * 2654435761) % 4611686018427387904) ^ "
+        "((((pid - 1) + 777) * 40503) % 4611686018427387904)) ^ 3 "
+        "ELSE (((pid * 2654435761) % 4611686018427387904) ^ "
+        "(((pid + 777) * 40503) % 4611686018427387904)) END AS ph FROM k"
+    )
+    return hamming_near_pairs(h, "ph", "pid", max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+_EXEC_SQL_TEXT = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@q("execute_sql_dialect", _EXEC_SQL_TEXT)
+def execute_sql_dialect(spark, sf_dir):
+    """GDALDataset::ExecuteSQL surface (gcore/gdaldataset.cpp:7411): SQL over
+    registered layers with the ST_* functions available; SPARKSQL dialect
+    (the SQLite-dialect superset)."""
+    from .sql.execute_sql import execute_sql
+
+    return execute_sql(spark, _EXEC_SQL_TEXT, sf_dir=sf_dir)
+
+
+@q("rect_union", None)
+def rect_union(spark, sf_dir):
+    """Layer algebra Union (ogrlayer.cpp:5803): both-schema pieces +
+    one-sided remainders."""
+    from .operators.layer_algebra import rect_area, union
+
+    register_tpch_views(spark, sf_dir)
+    a, b = _rect_layers(spark)
+    u = union(a, b)
+    return rect_area(u).select(
+        "aid", "bid",
+        F.round("minx", 3).alias("minx"), F.round("miny", 3).alias("miny"),
+        F.round("maxx", 3).alias("maxx"), F.round("maxy", 3).alias("maxy"),
+        F.round("area", 1).alias("area"),
+    )
+
+
+@q("contour", None)
+def contour_q(spark, sf_dir):
+    """Marching-squares contour summary per image (alg/contour.cpp)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import contour
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return contour(imgs)
+
+
+@q("fill_nodata", None)
+def fill_nodata_q(spark, sf_dir):
+    """GDALFillNodata IDW hole filling (alg/rasterfill.cpp)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import fill_nodata_stats
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return fill_nodata_stats(imgs)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -63,6 +63,31 @@ def resume_tiles(spark: SparkSession, images: DataFrame, sink_dir: str,
     return tiles
 
 
+def streaming_dedup(spark: SparkSession, source_dir: str, checkpoint_dir: str,
+                    sink_dir: str, key: str = "image_id",
+                    watermark: str = "1 hour") -> None:
+    """Streaming exact-dedup: keep the first row per ``key`` across
+    micro-batches (state bounded by the event-time watermark) — the
+    streaming twin of exact_dedup for continuously arriving corpora."""
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA_DDL)
+        .parquet(source_dir)
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+        .drop("_ingest_ts", "bytes")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(spark: SparkSession, source_dir: str,
                           checkpoint_dir: str, sink_dir: str,
                           window: str = "5 minutes",
