@@ -164,3 +164,29 @@ def write_tiles(tiles: DataFrame, path: str, mode: str = "append") -> None:
     the tile-directory sink, gdal2tiles.py:1278-1434, adapted to a columnar
     table partitioned for partition-pruned reads by zoom)."""
     tiles.write.partitionBy("z").mode(mode).parquet(path)
+
+
+def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
+                         ext: str = "png") -> int:
+    """gdal2tiles-compatible ``{root}/{z}/{x}/{y}.png`` directory sink
+    (gdal2tiles.py:1278-1434 base-tile writer; XYZ vs TMS y per
+    getYTile/gdal2tiles.py:512-515). Executor-side foreachPartition writes —
+    the driver never sees tile bytes. Returns number of tiles written."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    n = tiles.count()
+
+    def write_part(rows):
+        for r in rows:
+            z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+            if scheme == "xyz":
+                y = (1 << z) - 1 - y  # TMS -> XYZ
+            d = os.path.join(root, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
+                f.write(bytes(r["tile"]))
+
+    tiles.select("z", "x", "y", "tile").foreachPartition(write_part)
+    return n

@@ -96,3 +96,18 @@ def test_checksums_populated_and_stable(spark, images_sdf):
     b = b.sort_values(["image_id", "z", "x", "y"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a["cs1"] >= 0).all()
+
+
+def test_write_tile_directory(spark, images_sdf, tmp_path):
+    import glob
+
+    from gdal_spark.codecs.png import decode_png
+    from gdal_spark.operators.tiling import render_base_tiles, write_tile_directory
+
+    tiles = render_base_tiles(images_sdf.limit(5))
+    root = str(tmp_path / "tiles")
+    n = write_tile_directory(tiles, root, scheme="xyz")
+    files = glob.glob(f"{root}/*/*/*.png")
+    assert len(files) == n > 0
+    arr = decode_png(open(files[0], "rb").read())
+    assert arr.shape == (256, 256, 3)
