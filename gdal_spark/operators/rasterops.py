@@ -18,7 +18,7 @@ from ..fixtures.tile_grid import wkb_polygon
 from ..oracle import dem as DEM
 from ..oracle import mercator as M
 from ..oracle.checksum import checksum_image
-from ..oracle.resample import resample_bilinear, resample_nearest
+from ..oracle.resample import resample_nearest
 from ..oracle.tiling import geotransform_3857
 from ..oracle.warp import warp_3857_to_4326
 

@@ -19,10 +19,8 @@ from ..oracle.checksum import checksum_image
 from ..oracle.rasterize import (
     polygonize as _polygonize,
     proximity as _proximity,
-    rasterize_points as _rasterize_points,
     sieve as _sieve,
 )
-from ..oracle.tiling import geotransform_3857
 
 
 def polygonize(images: DataFrame, quantize: int = 64,

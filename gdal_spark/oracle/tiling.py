@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import mercator as M
-from .resample import geo_query, resample_bilinear, resample_nearest
+from .resample import geo_query, resample_nearest
 
 TILE = 256
 
