@@ -134,6 +134,9 @@ def images_df(spark, n: int, partitions: int | None = None):
     The encode happens executor-side in Arrow batches; at real scale this is
     the 'scan' of an Iceberg table — here the generator IS the source.
     """
+    from ..runtime import ensure_runtime
+
+    ensure_runtime(spark)
     if partitions is None:
         partitions = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 

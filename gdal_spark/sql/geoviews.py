@@ -89,6 +89,10 @@ TPCH_TABLES = (
 
 def register_tpch_views(spark, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views (idempotent), so
-    shared SQL text resolves identically in Spark and the DuckDB oracle."""
+    shared SQL text resolves identically in Spark and the DuckDB oracle.
+    Also hardens foreign sessions (executor imports, Arrow/AQE tuning)."""
+    from ..runtime import ensure_runtime
+
+    ensure_runtime(spark)
     for t in TPCH_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
