@@ -11,7 +11,10 @@ the reference's scalar function registry
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -121,7 +124,10 @@ def fingerprint(col) -> Column:
 
 def shingles(col, n: int = 5) -> Column:
     """Character n-gram shingle array (distinct), JVM-side via
-    sequence+substring — the MinHash input."""
+    sequence+substring — the MinHash input. NOTE: prefer
+    :func:`shingle_hashes` in hot paths — this JVM expression costs tens of
+    seconds per call on this Spark build (substr/array_distinct overhead);
+    kept for tests needing the actual shingle strings."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.array_distinct(
@@ -130,3 +136,32 @@ def shingles(col, n: int = 5) -> Column:
             lambda i: norm.substr(i, F.lit(n)),
         )
     )
+
+
+def shingle_hashes(col, n: int = 5) -> Column:
+    """Distinct 63-bit hashes of the character n-gram shingles, computed as
+    a vectorized numpy rolling hash inside an Arrow batch (O(len) per doc).
+    Used by the MinHash/Jaccard pipeline — shingle identity via 63-bit hash
+    (collision odds negligible, and consistent across all consumers)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for text in s:
+                if text is None:
+                    out.append([])
+                    continue
+                norm = " ".join(str(text).split()).lower().encode("utf-8")
+                if len(norm) < n:
+                    norm = norm + b" " * (n - len(norm))
+                a = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
+                win = np.lib.stride_tricks.sliding_window_view(a, n)
+                weights = mult ** np.arange(n, dtype=np.uint64)
+                h = (win * weights[None, :]).sum(axis=1)
+                h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+                h = (h >> np.uint64(1)).astype(np.int64)  # non-negative
+                out.append(np.unique(h))
+        return pd.Series(out)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)

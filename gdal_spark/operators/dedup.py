@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingle_hashes
 
 _EMPTY_SENTINEL = (1 << 61) - 1
 
@@ -75,11 +75,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                 out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    sh = shingles(text_col, shingle_n)
-    return df.select(
-        F.col(id_col),
-        sh.alias("sh"),
-        sig_udf(F.transform(sh, lambda s: F.xxhash64(s))).alias("sig"),
+    sh = shingle_hashes(text_col, shingle_n)
+    return df.select(F.col(id_col), sh.alias("sh")).select(
+        F.col(id_col), "sh", sig_udf(F.col("sh")).alias("sig")
     )
 
 
@@ -145,7 +143,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard over all pairs — the small-data oracle the LSH
     path approximates (use only on bounded inputs / within partitions)."""
-    s = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    s = df.select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh"))
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
