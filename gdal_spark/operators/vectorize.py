@@ -24,10 +24,16 @@ from ..oracle.rasterize import (
 
 
 def polygonize(images: DataFrame, quantize: int = 64,
-               downsample_to: int | None = 64) -> DataFrame:
+               downsample_to: int | None = 64,
+               emit_rings: bool = False) -> DataFrame:
     """GDALPolygonize over band 1 quantized to ``256/quantize`` classes
     (polygonize runs on classified rasters); optional nearest downsample
-    bounds per-image component counts. One row per connected component."""
+    bounds per-image component counts. One row per connected component;
+    with ``emit_rings`` each row carries the traced outer boundary as WKB
+    in pixel-corner coordinates plus the interior-ring (hole) count —
+    the full raster->vector output (alg/polygonize_polygonizer.cpp)."""
+    from ..fixtures.tile_grid import wkb_polygon
+    from ..oracle.rasterize import polygonize_rings
     from ..oracle.resample import resample_nearest
 
     def gen(batches):
@@ -39,24 +45,40 @@ def polygonize(images: DataFrame, quantize: int = 64,
                                       or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 q = (a // quantize).astype(np.uint8)
-                for comp_id, (val, cnt, r0, c0, r1, c1) in enumerate(
-                    _polygonize(q), start=1
-                ):
-                    out.append(
-                        dict(image_id=r.image_id, comp_id=comp_id,
-                             value=int(val), pixel_count=cnt,
-                             min_row=r0, min_col=c0, max_row=r1, max_col=c1)
-                    )
-            yield pd.DataFrame(
-                out, columns=["image_id", "comp_id", "value", "pixel_count",
-                              "min_row", "min_col", "max_row", "max_col"],
+                if emit_rings:
+                    for comp_id, (val, cnt, outer, holes) in enumerate(
+                        polygonize_rings(q), start=1
+                    ):
+                        out.append(
+                            dict(image_id=r.image_id, comp_id=comp_id,
+                                 value=int(val), pixel_count=cnt,
+                                 wkb=wkb_polygon(outer), n_holes=holes)
+                        )
+                else:
+                    for comp_id, (val, cnt, r0, c0, r1, c1) in enumerate(
+                        _polygonize(q), start=1
+                    ):
+                        out.append(
+                            dict(image_id=r.image_id, comp_id=comp_id,
+                                 value=int(val), pixel_count=cnt,
+                                 min_row=r0, min_col=c0, max_row=r1, max_col=c1)
+                        )
+            cols = (
+                ["image_id", "comp_id", "value", "pixel_count", "wkb", "n_holes"]
+                if emit_rings
+                else ["image_id", "comp_id", "value", "pixel_count",
+                      "min_row", "min_col", "max_row", "max_col"]
             )
+            yield pd.DataFrame(out, columns=cols)
 
-    return images.select("image_id", "bytes").mapInPandas(
-        gen,
-        schema="image_id string, comp_id int, value int, pixel_count long, "
-               "min_row int, min_col int, max_row int, max_col int",
+    schema = (
+        "image_id string, comp_id int, value int, pixel_count long, "
+        "wkb binary, n_holes int"
+        if emit_rings
+        else "image_id string, comp_id int, value int, pixel_count long, "
+             "min_row int, min_col int, max_row int, max_col int"
     )
+    return images.select("image_id", "bytes").mapInPandas(gen, schema=schema)
 
 
 def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,

@@ -120,6 +120,101 @@ def polygonize(band):
     ]
 
 
+def trace_rings(mask):
+    """Trace the boundary rings of a pixel region as closed pixel-corner
+    polygons — the ring-building core of GDALPolygonize
+    (/root/reference/alg/polygonize_polygonizer.cpp arc collection/joining,
+    re-derived as directed-edge chaining).
+
+    Directed edges keep the region on the right (clockwise outer ring in
+    row/col coords, counter-clockwise holes). Returns a list of rings, each
+    an (N, 2) float array of (col, row) pixel-corner coordinates, closed
+    (first == last); the outer ring is the one with the largest |area|.
+    At checkerboard-touch corners the right-turn rule is taken, matching
+    4-connectivity (diagonal neighbors are separate components)."""
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    up = np.zeros((h + 1, w + 1), dtype=bool)
+
+    # directed boundary edges keyed by start corner: (r, c) -> list of ends
+    edges = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for r in range(h):
+        for c in range(w):
+            if not m[r, c]:
+                continue
+            if r == 0 or not m[r - 1, c]:
+                add((r, c), (r, c + 1))          # top edge, rightward
+            if c == w - 1 or not m[r, c + 1]:
+                add((r, c + 1), (r + 1, c + 1))  # right edge, downward
+            if r == h - 1 or not m[r + 1, c]:
+                add((r + 1, c + 1), (r + 1, c))  # bottom edge, leftward
+            if c == 0 or not m[r, c - 1]:
+                add((r + 1, c), (r, c))          # left edge, upward
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1:
+                nxt = outs.pop()
+            else:
+                # right-turn preference relative to the incoming direction
+                def turn_key(cand):
+                    d = (cand[0] - cur[0], cand[1] - cur[1])
+                    if prev_dir is None:
+                        return 0
+                    # cross product prev x d: negative = right turn (row down)
+                    return prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                outs.sort(key=turn_key)
+                nxt = outs.pop(0)
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            ring.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        # collapse collinear runs, convert to (col, row)
+        pts = []
+        for i, p in enumerate(ring):
+            if 0 < i < len(ring) - 1:
+                a, b, c2 = ring[i - 1], p, ring[i + 1]
+                if (b[0] - a[0], b[1] - a[1]) == (c2[0] - b[0], c2[1] - b[1]):
+                    continue
+            pts.append((p[1], p[0]))
+        rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
+
+
+def polygonize_rings(band):
+    """Per-component polygon output: (value, pixel_count, outer_ring) with
+    the outer ring in pixel-corner coordinates (col, row). Holes counted but
+    not emitted in v0 (GDALPolygonize emits them as interior rings)."""
+    labels, n = label_components(band)
+    a = np.asarray(band)
+    out = []
+    for lbl in range(1, n + 1):
+        m = labels == lbl
+        rings = trace_rings(m)
+        areas = [
+            0.5 * abs(np.dot(r[:-1, 0], r[1:, 1]) - np.dot(r[1:, 0], r[:-1, 1]))
+            for r in rings
+        ]
+        outer = rings[int(np.argmax(areas))]
+        rs, cs = np.nonzero(m)
+        out.append(
+            (float(a[rs[0], cs[0]]), int(m.sum()), outer, len(rings) - 1)
+        )
+    return out
+
+
 def sieve(band, threshold: int):
     """Remove components smaller than ``threshold`` px by merging each into
     its largest 4-neighbor component (GDALSieveFilter semantics)."""

@@ -235,3 +235,41 @@ class TestVectorizeOperators:
         )
         assert got.loc[(0, 0), "n"] == 2
         assert got.loc[(3, 3), "n"] == 1
+
+
+class TestPolygonizeRings:
+    def test_ring_kernels(self):
+        import numpy as np
+
+        from gdal_spark.oracle.rasterize import polygonize_rings, trace_rings
+
+        def area(r):
+            return 0.5 * abs(np.dot(r[:-1, 0], r[1:, 1]) - np.dot(r[1:, 0], r[:-1, 1]))
+
+        m = np.zeros((7, 7), dtype=bool)
+        m[1:6, 1:6] = True
+        m[3, 3] = False  # donut
+        rings = trace_rings(m)
+        assert sorted(round(area(r)) for r in rings) == [1, 25]
+        rows = polygonize_rings(np.array([[5, 5, 7], [5, 7, 7]], dtype=np.uint8))
+        for val, cnt, outer, holes in rows:
+            assert area(outer) == cnt  # solid components: ring area == pixels
+            assert holes == 0
+
+    def test_operator_emit_rings(self, spark):
+        import numpy as np
+
+        from gdal_spark.fixtures.images import generate_images_pdf
+        from gdal_spark.fixtures.tile_grid import parse_wkb_polygon
+        from gdal_spark.operators.vectorize import polygonize
+
+        imgs = spark.createDataFrame(generate_images_pdf(2))
+        got = polygonize(imgs, quantize=64, downsample_to=24, emit_rings=True).toPandas()
+        assert {"wkb", "n_holes"} <= set(got.columns)
+        for r in got.itertuples(index=False):
+            ring = parse_wkb_polygon(bytes(r.wkb))
+            assert np.array_equal(ring[0], ring[-1])  # closed
+            a = 0.5 * abs(
+                np.dot(ring[:-1, 0], ring[1:, 1]) - np.dot(ring[1:, 0], ring[:-1, 1])
+            )
+            assert a >= r.pixel_count - 1e-9 if r.n_holes else a == r.pixel_count
