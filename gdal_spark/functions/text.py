@@ -153,6 +153,12 @@ def shingle_hashes(col, n: int = 5) -> Column:
                     out.append([])
                     continue
                 norm = " ".join(str(text).split()).lower().encode("utf-8")
+                if not norm:
+                    # empty/whitespace-only doc -> empty shingle set (NOT a
+                    # padded space-shingle: all such docs would share it and
+                    # melt into one quadratic LSH bucket; exact dedup owns them)
+                    out.append([])
+                    continue
                 if len(norm) < n:
                     norm = norm + b" " * (n - len(norm))
                 a = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)

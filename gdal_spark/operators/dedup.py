@@ -9,8 +9,8 @@ Four families, all shaped for 100 TB inputs:
   bucket-key groupBy instead of an O(n^2) cross join; exact Jaccard refine
   on the candidate pairs only.
 * **SimHash**: 64-bit signature whose Hamming distance tracks cosine/token
-  overlap; banded into 4x16-bit keys so near pairs (Hamming <= 3 in
-  expectation) collide in at least one band.
+  overlap; banded into ``max_hamming + 1`` bit-slices so any pair within the
+  Hamming radius is *guaranteed* (pigeonhole) to collide in at least one band.
 * **embedding cosine**: random-hyperplane LSH over `array<float>` columns +
   exact cosine refine inside buckets.
 
@@ -81,20 +81,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Keep only bucket rows whose (band, hash) bucket holds 2..cap members.
+
+    Dropping singletons shrinks the self-join input (a singleton can never
+    form a pair); capping oversized buckets bounds the quadratic blow-up from
+    degenerate keys (empty docs, constant regions) at corpus scale — the
+    100 TB guard the round-1 review asked for. One extra groupBy shuffle on
+    the bucket key, which the subsequent self-join needed anyway."""
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    cond = F.col("_bn") >= 2
+    if cap is not None:
+        cond = cond & (F.col("_bn") <= cap)
+    return banded.join(sizes.where(cond).drop("_bn"), keys)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      bucket_cap: int | None = 100_000) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Candidates from LSH band-bucket self-join; exact Jaccard on shingle sets
-    (JVM array_intersect/array_union) refines. Only bucket-mates shuffle."""
+    (JVM array_intersect/array_union) refines. Only bucket-mates shuffle.
+    Zero-shingle (empty/whitespace) docs are excluded before banding — they
+    all share the sentinel signature and would form one quadratic bucket;
+    exact_dedup already pairs them. ``bucket_cap`` drops pathologically hot
+    buckets entirely (recall loss only for keys duplicated > cap times)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
-    # band join carries ids only — shingle arrays re-attach AFTER the
-    # candidate pairs are deduped, so the 16x banded explode and the
-    # self-join never ship the (large) shingle sets
-    banded = sigs.select(
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # band join carries ids only — the (large) shingle arrays are recomputed
+    # later for just the candidate docs, so the banded explode and the
+    # self-join never ship shingle sets and nothing needs persist()
+    banded = sigs.where(F.size("sh") > 0).select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -108,6 +128,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -124,7 +145,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sigs.select(F.col(id_col), "sh")
+    # shingles for the refine are recomputed on the candidate docs only
+    # (candidates << corpus): a semi-join prune beats persisting every
+    # shingle set of the corpus across the whole job
+    cand_ids = (
+        pair_ids.select(F.col("id_a").alias(id_col))
+        .union(pair_ids.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh"))
+    )
     cand = (
         pair_ids.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -186,40 +218,59 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def hamming_near_pairs(df: DataFrame, hash_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: int | None = 100_000) -> DataFrame:
     """Pairs of rows whose int64 ``hash_col`` values differ in
-    <= max_hamming bits — banded LSH on 4x16-bit slices (a pair within
-    Hamming 3 must agree on at least one band). Works for simhash columns
-    and for perceptual-hash (phash) columns alike."""
+    <= max_hamming bits — banded LSH over ``max_hamming + 1`` bit slices
+    (pigeonhole: <= max_hamming differing bits cannot touch every one of
+    max_hamming + 1 bands, so a near pair must agree on at least one band).
+    Works for simhash columns and for perceptual-hash (phash) columns alike."""
     sigs = df.select(F.col(id_col), F.col(hash_col).alias("simhash"))
-    return _hamming_banded(sigs, id_col, max_hamming)
+    return _hamming_banded(sigs, id_col, max_hamming, bucket_cap)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3
-                       ) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bucket_cap: int | None = 100_000) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, candidate-generated by
-    4x16-bit band collisions (any pair within Hamming 3 shares a band)."""
+    (max_hamming + 1)-band bit-slice collisions — exact recall within the
+    radius by the pigeonhole principle, verified by exact bit_count refine."""
     sigs = simhash_signatures(df, text_col, id_col)
-    return _hamming_banded(sigs, id_col, max_hamming)
+    return _hamming_banded(sigs, id_col, max_hamming, bucket_cap)
 
 
-def _hamming_banded(sigs: DataFrame, id_col: str, max_hamming: int
-                    ) -> DataFrame:
+def _band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: max_hamming + 1 contiguous slices covering
+    all 64 bits, widths as equal as possible (wide bands first)."""
+    bands = min(max_hamming + 1, 64)
+    base, extra = divmod(64, bands)
+    layout, shift = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        layout.append((shift, width))
+        shift += width
+    return layout
+
+
+def _hamming_banded(sigs: DataFrame, id_col: str, max_hamming: int,
+                    bucket_cap: int | None = 100_000) -> DataFrame:
     banded = sigs.select(
         F.col(id_col), "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned("simhash", b * 16)
-                    .bitwiseAND(F.lit(65535))
-                    .alias("bh"),
+                    (
+                        F.col("simhash") if width == 64
+                        else F.shiftrightunsigned("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                    ).alias("bh"),
                 )
-                for b in range(4)
+                for b, (shift, width) in enumerate(_band_layout(max_hamming))
             ])
         ).alias("bk"),
     ).select(F.col(id_col), "simhash", "bk.band", "bk.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
     l, r = banded.alias("l"), banded.alias("r")
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (

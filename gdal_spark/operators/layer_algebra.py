@@ -126,7 +126,12 @@ def erase(a: DataFrame, b: DataFrame, a_id: str = "aid", zoom: int = 5,
         (aid,) = key
         r0 = pdf.iloc[0]
         pieces = [(r0["aminx"], r0["aminy"], r0["amaxx"], r0["amaxy"])]
-        for rb in pdf.sort_values(["bminx", "bminy"]).itertuples(index=False):
+        # sort on ALL four bounds: rects tying on (bminx, bminy) would
+        # otherwise be ordered by Spark collect order, making the remainder
+        # decomposition (not its coverage) nondeterministic run to run
+        for rb in pdf.sort_values(
+            ["bminx", "bminy", "bmaxx", "bmaxy"]
+        ).itertuples(index=False):
             nxt = []
             for p in pieces:
                 nxt.extend(

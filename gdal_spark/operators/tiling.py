@@ -43,18 +43,33 @@ TILE_SCHEMA = (
 )
 
 
-def _tile_row(image_id, z, tx, ty, arr) -> dict:
+def _tile_row(image_id, z, tx, ty, arr, codec: str = "png") -> dict:
+    """``codec='png'``: zlib-compressed container bytes (the sink format).
+    ``codec='raw'``: C-order uint8 bytes — tiles are always 256^2, so band
+    count reconstructs as len//65536; used BETWEEN pyramid levels, where a
+    PNG round-trip per level is pure overhead (Spark's shuffle codec lz4s
+    the raw bytes anyway, far cheaper than zlib)."""
     cs = checksum_image(arr)
+    a8 = np.ascontiguousarray(arr, dtype=np.uint8)
     return dict(
         image_id=image_id, z=int(z), x=int(tx), y=int(ty),
-        tile=encode(arr, "png"),
+        tile=a8.tobytes() if codec == "raw" else encode(a8, codec),
         cs1=cs[0], cs2=cs[1] if len(cs) > 1 else None,
         cs3=cs[2] if len(cs) > 2 else None,
     )
 
 
+def _decode_tile(b: bytes, codec: str) -> np.ndarray:
+    if codec != "raw":
+        return decode(b)
+    bands = len(b) // (TILE * TILE)
+    a = np.frombuffer(b, dtype=np.uint8)
+    return a.reshape(TILE, TILE) if bands == 1 else a.reshape(TILE, TILE, bands)
+
+
 def render_base_tiles(images: DataFrame, method: str = "nearest",
-                      zoom: int | None = None) -> DataFrame:
+                      zoom: int | None = None, codec: str = "png"
+                      ) -> DataFrame:
     """images (input_hint schema) -> base tile rows at native (or fixed) zoom."""
 
     def gen(batches):
@@ -65,7 +80,7 @@ def render_base_tiles(images: DataFrame, method: str = "nearest",
                 for z, tx, ty, tile in render_image_tiles(
                     arr, r.lon, r.lat, r.gsd_m, method, zoom=zoom
                 ):
-                    out.append(_tile_row(r.image_id, z, tx, ty, tile))
+                    out.append(_tile_row(r.image_id, z, tx, ty, tile, codec))
             yield pd.DataFrame(
                 out,
                 columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
@@ -76,7 +91,7 @@ def render_base_tiles(images: DataFrame, method: str = "nearest",
     ).mapInPandas(gen, schema=TILE_SCHEMA)
 
 
-def _reduce_level(tiles_z: DataFrame) -> DataFrame:
+def _reduce_level(tiles_z: DataFrame, codec: str = "raw") -> DataFrame:
     """One overview step: level z tiles -> level z-1 tiles.
 
     Children are gathered JVM-side (groupBy + collect_list of <=4 structs)
@@ -89,7 +104,7 @@ def _reduce_level(tiles_z: DataFrame) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 children = {
-                    (int(c["dx"]), int(c["dy"])): decode(bytes(c["tile"]))
+                    (int(c["dx"]), int(c["dy"])): _decode_tile(bytes(c["tile"]), codec)
                     for c in r.children
                 }
                 first = next(iter(children.values()))
@@ -97,7 +112,7 @@ def _reduce_level(tiles_z: DataFrame) -> DataFrame:
                 tile = overview_tile_from_children(
                     children, dtype=first.dtype, bands=bands
                 )
-                out.append(_tile_row(r.image_id, r.z - 1, r.px, r.py, tile))
+                out.append(_tile_row(r.image_id, r.z - 1, r.px, r.py, tile, codec))
             yield pd.DataFrame(
                 out,
                 columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
@@ -123,17 +138,46 @@ def _reduce_level(tiles_z: DataFrame) -> DataFrame:
     return gathered.mapInPandas(assemble, schema=TILE_SCHEMA)
 
 
+def _transcode_tiles(tiles: DataFrame, in_codec: str, out_codec: str
+                     ) -> DataFrame:
+    """Re-encode the tile column (checksums/keys unchanged)."""
+    if in_codec == out_codec:
+        return tiles
+
+    def conv(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["tile"] = [
+                encode(_decode_tile(bytes(b), in_codec), out_codec)
+                if out_codec != "raw"
+                else np.ascontiguousarray(
+                    _decode_tile(bytes(b), in_codec), dtype=np.uint8
+                ).tobytes()
+                for b in pdf["tile"]
+            ]
+            yield pdf
+
+    return tiles.mapInPandas(conv, schema=TILE_SCHEMA)
+
+
 def build_tile_pyramid(images: DataFrame, tminz: int = 0,
                        method: str = "nearest",
-                       existing_tiles: DataFrame | None = None) -> DataFrame:
+                       existing_tiles: DataFrame | None = None,
+                       codec: str = "png") -> DataFrame:
     """Full pyramid: base tiles at each image's native zoom plus overview
     levels down to ``tminz``. Images with different native zooms reduce
     independently (per-image pyramids, like running gdal2tiles per input).
 
+    Inter-level tiles travel as RAW uint8 arrays — the round-1 bench showed
+    the per-level PNG encode/decode round-trip was the dominant avoidable
+    cost (3x the base render); zlib now runs once per OUTPUT tile, at the
+    sink (``codec='png'``), or never (``codec='raw'``, e.g. when only the
+    checksum columns are consumed).
+
     ``existing_tiles`` (columns image_id, z, x, y): resume mode — rendered
     keys already present are skipped via anti-join before any decode work.
     """
-    base = render_base_tiles(images, method)
+    base = render_base_tiles(images, method, codec="raw")
     if existing_tiles is not None:
         base = base.join(
             existing_tiles.select("image_id", "z", "x", "y"),
@@ -144,11 +188,11 @@ def build_tile_pyramid(images: DataFrame, tminz: int = 0,
     levels = [base]
     zmax = base.agg(F.max("z")).collect()[0][0]
     if zmax is None:
-        return base
+        return _transcode_tiles(base, "raw", codec)
     current_by_z = base
     for z in range(int(zmax), tminz, -1):
         tiles_z = current_by_z.where(F.col("z") == z)
-        reduced = _reduce_level(tiles_z).persist()
+        reduced = _reduce_level(tiles_z, codec="raw").persist()
         levels.append(reduced)
         # next iteration reduces what we just built plus any base tiles that
         # natively live at z-1 (images with coarser gsd)
@@ -156,7 +200,7 @@ def build_tile_pyramid(images: DataFrame, tminz: int = 0,
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out
+    return _transcode_tiles(out, "raw", codec)
 
 
 def write_tiles(tiles: DataFrame, path: str, mode: str = "append") -> None:
@@ -171,12 +215,25 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
     """gdal2tiles-compatible ``{root}/{z}/{x}/{y}.png`` directory sink
     (gdal2tiles.py:1278-1434 base-tile writer; XYZ vs TMS y per
     getYTile/gdal2tiles.py:512-515). Executor-side foreachPartition writes —
-    the driver never sees tile bytes. Returns number of tiles written."""
+    the driver never sees tile bytes. Returns the number of FILES written.
+
+    Distinct images sharing a (z, x, y) key are reduced deterministically
+    (lowest image_id wins) before writing — without this, collisions
+    overwrite each other in task order, nondeterministically. Callers who
+    want blended tiles should mosaic first (operators.rasterops.mosaic_tiles)
+    and pass the result here. The file count comes from a LongAccumulator
+    inside the write pass, not a separate count() job (the round-1 version
+    re-executed the whole render to count)."""
     import os
 
-    from pyspark.sql import functions as F
-
-    n = tiles.count()
+    if "image_id" in tiles.columns:
+        one_per_key = (
+            tiles.groupBy("z", "x", "y")
+            .agg(F.min_by("tile", "image_id").alias("tile"))
+        )
+    else:
+        one_per_key = tiles.dropDuplicates(["z", "x", "y"])
+    acc = tiles.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
         for r in rows:
@@ -187,6 +244,7 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
                 f.write(bytes(r["tile"]))
+            acc.add(1)
 
-    tiles.select("z", "x", "y", "tile").foreachPartition(write_part)
-    return n
+    one_per_key.select("z", "x", "y", "tile").foreachPartition(write_part)
+    return acc.value

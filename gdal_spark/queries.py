@@ -453,7 +453,8 @@ GROUP BY 1
     r"""
 SELECT doc_id,
        length(text) AS n_chars2,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
        length(text) - length(replace(text, ' ', '')) AS n_spaces
 FROM documents
 """,
@@ -576,7 +577,8 @@ def tile_pyramid_q(spark, sf_dir):
 
     imgs = images_df(spark, _images_n(sf_dir))
     zmin = 8  # gsd cycle -> native zooms 8..13; reduce coarsest level to z8
-    return build_tile_pyramid(imgs, tminz=zmin).select(
+    # codec="raw": only checksum columns are consumed — no PNG work at all
+    return build_tile_pyramid(imgs, tminz=zmin, codec="raw").select(
         "image_id", "z", "x", "y", "cs1", "cs2", "cs3"
     )
 
@@ -620,7 +622,7 @@ def caption_passthrough(spark, sf_dir):
     from .operators.tiling import render_base_tiles
 
     imgs = images_df(spark, _images_n(sf_dir)).persist()
-    tiles = render_base_tiles(imgs)
+    tiles = render_base_tiles(imgs, codec="raw")  # tile bytes never consumed
     return (
         tiles.join(imgs.select("image_id", "caption", "phash"), "image_id")
         .select("image_id", "z", "x", "y", "caption", "phash")
@@ -854,11 +856,16 @@ FROM customer_points"""
     )
 
 
+# pixel size shared with the Spark operator as ONE Python value (templates._d
+# determinism rule — a hand-typed literal here once diverged by 1.5e-7 m)
+_RZ_OS = 20037508.342789244
+_RZ_CELL = T._d(2.0 * _RZ_OS / 32.0)
+
 _RASTERIZE_COUNT_SQL = f"""
 WITH {ORDERS_POINTS_CTE.strip()},
 px AS (
-  SELECT CAST(floor(({T.sql_mx('lon')} + 20037508.342789244) / 1252344.271424478) AS BIGINT) AS px,
-         CAST(floor((20037508.342789244 - {T.sql_my('lat')}) / 1252344.271424478) AS BIGINT) AS py
+  SELECT CAST(floor(({T.sql_mx('lon')} + {T._d(_RZ_OS)}) / {_RZ_CELL}) AS BIGINT) AS px,
+         CAST(floor(({T._d(_RZ_OS)} - {T.sql_my('lat')}) / {_RZ_CELL}) AS BIGINT) AS py
   FROM orders_points
 )
 SELECT px, py, COUNT(*) AS n
@@ -880,9 +887,8 @@ def rasterize_point_counts_q(spark, sf_dir):
         f"WITH {ORDERS_POINTS_CTE.strip()} SELECT "
         f"{T.sql_mx('lon')} AS x, {T.sql_my('lat')} AS y FROM orders_points"
     )
-    os_ = 20037508.342789244
     return rasterize_point_counts(
-        pts, minx=-os_, maxy=os_, cell=2 * os_ / 32, nx=32, ny=32
+        pts, minx=-_RZ_OS, maxy=_RZ_OS, cell=2.0 * _RZ_OS / 32.0, nx=32, ny=32
     )
 
 

@@ -77,6 +77,56 @@ class TestHammingPairs:
             assert (i, 100 + i) in pairs, i
         assert (got["hamming"] <= 3).all()
 
+    @pytest.mark.parametrize("max_hamming", [1, 3, 7, 10])
+    def test_recall_exhaustive_at_every_radius(self, spark, max_hamming):
+        """Pigeonhole guarantee: EVERY pair within max_hamming bits is found
+        (round-1 fix: bands must be max_hamming + 1, not fixed at 4)."""
+        from gdal_spark.operators.dedup import hamming_near_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 1 << 62, 60, dtype=np.int64)
+        hashes = base.copy()
+        # plant pairs at every Hamming distance k = 0..max_hamming, with the
+        # flipped bits spread across the word (worst case for narrow bands)
+        for k in range(max_hamming + 1):
+            v = int(base[k])
+            step = max(1, 63 // max(k, 1))
+            for j in range(k):
+                v ^= 1 << ((j * step + 5 * k) % 63)
+            hashes[30 + k] = np.int64(v)
+        df = spark.createDataFrame(
+            pd.DataFrame({"pid": np.arange(60, dtype=np.int64), "ph": hashes})
+        )
+        got = hamming_near_pairs(df, "ph", "pid", max_hamming=max_hamming).toPandas()
+        pairs = set(zip(got.id_a, got.id_b))
+        for k in range(max_hamming + 1):
+            assert (k, 30 + k) in pairs, f"missed planted pair at Hamming {k}"
+        # oracle: exhaustive numpy cross check — no pair under the radius missed
+        xor = hashes[:, None] ^ hashes[None, :]
+        ham = np.vectorize(lambda v: bin(v & ((1 << 64) - 1)).count("1"))(
+            xor.astype(np.uint64)
+        )
+        expect = {
+            (int(a), int(b))
+            for a in range(60) for b in range(a + 1, 60)
+            if ham[a, b] <= max_hamming
+        }
+        assert pairs == expect
+
+    def test_minhash_skips_empty_docs(self, spark):
+        """Empty/whitespace docs share a sentinel signature — they must not
+        form a quadratic LSH bucket (round-1 hot-bucket guard)."""
+        from gdal_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = [(i, "") if i < 20 else (i, "   \t ") for i in range(40)]
+        docs += [(100, "a real document with words " * 4),
+                 (101, "a real document with words " * 4)]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
+        pairs = set(zip(got.id_a, got.id_b))
+        assert (100, 101) in pairs
+        assert all(a >= 100 for a, _ in pairs)  # no empty-doc pairs
+
 
 class TestStreamingDedup:
     def test_streaming_dedup(self, spark, tmp_path):
