@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType
 
 from ..fixtures.tile_grid import parse_wkb_polygon
 from ..oracle.pip import point_in_ring
@@ -37,6 +37,25 @@ def pip_refine(mx: pd.Series, my: pd.Series, wkb: pd.Series) -> pd.Series:
         sel = codes == u
         ring = parse_wkb_polygon(bytes(blob))
         out[sel] = point_in_ring(xs[sel], ys[sel], ring)
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def diamond_wkb(mx: pd.Series, my: pd.Series, s: pd.Series) -> pd.Series:
+    """WKB convex polygon: 45°-rotated square (diamond) with half-diagonal
+    ``s`` centered at (mx, my) — the generic-convex-overlay test geometry
+    (axis-aligned square in (u,v) = (x+y, x-y) rotated coordinates, which is
+    what makes its overlay SQL-oracle-able)."""
+    from ..oracle import geom as G
+
+    xs = mx.to_numpy(np.float64)
+    ys = my.to_numpy(np.float64)
+    ss = s.to_numpy(np.float64)
+    out = []
+    for x, y, r in zip(xs, ys, ss):
+        ring = np.array([[x + r, y], [x, y + r], [x - r, y],
+                         [x, y - r], [x + r, y]])
+        out.append(G.to_wkb("polygon", [ring]))
     return pd.Series(out)
 
 

@@ -217,3 +217,234 @@ def rect_area(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "area", (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: general CONVEX-polygon layer algebra over WKB columns.
+#
+# Same join physics as the rectangle fast path (covering-cell candidates +
+# bbox overlap), but the overlay kernel is the Sutherland-Hodgman clip /
+# half-plane subtract from oracle/geom.py, run inside mapInPandas with
+# per-distinct-geometry parsing. Layers: (id, wkb) with convex outer rings
+# (the documented domain; concave subjects clip with standard S-H caveats).
+# Matches OGRLayer::Intersection/Erase/Union semantics
+# (/root/reference/ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385,7846,5803).
+# ---------------------------------------------------------------------------
+
+import pandas as _pd
+
+from ..oracle import geom as _G
+
+_PAIR_SCHEMA = "{aid} long, {bid} long, wkb binary, area double"
+_PIECES_SCHEMA = "{aid} long, wkb binary, area double, n_pieces int"
+
+
+def wkb_bounds(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """Attach (minx,miny,maxx,maxy) bbox columns parsed from WKB (factorized
+    pandas UDF — each distinct geometry parsed once per batch)."""
+    from pyspark.sql.types import (
+        DoubleType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("minx", DoubleType()), StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()), StructField("maxy", DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _bbox(s: _pd.Series) -> _pd.DataFrame:
+        codes, uniques = _pd.factorize(s, use_na_sentinel=True)
+        vals = [_G.bbox(_G.parse_wkb(bytes(b))) for b in uniques]
+        rows = [vals[c] if c >= 0 else (None,) * 4 for c in codes]
+        return _pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    return df.withColumn("_bb", _bbox(F.col(wkb_col))).select(
+        "*", "_bb.minx", "_bb.miny", "_bb.maxx", "_bb.maxy"
+    ).drop("_bb")
+
+
+def _poly_pair_candidates(a: DataFrame, b: DataFrame, a_id: str, b_id: str,
+                          zoom: int, broadcast_b: bool) -> DataFrame:
+    """(a_id, b_id, awkb, bwkb) for bbox-overlapping pairs via covering
+    cells — the same candidate physics as the rectangle path."""
+    ca = covering_cells(
+        wkb_bounds(a.select(a_id, F.col("wkb").alias("awkb")), "awkb"), zoom
+    ).withColumnsRenamed(
+        {"minx": "aminx", "miny": "aminy", "maxx": "amaxx", "maxy": "amaxy"}
+    )
+    cb = covering_cells(
+        wkb_bounds(b.select(b_id, F.col("wkb").alias("bwkb")), "bwkb"), zoom
+    ).withColumnsRenamed(
+        {"minx": "bminx", "miny": "bminy", "maxx": "bmaxx", "maxy": "bmaxy"}
+    )
+    if broadcast_b:
+        cb = F.broadcast(cb)
+    cond = (
+        (ca["cov_x"] == cb["cov_x"]) & (ca["cov_y"] == cb["cov_y"])
+        & (ca["aminx"] < cb["bmaxx"]) & (ca["amaxx"] > cb["bminx"])
+        & (ca["aminy"] < cb["bmaxy"]) & (ca["amaxy"] > cb["bminy"])
+    )
+    return (
+        ca.join(cb, cond, "inner")
+        .select(a_id, b_id, "awkb", "bwkb")
+        .dropDuplicates([a_id, b_id])
+    )
+
+
+def _parse_outer(blob: bytes):
+    kind, d = _G.parse_wkb(bytes(blob))
+    if kind == "polygon":
+        return d[0]
+    if kind == "multipolygon":
+        return d[0][0]
+    raise ValueError(f"layer algebra needs polygons, got {kind}")
+
+
+def poly_intersection(a: DataFrame, b: DataFrame, a_id: str = "aid",
+                      b_id: str = "bid", zoom: int = 5,
+                      broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Intersection over convex WKB polygons: one row per
+    intersecting pair with the clipped polygon + its area."""
+    pairs = _poly_pair_candidates(a, b, a_id, b_id, zoom, broadcast_b)
+    schema = _PAIR_SCHEMA.format(aid=a_id, bid=b_id)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            cache: dict = {}
+            for r in pdf.itertuples(index=False):
+                aw, bw = bytes(r.awkb), bytes(r.bwkb)
+                ra = cache.setdefault(("a", aw), _parse_outer(aw))
+                rb = cache.setdefault(("b", bw), _parse_outer(bw))
+                ring = _G.clip_convex(ra, rb)
+                if ring.shape[0] < 4:
+                    continue
+                ar = abs(_G._ring_signed_area(ring))
+                if ar <= 1e-9:
+                    continue
+                rows.append({
+                    a_id: getattr(r, a_id), b_id: getattr(r, b_id),
+                    "wkb": _G.to_wkb("polygon", [ring]), "area": ar,
+                })
+            yield _pd.DataFrame(rows, columns=[a_id, b_id, "wkb", "area"])
+
+    return pairs.mapInPandas(kernel, schema=schema)
+
+
+def _erase_pieces(a_ring, b_blobs) -> list:
+    """Sequential multi-subtract: convex pieces of a_ring minus every clip
+    polygon, clip order fixed by WKB bytes (deterministic decomposition)."""
+    pieces = [a_ring]
+    for bw in sorted(b_blobs):
+        rb = _parse_outer(bw)
+        nxt = []
+        for p in pieces:
+            nxt.extend(_G.subtract_convex(p, rb))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def poly_erase(a: DataFrame, b: DataFrame, a_id: str = "aid", zoom: int = 5,
+               broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Erase over convex WKB polygons: per input feature, the
+    remainder after subtracting every overlapping method polygon, emitted as
+    one MultiPolygon row (disjoint convex pieces) + area + piece count."""
+    ar = a.select(a_id, "wkb")
+    pairs = _poly_pair_candidates(
+        ar, b.select(F.col("wkb")).withColumn("_bid", F.monotonically_increasing_id()),
+        a_id, "_bid", zoom, broadcast_b,
+    )
+    gathered = pairs.groupBy(a_id).agg(
+        F.first("awkb").alias("awkb"), F.collect_list("bwkb").alias("bwkbs")
+    )
+    schema = _PIECES_SCHEMA.format(aid=a_id)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pieces = _erase_pieces(
+                    _parse_outer(bytes(r.awkb)),
+                    [bytes(x) for x in r.bwkbs],
+                )
+                ar_sum = sum(abs(_G._ring_signed_area(p)) for p in pieces)
+                rows.append({
+                    a_id: getattr(r, a_id),
+                    "wkb": _G.to_wkb("multipolygon", [[p] for p in pieces]),
+                    "area": ar_sum, "n_pieces": len(pieces),
+                })
+            yield _pd.DataFrame(rows, columns=[a_id, "wkb", "area", "n_pieces"])
+
+    touched = gathered.mapInPandas(kernel, schema=schema)
+    hit_ids = pairs.select(a_id).distinct()
+    untouched = (
+        ar.join(hit_ids, a_id, "left_anti")
+        .select(
+            a_id, "wkb",
+            _wkb_area_col("wkb").alias("area"),
+            F.lit(1).cast("int").alias("n_pieces"),
+        )
+    )
+    return touched.unionByName(untouched)
+
+
+def _wkb_area_col(col):
+    @F.pandas_udf("double")
+    def _area(s: _pd.Series) -> _pd.Series:
+        codes, uniques = _pd.factorize(s, use_na_sentinel=True)
+        vals = [_G.area(_G.parse_wkb(bytes(b))) for b in uniques]
+        import numpy as _np
+        return _pd.Series([_np.nan if c < 0 else vals[c] for c in codes],
+                          dtype="float64")
+
+    return _area(F.col(col) if isinstance(col, str) else col)
+
+
+def poly_clip(a: DataFrame, b: DataFrame, a_id: str = "aid", zoom: int = 5,
+              broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Clip: input cut to method coverage; input schema only
+    (one row per overlapping piece, like the rectangle path)."""
+    bb = b.select("wkb").withColumn("_cid", F.monotonically_increasing_id())
+    return poly_intersection(a, bb, a_id, "_cid", zoom, broadcast_b).drop("_cid")
+
+
+def poly_union(a: DataFrame, b: DataFrame, a_id: str = "aid",
+               b_id: str = "bid", zoom: int = 5,
+               broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::Union: intersection pieces (both ids) + A-only remainders
+    (NULL b id) + B-only remainders (NULL a id)."""
+    inter = poly_intersection(a, b, a_id, b_id, zoom, broadcast_b)
+    a_only = poly_erase(a, b, a_id, zoom, broadcast_b).withColumn(
+        b_id, F.lit(None).cast("long")
+    ).where(F.col("n_pieces") > 0).drop("n_pieces")
+    b_only = poly_erase(
+        b.withColumnRenamed(b_id, a_id), a.withColumnRenamed(a_id, b_id),
+        a_id, zoom, broadcast_b,
+    ).withColumnRenamed(a_id, b_id).withColumn(
+        a_id, F.lit(None).cast("long")
+    ).where(F.col("n_pieces") > 0).drop("n_pieces")
+    cols = [a_id, b_id, "wkb", "area"]
+    return (
+        inter.select(cols)
+        .unionByName(a_only.select(cols))
+        .unionByName(b_only.select(cols))
+    )
+
+
+def poly_sym_difference(a: DataFrame, b: DataFrame, a_id: str = "aid",
+                        b_id: str = "bid", zoom: int = 5,
+                        broadcast_b: bool = True) -> DataFrame:
+    """OGRLayer::SymDifference: A-not-B plus B-not-A remainders."""
+    a_only = poly_erase(a, b, a_id, zoom, broadcast_b).withColumn(
+        b_id, F.lit(None).cast("long")
+    ).where(F.col("n_pieces") > 0).drop("n_pieces")
+    b_only = poly_erase(
+        b.withColumnRenamed(b_id, a_id), a.withColumnRenamed(a_id, b_id),
+        a_id, zoom, broadcast_b,
+    ).withColumnRenamed(a_id, b_id).withColumn(
+        a_id, F.lit(None).cast("long")
+    ).where(F.col("n_pieces") > 0).drop("n_pieces")
+    cols = [a_id, b_id, "wkb", "area"]
+    return a_only.select(cols).unionByName(b_only.select(cols))

@@ -633,9 +633,9 @@ def buffer_geom(g, dist: float, quadsegs: int = 8):
             no = n_out / (np.hypot(*n_out) or 1.0)
             a0 = np.arctan2(ni[1], ni[0])
             a1 = np.arctan2(no[1], no[0])
-            while a1 > a0:
-                a1 -= 2 * np.pi  # CCW ring with right-normals sweeps clockwise
-            angles = np.linspace(a0, a1, max(2, int(np.ceil((a0 - a1)
+            while a1 < a0:
+                a1 += 2 * np.pi  # convex CCW corner: outward normal turns CCW
+            angles = np.linspace(a0, a1, max(2, int(np.ceil((a1 - a0)
                                                             / (np.pi / 2 / quadsegs))) + 1))
             for a in angles:
                 out.append(p + dist * np.array([np.cos(a), np.sin(a)]))
@@ -893,12 +893,23 @@ def crosses(a, b) -> bool:
     if dims[ka] == 1 and dims[kb] == 1:
         return boundaries_intersect(a, b, proper_only=True)
     if dims[ka] == 1 and dims[kb] == 2:
+        # sample vertices AND segment midpoints (a chord can cross with all
+        # vertices outside); boundary proper-crossings imply interior entry
         paths = _boundary_paths(a)
-        any_in = any(points_in_geom(p[:, 0], p[:, 1], b).any() for p in paths)
+
+        def samples(p):
+            mid = (p[:-1] + p[1:]) / 2.0
+            return np.vstack([p, mid])
+
+        any_in = any(
+            (points_in_geom(s[:, 0], s[:, 1], b)
+             & ~np.array([point_on_boundary(x, y, b) for x, y in s])).any()
+            for s in map(samples, paths)
+        ) or boundaries_intersect(a, b, proper_only=True)
         any_out = any(
-            (~points_in_geom(p[:, 0], p[:, 1], b)
-             & ~np.array([point_on_boundary(x, y, b) for x, y in p])).any()
-            for p in paths
+            (~points_in_geom(s[:, 0], s[:, 1], b)
+             & ~np.array([point_on_boundary(x, y, b) for x, y in s])).any()
+            for s in map(samples, paths)
         )
         return any_in and any_out
     if dims[ka] == 2 and dims[kb] == 1:

@@ -1049,6 +1049,184 @@ def rect_union(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 2: generic convex-polygon overlay + polygon-with-holes + ST_* oracles
+# ---------------------------------------------------------------------------
+
+# Diamonds (45°-rotated squares) are axis-aligned squares in rotated
+# coordinates (u, v) = (x + y, x - y), so the GENERIC Sutherland-Hodgman
+# clip kernel on the Spark side can be value-oracled by closed-form
+# u/v-overlap rectangle math in DuckDB: area_xy = du * dv / 2.
+_POLY_INTER_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{SUPPLIER_POINTS_CTE.strip()},
+ad AS (
+  SELECT pid AS aid,
+         {T.sql_mx('lon')} + {T.sql_my('lat')} AS u,
+         {T.sql_mx('lon')} - {T.sql_my('lat')} AS v,
+         250000.0 + (pid % 7) * 50000.0 AS s
+  FROM customer_points
+),
+bd AS (
+  SELECT sid AS bid,
+         {T.sql_mx('lon')} + {T.sql_my('lat')} AS u,
+         {T.sql_mx('lon')} - {T.sql_my('lat')} AS v,
+         1400000.0 AS s
+  FROM supplier_points
+)
+SELECT a.aid, b.bid,
+       -- ROUND, not floor: diamond sizes are round numbers, so overlap areas
+       -- sit exactly ON integer-km2 boundaries; floor would flip on 1-ulp
+       -- clip-interpolation noise, round-to-nearest is 0.5 away from it
+       CAST(ROUND(
+         (least(a.u + a.s, b.u + b.s) - greatest(a.u - a.s, b.u - b.s))
+         * (least(a.v + a.s, b.v + b.s) - greatest(a.v - a.s, b.v - b.s))
+         / 2.0 / 1000000.0, 0
+       ) AS BIGINT) AS area_km2
+FROM ad a JOIN bd b
+  ON a.u - a.s < b.u + b.s AND a.u + a.s > b.u - b.s
+ AND a.v - a.s < b.v + b.s AND a.v + a.s > b.v - b.s
+"""
+
+
+@q("poly_intersection_area", _POLY_INTER_SQL)
+def poly_intersection_area(spark, sf_dir):
+    """Layer-algebra Intersection on GENERIC convex polygons
+    (ogrlayer.cpp:5385): diamond layers derived from customer/supplier
+    points run through the covering-cell pair join + Sutherland-Hodgman
+    clip (oracle/geom.py); DuckDB oracles the area via the rotated-
+    coordinate closed form."""
+    from .functions.geometry import diamond_wkb
+    from .operators.layer_algebra import poly_intersection
+
+    register_tpch_views(spark, sf_dir)
+    a = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT pid AS aid, "
+        f"{T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my, "
+        f"250000.0 + (pid % 7) * 50000.0 AS s FROM customer_points"
+    ).select("aid", diamond_wkb("mx", "my", "s").alias("wkb"))
+    b = spark.sql(
+        f"WITH {SUPPLIER_POINTS_CTE.strip()} SELECT sid AS bid, "
+        f"{T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my, "
+        f"1400000.0 AS s FROM supplier_points"
+    ).select("bid", diamond_wkb("mx", "my", "s").alias("wkb"))
+    got = poly_intersection(a, b)
+    return got.select(
+        "aid", "bid",
+        F.round(F.col("area") / 1000000.0, 0).cast("bigint").alias("area_km2"),
+    )
+
+
+# Donut (polygon with a hole): outer/inner boxes with off-representable
+# boundaries, so strict-bbox logic in DuckDB equals the even-odd ray cast.
+_DONUT = (-9876543.219, -4567890.129, 11234567.891, 6789012.341,
+          -2345678.912, -1234567.891, 4567890.123, 2345678.912)
+
+_PIP_HOLES_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+pts AS (
+  SELECT pid, {T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my
+  FROM customer_points
+)
+SELECT pid FROM pts
+WHERE mx > {T._d(_DONUT[0])} AND mx < {T._d(_DONUT[2])}
+  AND my > {T._d(_DONUT[1])} AND my < {T._d(_DONUT[3])}
+  AND NOT (mx > {T._d(_DONUT[4])} AND mx < {T._d(_DONUT[6])}
+       AND my > {T._d(_DONUT[5])} AND my < {T._d(_DONUT[7])})
+"""
+
+
+@q("pip_holes_join", _PIP_HOLES_SQL)
+def pip_holes_join(spark, sf_dir):
+    """Point-in-polygon WITH HOLES: even-odd ray cast XORed across rings
+    (ogrlinearring.cpp:452-517 applied per ring) through the ST_Within SQL
+    surface; oracle = outer-box minus inner-box bbox logic."""
+    from .sql.ogr_compat import register_st_functions
+
+    register_tpch_views(spark, sf_dir)
+    register_st_functions(spark)
+    x0, y0, x1, y1, hx0, hy0, hx1, hy1 = _DONUT
+    donut_wkt = (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}), "
+        f"({hx0} {hy0}, {hx0} {hy1}, {hx1} {hy1}, {hx1} {hy0}, {hx0} {hy0}))"
+    )
+    return spark.sql(
+        f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+pts AS (
+  SELECT pid, ST_MakePoint({T.sql_mx('lon')}, {T.sql_my('lat')}) AS p
+  FROM customer_points
+)
+SELECT pid FROM pts
+WHERE ST_Within(p, ST_GeomFromText('{donut_wkt}'))
+"""
+    )
+
+
+# Consecutive-order travel distance per customer: ST_MakePoint + window LAG
+# + ST_Distance on the Spark side; plain sqrt window math in DuckDB.
+_ST_DIST_SEQ_SQL = f"""
+WITH op AS (
+  SELECT o_custkey AS cid, o_orderkey AS oid,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 2.3 + CAST((o_orderkey * 13) % 100 AS DOUBLE) / 1000.0
+              ELSE CAST((o_orderkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0
+         END AS lon,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 48.8 + CAST((o_orderkey * 17) % 100 AS DOUBLE) / 1000.0
+              ELSE CAST((o_orderkey * 15485863) % 17000 AS DOUBLE) / 100.0 - 85.0
+         END AS lat
+  FROM orders
+),
+seq AS (
+  SELECT cid, oid, {T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my,
+         LAG({T.sql_mx('lon')}) OVER (PARTITION BY cid ORDER BY oid) AS pmx,
+         LAG({T.sql_my('lat')}) OVER (PARTITION BY cid ORDER BY oid) AS pmy
+  FROM op
+)
+SELECT cid, oid,
+       CAST(floor(sqrt((mx - pmx) * (mx - pmx) + (my - pmy) * (my - pmy))) AS BIGINT) AS seg_m
+FROM seq WHERE pmx IS NOT NULL
+"""
+
+
+@q("st_distance_seq", _ST_DIST_SEQ_SQL)
+def st_distance_seq(spark, sf_dir):
+    """ST_Distance between each customer's consecutive order points (window
+    LAG over geometry columns) — oracles the point fast path + distance
+    kernel against plain SQL sqrt math."""
+    from .sql.ogr_compat import register_st_functions
+
+    register_tpch_views(spark, sf_dir)
+    register_st_functions(spark)
+    return spark.sql(
+        f"""
+WITH op AS (
+  SELECT o_custkey AS cid, o_orderkey AS oid,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 2.3 + CAST((o_orderkey * 13) % 100 AS DOUBLE) / 1000.0
+              ELSE CAST((o_orderkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0
+         END AS lon,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 48.8 + CAST((o_orderkey * 17) % 100 AS DOUBLE) / 1000.0
+              ELSE CAST((o_orderkey * 15485863) % 17000 AS DOUBLE) / 100.0 - 85.0
+         END AS lat
+  FROM orders
+),
+seq AS (
+  SELECT cid, oid,
+         ST_MakePoint({T.sql_mx('lon')}, {T.sql_my('lat')}) AS p,
+         LAG(ST_MakePoint({T.sql_mx('lon')}, {T.sql_my('lat')}))
+           OVER (PARTITION BY cid ORDER BY oid) AS pp
+  FROM op
+)
+SELECT cid, oid,
+       CAST(floor(ST_Distance(p, pp)) AS BIGINT) AS seg_m
+FROM seq WHERE pp IS NOT NULL
+"""
+    )
+
+
 @q("contour", None)
 def contour_q(spark, sf_dir):
     """Marching-squares contour summary per image (alg/contour.cpp)."""

@@ -1,12 +1,22 @@
 """ST_* spatial SQL functions — the engine's analogue of the reference's
 SQLite-dialect function registry
-(/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:876-1125):
+(/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:627-1125):
 registered on the SparkSession so `spark.sql("SELECT ST_Area(wkb) ...")`
 works, names kept `ST_*` for SQL parity.
 
-Geometry domain: the engine's WKB (little-endian Point / single-ring
-Polygon). Predicates implemented against the exact ray-cast / bbox
-semantics the join operators use; everything numpy inside Arrow batches.
+Round-2 surface: the full WKB domain of oracle/geom.py (Point, LineString,
+Polygon with holes, Multi*), all 8 OGC predicates
+(ogrsqlitesqlfunctions.cpp:876-883), validity/simplicity/emptiness
+(:903-904), overlay scalars Intersection/Difference/SymDifference/Union
+(:930-933), measures incl. geodesic area/length (:627-675,720-828), and
+constructions (Buffer/ConvexHull/Simplify/MakeValid/Centroid/Boundary).
+
+Execution shape (the round-1 review's "no per-row Python" mandate): every
+UDF factorizes its geometry column(s) first — blobs repeat heavily after
+cell joins — parses each DISTINCT blob once per Arrow batch, evaluates the
+kernel per distinct (or distinct pair), and scatters results back by code.
+Fixed-width Point columns (21-byte WKB) bypass parsing entirely via one
+``np.frombuffer`` per batch.
 """
 
 from __future__ import annotations
@@ -17,187 +27,304 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DoubleType, StringType,
+    BinaryType, BooleanType, DoubleType, IntegerType, StringType,
 )
 
-from ..fixtures.tile_grid import parse_wkb_polygon, wkb_polygon
-from ..oracle.pip import point_in_ring
+from ..oracle import geom as G
+
+wkb_point = G.wkb_point
 
 
-def wkb_point(x: float, y: float) -> bytes:
-    return struct.pack("<BIdd", 1, 1, x, y)
+def _points_fast(s: pd.Series):
+    """If every non-null blob is a 21-byte WKB point, bulk-parse to
+    (xs, ys, isnull); else return None."""
+    blobs = s.to_numpy(dtype=object)
+    lens = np.array([len(b) if b is not None else -1 for b in blobs])
+    valid = lens == 21
+    if not (valid | (lens == -1)).all() or not valid.any():
+        return None
+    buf = b"".join(bytes(b) for b in blobs[valid])
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
+    if not (arr[:, 0] == 1).all():
+        return None
+    xy = arr[:, 5:].copy().view("<f8").reshape(-1, 2)
+    xs = np.full(len(blobs), np.nan)
+    ys = np.full(len(blobs), np.nan)
+    xs[valid] = xy[:, 0]
+    ys[valid] = xy[:, 1]
+    return xs, ys, lens == -1
 
 
-def _parse_any(blob: bytes):
-    """-> ('point', (x, y)) | ('polygon', ring ndarray)."""
-    geom_type = struct.unpack_from("<I", blob, 1)[0]
-    if geom_type == 1:
-        x, y = struct.unpack_from("<dd", blob, 5)
-        return "point", (x, y)
-    if geom_type == 3:
-        return "polygon", parse_wkb_polygon(blob)
-    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+def _unary(fn, dtype=None):
+    """Factorized unary geometry UDF body: parse each distinct blob once."""
 
-
-def _bbox(blob: bytes):
-    kind, g = _parse_any(blob)
-    if kind == "point":
-        return g[0], g[1], g[0], g[1]
-    return g[:, 0].min(), g[:, 1].min(), g[:, 0].max(), g[:, 1].max()
-
-
-def _per_row(fn, out_dtype=object):
     def wrapped(s: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else fn(bytes(b)) for b in s],
-                         dtype=out_dtype)
+        codes, uniques = pd.factorize(s, use_na_sentinel=True)
+        vals = [fn(G.parse_wkb(bytes(b))) for b in uniques]
+        out = [None if c < 0 else vals[c] for c in codes]
+        return pd.Series(out, dtype=dtype)
 
     return wrapped
 
 
-def _per_pair(fn):
+def _binary(fn, dtype=None):
+    """Factorized binary geometry UDF body: evaluate per distinct PAIR."""
+
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if (x is None or y is None) else fn(bytes(x), bytes(y))
-                for x, y in zip(a, b)
-            ]
-        )
+        ca, ua = pd.factorize(a, use_na_sentinel=True)
+        cb, ub = pd.factorize(b, use_na_sentinel=True)
+        ga = [G.parse_wkb(bytes(x)) for x in ua]
+        gb = [G.parse_wkb(bytes(x)) for x in ub]
+        pair_key = ca.astype(np.int64) * (len(ub) + 1) + cb
+        pair_key[(ca < 0) | (cb < 0)] = -1
+        pc, pu = pd.factorize(pair_key, use_na_sentinel=False)
+        vals = {}
+        for idx, key in enumerate(pu):
+            if key < 0:
+                vals[idx] = None
+                continue
+            ia, ib = divmod(int(key), len(ub) + 1)
+            vals[idx] = fn(ga[ia], gb[ib])
+        return pd.Series([vals[c] for c in pc], dtype=dtype)
 
     return wrapped
 
 
-def _st_area(blob):
-    kind, g = _parse_any(blob)
-    if kind == "point":
-        return 0.0
-    x, y = g[:, 0], g[:, 1]
-    return float(0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+# --- unary measure / inspection kernels ------------------------------------
+
+def _area(g):
+    return float(G.area(g))
 
 
-def _st_centroid(blob):
-    kind, g = _parse_any(blob)
-    if kind == "point":
-        return blob
-    # polygon centroid via the standard shoelace-weighted formula
-    x, y = g[:-1, 0], g[:-1, 1]
-    xn, yn = g[1:, 0], g[1:, 1]
-    cross = x * yn - xn * y
-    a = cross.sum() / 2.0
-    if a == 0:
-        return wkb_point(float(x.mean()), float(y.mean()))
-    cx = ((x + xn) * cross).sum() / (6.0 * a)
-    cy = ((y + yn) * cross).sum() / (6.0 * a)
-    return wkb_point(float(cx), float(cy))
+def _length(g):
+    return float(G.length(g))
 
 
-def _st_astext(blob):
-    kind, g = _parse_any(blob)
-    if kind == "point":
-        return f"POINT ({g[0]:.10g} {g[1]:.10g})"
-    coords = ", ".join(f"{p[0]:.10g} {p[1]:.10g}" for p in g)
-    return f"POLYGON (({coords}))"
+def _perimeter(g):
+    return float(G.perimeter(g))
 
 
-def _st_geomfromtext(s):
-    s = s.strip()
-    if s.upper().startswith("POINT"):
-        inner = s[s.index("(") + 1 : s.rindex(")")].split()
-        return wkb_point(float(inner[0]), float(inner[1]))
-    if s.upper().startswith("POLYGON"):
-        inner = s[s.index("((") + 2 : s.rindex("))")]
-        pts = [tuple(map(float, p.split())) for p in inner.split(",")]
-        return wkb_polygon(pts)
-    raise ValueError(f"unsupported WKT {s[:30]}")
+def _geodesic_area(g):
+    return float(G.geodesic_area(g))
 
 
-def _st_intersects(a, b):
-    ax0, ay0, ax1, ay1 = _bbox(a)
-    bx0, by0, bx1, by1 = _bbox(b)
-    if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
-        return False
-    ka, ga = _parse_any(a)
-    kb, gb = _parse_any(b)
-    if ka == "point" and kb == "polygon":
-        return bool(point_in_ring(np.array([ga[0]]), np.array([ga[1]]), gb)[0])
-    if kb == "point" and ka == "polygon":
-        return bool(point_in_ring(np.array([gb[0]]), np.array([gb[1]]), ga)[0])
-    return True  # bbox overlap (axis-aligned polygon domain: exact)
+def _geodesic_length(g):
+    lg = G.geodesic_length(g)
+    return float(lg)
 
 
-def _st_within(a, b):
-    ka, ga = _parse_any(a)
-    kb, gb = _parse_any(b)
-    if ka == "point" and kb == "polygon":
-        return bool(point_in_ring(np.array([ga[0]]), np.array([ga[1]]), gb)[0])
-    ax0, ay0, ax1, ay1 = _bbox(a)
-    bx0, by0, bx1, by1 = _bbox(b)
-    return ax0 >= bx0 and ay0 >= by0 and ax1 <= bx1 and ay1 <= by1
+def _centroid(g):
+    cx, cy = G.centroid(g)
+    return G.wkb_point(cx, cy)
 
 
-def _st_distance(a, b):
-    ka, ga = _parse_any(a)
-    kb, gb = _parse_any(b)
-    if ka == "point" and kb == "point":
-        return float(np.hypot(ga[0] - gb[0], ga[1] - gb[1]))
-    # bbox gap distance for extended geoms (0 when overlapping)
-    ax0, ay0, ax1, ay1 = _bbox(a)
-    bx0, by0, bx1, by1 = _bbox(b)
-    dx = max(bx0 - ax1, ax0 - bx1, 0.0)
-    dy = max(by0 - ay1, ay0 - by1, 0.0)
-    return float(np.hypot(dx, dy))
+def _x(g):
+    kind, d = g
+    if kind != "point":
+        raise ValueError("ST_X needs a point")
+    return float(d[0])
 
 
-def _st_buffer(blob, dist):
-    """Axis-aligned buffer (bbox expand) — the envelope-precision buffer our
-    rectangle domain supports; full round buffers need a curve domain."""
-    x0, y0, x1, y1 = _bbox(blob)
-    return wkb_polygon(
-        [(x0 - dist, y0 - dist), (x1 + dist, y0 - dist), (x1 + dist, y1 + dist),
-         (x0 - dist, y1 + dist), (x0 - dist, y0 - dist)]
-    )
+def _y(g):
+    kind, d = g
+    if kind != "point":
+        raise ValueError("ST_Y needs a point")
+    return float(d[1])
+
+
+def _envelope(g):
+    x0, y0, x1, y1 = G.bbox(g)
+    return G.to_wkb("polygon", [np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+
+
+def _boundary(g):
+    kind, d = g
+    if kind == "polygon":
+        if len(d) == 1:
+            return G.to_wkb("linestring", d[0])
+        return G.to_wkb("multilinestring", list(d))
+    if kind == "multipolygon":
+        rings = [r for p in d for r in p]
+        return G.to_wkb("multilinestring", rings)
+    if kind == "linestring":
+        return G.to_wkb("multipoint", np.vstack([d[0], d[-1]]))
+    return G.to_wkb("multipoint", np.empty((0, 2)))
+
+
+# --- binary overlay kernels (convex polygon domain; see geom.py) -----------
+
+def _intersection_wkb(a, b):
+    ra = G._first_rings(a)[0] if a[0] in ("polygon", "multipolygon") else None
+    rb = G._first_rings(b)[0] if b[0] in ("polygon", "multipolygon") else None
+    if ra is None or rb is None:
+        raise ValueError("ST_Intersection implemented for polygonal inputs")
+    r = G.clip_convex(ra, rb)
+    if r.shape[0] < 4:
+        return G.to_wkb("polygon", [])
+    return G.to_wkb("polygon", [r])
+
+
+def _difference_wkb(a, b):
+    ra = G._first_rings(a)[0]
+    rb = G._first_rings(b)[0]
+    pieces = G.subtract_convex(ra, rb)
+    return G.to_wkb("multipolygon", [[p] for p in pieces])
+
+
+def _symdifference_wkb(a, b):
+    ra = G._first_rings(a)[0]
+    rb = G._first_rings(b)[0]
+    pieces = G.subtract_convex(ra, rb) + G.subtract_convex(rb, ra)
+    return G.to_wkb("multipolygon", [[p] for p in pieces])
+
+
+def _union_wkb(a, b):
+    """Coverage union as a disjoint decomposition: (a - b) pieces + b whole.
+    Same point set as the dissolved GEOS union; boundaries between pieces
+    are not dissolved (documented deviation)."""
+    ra = G._first_rings(a)[0]
+    rb = G._first_rings(b)[0]
+    pieces = G.subtract_convex(ra, rb) + [rb]
+    return G.to_wkb("multipolygon", [[p] for p in pieces])
 
 
 def register_st_functions(spark: SparkSession) -> None:
     """Idempotently register the ST_* surface on the session."""
     reg = spark.udf.register
-    reg("ST_Area", F.pandas_udf(_per_row(_st_area, np.float64), DoubleType()))
-    reg("ST_AsText", F.pandas_udf(_per_row(_st_astext), StringType()))
-    reg(
-        "ST_GeomFromText",
-        F.pandas_udf(
-            lambda s: pd.Series([_st_geomfromtext(x) for x in s]), BinaryType()
-        ),
-    )
-    reg("ST_Centroid", F.pandas_udf(_per_row(_st_centroid), BinaryType()))
-    reg("ST_Intersects", F.pandas_udf(_per_pair(_st_intersects), BooleanType()))
-    reg("ST_Within", F.pandas_udf(_per_pair(_st_within), BooleanType()))
-    reg(
-        "ST_Contains",
-        F.pandas_udf(lambda a, b: _per_pair(_st_within)(b, a), BooleanType()),
-    )
-    reg("ST_Distance", F.pandas_udf(_per_pair(_st_distance), DoubleType()))
 
-    def _buffer_udf(blobs: pd.Series, dists: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if b is None else _st_buffer(bytes(b), float(d))
-                for b, d in zip(blobs, dists)
-            ]
-        )
+    # measures ---------------------------------------------------------------
+    reg("ST_Area", F.pandas_udf(_unary(_area, np.float64), DoubleType()))
+    reg("ST_Length", F.pandas_udf(_unary(_length, np.float64), DoubleType()))
+    reg("ST_Perimeter",
+        F.pandas_udf(_unary(_perimeter, np.float64), DoubleType()))
+    reg("ST_GeodesicArea",
+        F.pandas_udf(_unary(_geodesic_area, np.float64), DoubleType()))
+    reg("ST_GeodesicLength",
+        F.pandas_udf(_unary(_geodesic_length, np.float64), DoubleType()))
+    reg("ST_NPoints",
+        F.pandas_udf(_unary(lambda g: int(G.n_points(g)), "Int32"),
+                     IntegerType()))
+    reg("ST_SRID",
+        F.pandas_udf(lambda s: pd.Series(np.where(s.isna(), None, 0),
+                                         dtype="Int32"), IntegerType()))
 
-    reg("ST_Buffer", F.pandas_udf(_buffer_udf, BinaryType()))
+    # inspection -------------------------------------------------------------
+    reg("ST_IsEmpty",
+        F.pandas_udf(_unary(lambda g: bool(G.is_empty(g)), object),
+                     BooleanType()))
+    reg("ST_IsValid",
+        F.pandas_udf(_unary(lambda g: bool(G.is_valid(g)), object),
+                     BooleanType()))
+    reg("ST_IsSimple",
+        F.pandas_udf(_unary(lambda g: bool(G.is_simple(g)), object),
+                     BooleanType()))
+    reg("ST_GeometryType",
+        F.pandas_udf(_unary(lambda g: {
+            "point": "POINT", "linestring": "LINESTRING",
+            "polygon": "POLYGON", "multipoint": "MULTIPOINT",
+            "multilinestring": "MULTILINESTRING",
+            "multipolygon": "MULTIPOLYGON"}[g[0]]), StringType()))
 
+    # accessors: point fast path (one frombuffer per batch) ------------------
     def _x_udf(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_parse_any(bytes(b))[1][0] if b is not None else None for b in blobs],
-            dtype=np.float64,
-        )
+        fast = _points_fast(blobs)
+        if fast is not None:
+            xs, _, isnull = fast
+            return pd.Series(np.where(isnull, np.nan, xs), dtype=np.float64)
+        return _unary(_x, np.float64)(blobs)
 
     def _y_udf(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_parse_any(bytes(b))[1][1] if b is not None else None for b in blobs],
-            dtype=np.float64,
-        )
+        fast = _points_fast(blobs)
+        if fast is not None:
+            _, ys, isnull = fast
+            return pd.Series(np.where(isnull, np.nan, ys), dtype=np.float64)
+        return _unary(_y, np.float64)(blobs)
 
     reg("ST_X", F.pandas_udf(_x_udf, DoubleType()))
     reg("ST_Y", F.pandas_udf(_y_udf, DoubleType()))
+
+    # conversion -------------------------------------------------------------
+    reg("ST_AsText", F.pandas_udf(_unary(G.to_wkt), StringType()))
+    reg("ST_AsBinary",
+        F.pandas_udf(lambda s: s.map(lambda b: None if b is None else bytes(b)),
+                     BinaryType()))
+    reg("ST_GeomFromWKB",
+        F.pandas_udf(
+            lambda s: s.map(
+                lambda b: None if b is None else G.to_wkb(*G.parse_wkb(bytes(b)))
+            ),
+            BinaryType(),
+        ))
+
+    def _fromtext(s: pd.Series) -> pd.Series:
+        codes, uniques = pd.factorize(s, use_na_sentinel=True)
+        vals = [G.to_wkb(*G.from_wkt(str(t))) for t in uniques]
+        return pd.Series([None if c < 0 else vals[c] for c in codes])
+
+    reg("ST_GeomFromText", F.pandas_udf(_fromtext, BinaryType()))
+
+    # constructions ----------------------------------------------------------
+    reg("ST_Centroid", F.pandas_udf(_unary(_centroid), BinaryType()))
+    reg("ST_Envelope", F.pandas_udf(_unary(_envelope), BinaryType()))
+    reg("ST_Boundary", F.pandas_udf(_unary(_boundary), BinaryType()))
+    reg("ST_ConvexHull", F.pandas_udf(_unary(G.hull_of_geom), BinaryType()))
+    reg("ST_MakeValid",
+        F.pandas_udf(_unary(lambda g: G.to_wkb(*G.make_valid(g))),
+                     BinaryType()))
+    reg("ST_MakePoint",
+        F.pandas_udf(
+            lambda xs, ys: pd.Series([
+                None if (x is None or y is None) else wkb_point(float(x), float(y))
+                for x, y in zip(xs, ys)
+            ]),
+            BinaryType(),
+        ))
+
+    def _buffer_udf(blobs: pd.Series, dists: pd.Series) -> pd.Series:
+        key = pd.Series(list(zip(blobs, dists)))
+        codes, uniques = pd.factorize(key, use_na_sentinel=False)
+        vals = []
+        for b, d in uniques:
+            if b is None or d is None:
+                vals.append(None)
+                continue
+            vals.append(G.to_wkb(*G.buffer_geom(G.parse_wkb(bytes(b)), float(d))))
+        return pd.Series([vals[c] for c in codes])
+
+    reg("ST_Buffer", F.pandas_udf(_buffer_udf, BinaryType()))
+
+    def _simplify_udf(blobs: pd.Series, tols: pd.Series) -> pd.Series:
+        key = pd.Series(list(zip(blobs, tols)))
+        codes, uniques = pd.factorize(key, use_na_sentinel=False)
+        vals = []
+        for b, t in uniques:
+            if b is None or t is None:
+                vals.append(None)
+                continue
+            vals.append(G.to_wkb(*G.simplify_geom(G.parse_wkb(bytes(b)), float(t))))
+        return pd.Series([vals[c] for c in codes])
+
+    reg("ST_Simplify", F.pandas_udf(_simplify_udf, BinaryType()))
+    reg("ST_SimplifyPreserveTopology", F.pandas_udf(_simplify_udf, BinaryType()))
+
+    # predicates (ogr_geometry.h:546-556 / ogrsqlitesqlfunctions.cpp:876-883)
+    for name, fn in [
+        ("ST_Intersects", G.intersects), ("ST_Disjoint", G.disjoint),
+        ("ST_Within", G.within), ("ST_Contains", G.contains),
+        ("ST_Touches", G.touches), ("ST_Crosses", G.crosses),
+        ("ST_Overlaps", G.overlaps), ("ST_Equals", G.equals),
+    ]:
+        reg(name, F.pandas_udf(
+            _binary(lambda a, b, f=fn: bool(f(a, b)), object), BooleanType()
+        ))
+
+    reg("ST_Distance",
+        F.pandas_udf(_binary(lambda a, b: float(G.distance(a, b)), np.float64),
+                     DoubleType()))
+
+    # overlay scalars (convex polygon domain) --------------------------------
+    reg("ST_Intersection", F.pandas_udf(_binary(_intersection_wkb), BinaryType()))
+    reg("ST_Difference", F.pandas_udf(_binary(_difference_wkb), BinaryType()))
+    reg("ST_SymDifference", F.pandas_udf(_binary(_symdifference_wkb), BinaryType()))
+    reg("ST_Union", F.pandas_udf(_binary(_union_wkb), BinaryType()))

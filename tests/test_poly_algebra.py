@@ -1,0 +1,143 @@
+"""Convex-polygon layer algebra vs the rectangle fast path and closed-form
+diamond (45°-rotated square) oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.oracle import geom as G
+
+
+def _diamond_wkb(cx, cy, s):
+    ring = np.array(
+        [[cx + s, cy], [cx, cy + s], [cx - s, cy], [cx, cy - s], [cx + s, cy]]
+    )
+    return G.to_wkb("polygon", [ring])
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return G.to_wkb("polygon", [ring])
+
+
+@pytest.fixture(scope="module")
+def rect_layers_wkb(spark):
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame({
+        "aid": np.arange(40, dtype=np.int64),
+        "minx": rng.uniform(-5e6, 5e6, 40),
+        "miny": rng.uniform(-5e6, 5e6, 40),
+    })
+    a["maxx"] = a.minx + rng.uniform(2e5, 2e6, 40)
+    a["maxy"] = a.miny + rng.uniform(2e5, 2e6, 40)
+    b = pd.DataFrame({
+        "bid": np.arange(15, dtype=np.int64),
+        "minx": rng.uniform(-5e6, 5e6, 15),
+        "miny": rng.uniform(-5e6, 5e6, 15),
+    })
+    b["maxx"] = b.minx + rng.uniform(5e5, 3e6, 15)
+    b["maxy"] = b.miny + rng.uniform(5e5, 3e6, 15)
+    a["wkb"] = [_rect_wkb(*t) for t in zip(a.minx, a.miny, a.maxx, a.maxy)]
+    b["wkb"] = [_rect_wkb(*t) for t in zip(b.minx, b.miny, b.maxx, b.maxy)]
+    return spark.createDataFrame(a), spark.createDataFrame(b), a, b
+
+
+class TestPolyVsRectPath:
+    def test_intersection_matches_rect_fast_path(self, spark, rect_layers_wkb):
+        from gdal_spark.operators.layer_algebra import (
+            intersection, poly_intersection, rect_area,
+        )
+
+        sa, sb, pa, pb = rect_layers_wkb
+        rect = rect_area(
+            intersection(sa.drop("wkb"), sb.drop("wkb"))
+        ).select("aid", "bid", "area").toPandas()
+        poly = poly_intersection(
+            sa.select("aid", "wkb"), sb.select("bid", "wkb")
+        ).select("aid", "bid", "area").toPandas()
+        rect = rect.sort_values(["aid", "bid"], ignore_index=True)
+        poly = poly.sort_values(["aid", "bid"], ignore_index=True)
+        assert len(rect) == len(poly) > 0
+        assert (rect.aid == poly.aid).all() and (rect.bid == poly.bid).all()
+        np.testing.assert_allclose(rect.area, poly.area, rtol=1e-9)
+
+    def test_erase_area_conservation(self, spark, rect_layers_wkb):
+        """area(a) == erase remainder + sum of single-coverage intersection
+        areas, checked where no two b rects overlap the same a twice-over
+        (conservation on the union; we verify with the inclusion bound)."""
+        from gdal_spark.operators.layer_algebra import (
+            poly_erase, poly_intersection,
+        )
+
+        sa, sb, pa, pb = rect_layers_wkb
+        er = poly_erase(sa.select("aid", "wkb"), sb.select("bid", "wkb"))
+        got = er.select("aid", "area", "n_pieces").toPandas()
+        assert len(got) == len(pa)
+        full = (pa.maxx - pa.minx) * (pa.maxy - pa.miny)
+        full.index = pa.aid
+        inter = poly_intersection(
+            sa.select("aid", "wkb"), sb.select("bid", "wkb")
+        ).toPandas()
+        isum = inter.groupby("aid")["area"].sum()
+        for r in got.itertuples(index=False):
+            fa = full[r.aid]
+            cut = isum.get(r.aid, 0.0)
+            tol = 1e-9 * fa  # clip interpolation noise at 1e12 m^2 scales
+            assert r.area <= fa + tol
+            # remainder >= area - total cut (equality when b's don't overlap
+            # each other inside a; the bound holds always)
+            assert r.area >= fa - cut - tol
+
+
+class TestDiamondOverlay:
+    def test_diamond_intersection_closed_form(self, spark):
+        """Generic S-H clip vs the rotated-coordinate closed form:
+        diamonds are axis-aligned squares in (u,v) = (x+y, x-y); the
+        intersection area in xy = u-overlap * v-overlap / 2."""
+        from gdal_spark.operators.layer_algebra import poly_intersection
+
+        rng = np.random.default_rng(5)
+        ca = rng.uniform(-1e6, 1e6, (30, 2))
+        sa = rng.uniform(2e5, 8e5, 30)
+        cb = rng.uniform(-1e6, 1e6, (12, 2))
+        sb = rng.uniform(3e5, 1e6, 12)
+        a = spark.createDataFrame(pd.DataFrame({
+            "aid": np.arange(30, dtype=np.int64),
+            "wkb": [_diamond_wkb(c[0], c[1], s) for c, s in zip(ca, sa)],
+        }))
+        b = spark.createDataFrame(pd.DataFrame({
+            "bid": np.arange(12, dtype=np.int64),
+            "wkb": [_diamond_wkb(c[0], c[1], s) for c, s in zip(cb, sb)],
+        }))
+        got = poly_intersection(a, b).toPandas()
+        # numpy closed-form oracle over all pairs
+        ua, va = ca[:, 0] + ca[:, 1], ca[:, 0] - ca[:, 1]
+        ub, vb = cb[:, 0] + cb[:, 1], cb[:, 0] - cb[:, 1]
+        exp = {}
+        for i in range(30):
+            for j in range(12):
+                du = min(ua[i] + sa[i], ub[j] + sb[j]) - max(ua[i] - sa[i], ub[j] - sb[j])
+                dv = min(va[i] + sa[i], vb[j] + sb[j]) - max(va[i] - sa[i], vb[j] - sb[j])
+                if du > 0 and dv > 0:
+                    exp[(i, j)] = du * dv / 2.0
+        assert set(zip(got.aid, got.bid)) == set(exp)
+        for r in got.itertuples(index=False):
+            assert r.area == pytest.approx(exp[(r.aid, r.bid)], rel=1e-9)
+
+    def test_union_coverage_total(self, spark):
+        from gdal_spark.operators.layer_algebra import poly_union
+
+        a = spark.createDataFrame(pd.DataFrame({
+            "aid": [0, 1], "wkb": [_diamond_wkb(0, 0, 10), _diamond_wkb(100, 0, 5)],
+        }))
+        b = spark.createDataFrame(pd.DataFrame({
+            "bid": [0], "wkb": [_diamond_wkb(5, 0, 10)],
+        }))
+        got = poly_union(a, b).toPandas()
+        # total area of disjoint decomposition = |A ∪ B| summed per pair
+        # semantics: inter(0,0) + a0-remainder + a1 (whole) + b0-remainder
+        inter = got[(got.aid == 0) & (got.bid == 0)].area.sum()
+        total = got.area.sum()
+        # diamonds s=10 at (0,0) and (5,0): u/v overlap 15 -> inter 112.5
+        assert inter == pytest.approx(112.5)
+        assert total == pytest.approx(200 + 50 + 200 - 112.5)

@@ -136,13 +136,149 @@ class TestSTFunctions:
         ).collect()[0]
         assert got["d"] == pytest.approx(np.hypot(15, 17))
         assert got["cx"] == pytest.approx(5.0)
-        assert got["ba"] == pytest.approx(12 * 8)
+        # round buffer (Minkowski sum with a 32-gon disc): area + perimeter*d
+        # + inscribed-circle corners = 60 + 32 + 16*sin(pi/16)
+        assert got["ba"] == pytest.approx(60 + 32 + 16 * np.sin(np.pi / 16))
 
     def test_wkt_roundtrip(self, spark, geoms):
         got = spark.sql(
             "SELECT ST_AsText(ST_GeomFromText('POINT (1.5 -2.25)')) AS t"
         ).collect()[0]["t"]
         assert got == "POINT (1.5 -2.25)"
+
+
+class TestSTFunctionsRound2:
+    """The ST_* surface added in round 2 (ogrsqlitesqlfunctions.cpp parity):
+    Length/Perimeter, the 8 OGC predicates, validity, WKB round-trip,
+    convex overlay scalars, hull/simplify, geodesic measures."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def register(self, spark):
+        from gdal_spark.sql.ogr_compat import register_st_functions
+
+        register_st_functions(spark)
+
+    @pytest.fixture(scope="class")
+    def layers(self, spark):
+        rows = [
+            # two overlapping squares, one touching, one disjoint, one equal
+            (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            (2, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),   # overlaps 1
+            (3, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),  # touches 1
+            (4, "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))"),  # disjoint
+            (5, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),   # equals 1
+            (6, "LINESTRING (-5 5, 25 5)"),                    # crosses 1
+            (7, "LINESTRING (1 1, 9 1)"),                      # within 1
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["gid", "wkt"]))
+        df.selectExpr("gid", "ST_GeomFromText(wkt) AS g").createOrReplaceTempView(
+            "geoms2"
+        )
+        return rows
+
+    def test_predicates_matrix(self, spark, layers):
+        got = spark.sql(
+            """
+            SELECT b.gid,
+                   ST_Intersects(a.g, b.g) AS inter,
+                   ST_Disjoint(a.g, b.g) AS disj,
+                   ST_Touches(a.g, b.g) AS tch,
+                   ST_Overlaps(a.g, b.g) AS ovl,
+                   ST_Equals(a.g, b.g) AS eq,
+                   ST_Crosses(b.g, a.g) AS crs,
+                   ST_Within(b.g, a.g) AS wth
+            FROM geoms2 a JOIN geoms2 b ON a.gid = 1
+            ORDER BY b.gid
+            """
+        ).toPandas().set_index("gid")
+        assert got.loc[2, ["inter", "ovl"]].tolist() == [True, True]
+        assert not got.loc[2, "tch"] and not got.loc[2, "eq"]
+        assert got.loc[3, ["inter", "tch"]].tolist() == [True, True]
+        assert not got.loc[3, "ovl"]
+        assert got.loc[4, "disj"] and not got.loc[4, "inter"]
+        assert got.loc[5, "eq"] and not got.loc[5, "ovl"]
+        assert got.loc[6, "crs"] and not got.loc[6, "wth"]
+        assert got.loc[7, "wth"] and not got.loc[7, "crs"]
+
+    def test_length_and_overlay_areas(self, spark, layers):
+        got = spark.sql(
+            """
+            SELECT ST_Length(l.g) AS llen,
+                   ST_Perimeter(a.g) AS perim,
+                   ST_Area(ST_Intersection(a.g, b.g)) AS ia,
+                   ST_Area(ST_Difference(a.g, b.g)) AS da,
+                   ST_Area(ST_SymDifference(a.g, b.g)) AS sda,
+                   ST_Area(ST_Union(a.g, b.g)) AS ua
+            FROM geoms2 a, geoms2 b, geoms2 l
+            WHERE a.gid = 1 AND b.gid = 2 AND l.gid = 6
+            """
+        ).collect()[0]
+        assert got["llen"] == 30.0
+        assert got["perim"] == 40.0
+        assert got["ia"] == pytest.approx(25.0)
+        assert got["da"] == pytest.approx(75.0)
+        assert got["sda"] == pytest.approx(150.0)
+        assert got["ua"] == pytest.approx(175.0)
+
+    def test_validity_wkb_roundtrip(self, spark, layers):
+        got = spark.sql(
+            """
+            SELECT ST_IsValid(ST_GeomFromText(
+                       'POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')) AS bowtie,
+                   ST_IsValid(a.g) AS sq_ok,
+                   ST_IsSimple(l.g) AS line_simple,
+                   ST_IsEmpty(a.g) AS empt,
+                   ST_NPoints(a.g) AS np,
+                   ST_Equals(ST_GeomFromWKB(ST_AsBinary(a.g)), a.g) AS rt,
+                   ST_GeometryType(a.g) AS gt
+            FROM geoms2 a, geoms2 l WHERE a.gid = 1 AND l.gid = 6
+            """
+        ).collect()[0]
+        assert not got["bowtie"] and got["sq_ok"]
+        assert got["line_simple"] and not got["empt"]
+        assert got["np"] == 5 and got["rt"] and got["gt"] == "POLYGON"
+
+    def test_hull_simplify_makevalid(self, spark, layers):
+        got = spark.sql(
+            """
+            SELECT ST_Area(ST_ConvexHull(ST_GeomFromText(
+                       'MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2)'))) AS hull_a,
+                   ST_NPoints(ST_Simplify(ST_GeomFromText(
+                       'LINESTRING (0 0, 1 0.01, 2 0, 3 1, 4 0)'), 0.1)) AS sn,
+                   ST_IsValid(ST_MakeValid(ST_GeomFromText(
+                       'POLYGON ((0 0, 4 0, 4 4, 0 4))'))) AS fixed
+            """
+        ).collect()[0]
+        assert got["hull_a"] == pytest.approx(16.0)
+        assert got["sn"] == 4  # the 0.01 wiggle dropped, the 1.0 peak kept
+        assert got["fixed"]  # open ring closed by MakeValid
+
+    def test_geodesic(self, spark):
+        got = spark.sql(
+            """
+            SELECT ST_GeodesicArea(ST_GeomFromText(
+                       'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ga,
+                   ST_GeodesicLength(ST_GeomFromText(
+                       'LINESTRING (0 0, 1 0)')) AS gl
+            """
+        ).collect()[0]
+        # 1x1 degree cell at the equator: ~111.19 km sides (sphere)
+        assert 1.22e10 < got["ga"] < 1.25e10
+        assert got["gl"] == pytest.approx(111194.9, rel=1e-3)
+
+    def test_point_fastpath_and_accessors(self, spark):
+        # many repeated + distinct points: exercises the frombuffer fast path
+        pdf = pd.DataFrame({"x": np.arange(500) % 50 * 1.5,
+                            "y": np.arange(500) % 50 * -0.5})
+        spark.createDataFrame(pdf).selectExpr(
+            "ST_MakePoint(x, y) AS p", "x", "y"
+        ).createOrReplaceTempView("pts_fast")
+        got = spark.sql(
+            "SELECT MAX(ABS(ST_X(p) - x)) AS dx, MAX(ABS(ST_Y(p) - y)) AS dy,"
+            "       MAX(ST_Distance(p, ST_MakePoint(x, y))) AS dd "
+            "FROM pts_fast"
+        ).collect()[0]
+        assert got["dx"] == 0.0 and got["dy"] == 0.0 and got["dd"] == 0.0
 
 
 class TestGridding:
