@@ -46,7 +46,15 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int,
     if zoom is None:
         import math
 
-        n_cand = candidates.count()
+        # approximate count with a bounded time budget: the exact row count
+        # only tunes the grid density heuristic, and a full count() of the
+        # candidate table is a wasted scan at corpus scale (an underestimate
+        # just coarsens the grid -> more candidates per cell, still correct)
+        n_cand = int(
+            candidates.select(cand_id).rdd.countApprox(
+                timeout=2000, confidence=0.90
+            )
+        )
         target = max(4, 2 * k)
         zoom = max(0, min(12, int(math.log(max(n_cand, 1) / target, 4))))
     cell_m = float(M.resolution(zoom)) * M.TILE_SIZE

@@ -182,10 +182,45 @@ def band_calc(images: DataFrame, expr: str = "norm_diff") -> DataFrame:
     )
 
 
-def footprint(images: DataFrame, threshold: int = 0) -> DataFrame:
+def footprint(images: DataFrame, threshold: int = 0, mode: str = "traced",
+              trace_max: int = 64) -> DataFrame:
     """gdal_footprint (apps/gdal_footprint_lib.cpp:1304): polygon of the
-    valid-data mask (> threshold in band 1), v0 as the mask's bbox ring in
-    EPSG:3857 + valid-pixel count."""
+    valid-data mask (> threshold in band 1) + valid-pixel count.
+
+    ``mode='traced'`` (reference parity): the mask is POLYGONIZED — boundary
+    rings traced with the GDALPolygonize ring chainer (oracle/rasterize.
+    trace_rings), holes included, multiple components emitted as a
+    MultiPolygon; ``mode='bbox'`` keeps the round-1 envelope ring. Masks
+    larger than ``trace_max`` are traced on a nearest-decimated grid — the
+    reference's ``-ovr`` option reads an overview level for exactly this
+    (apps/gdal_footprint_lib.cpp \"ovr\" handling); n_valid stays full-res.
+    """
+    from ..oracle import geom as G
+    from ..oracle.rasterize import label_components, trace_rings
+
+    def _trace_mask(mask, gt):
+        """mask (possibly decimated) + matching geotransform -> (kind, data)."""
+        labels, ncomp = label_components(mask.astype(np.uint8))
+        polys = []
+        for lbl in range(1, ncomp + 1):
+            sel = labels == lbl
+            if not mask[sel][0]:
+                continue  # background component (label_components labels 0s too)
+            rings_px = trace_rings(sel)
+            if not rings_px:
+                continue
+            areas = [abs(G._ring_signed_area(rg)) for rg in rings_px]
+            order = np.argsort(areas)[::-1]  # outer (largest) first
+            rings = []
+            for k in order:
+                rg = rings_px[k]
+                xs = gt[0] + rg[:, 0] * gt[1]
+                ys = gt[3] + rg[:, 1] * gt[5]
+                rings.append(np.column_stack([xs, ys]))
+            polys.append(rings)
+        if len(polys) == 1:
+            return "polygon", polys[0]
+        return "multipolygon", polys
 
     def gen(batches):
         for pdf in batches:
@@ -194,48 +229,73 @@ def footprint(images: DataFrame, threshold: int = 0) -> DataFrame:
                 a = decode(r.bytes)
                 mask = a[:, :, 0] > threshold
                 n = int(mask.sum())
-                gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+                h, w = mask.shape
+                gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
                 if n == 0:
                     out.append(dict(image_id=r.image_id, n_valid=0, wkb=None,
-                                    area_m2=0.0))
+                                    area_m2=0.0, n_rings=0))
                     continue
-                ys, xs = np.nonzero(mask)
-                x0, x1 = xs.min(), xs.max() + 1
-                y0, y1 = ys.min(), ys.max() + 1
-                minx = gt[0] + x0 * gt[1]
-                maxx = gt[0] + x1 * gt[1]
-                maxy = gt[3] + y0 * gt[5]
-                miny = gt[3] + y1 * gt[5]
-                ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
-                        (minx, miny)]
-                out.append(
-                    dict(
-                        image_id=r.image_id,
-                        n_valid=n,
-                        wkb=wkb_polygon(ring),
+                if mode == "bbox":
+                    ys, xs = np.nonzero(mask)
+                    x0, x1 = xs.min(), xs.max() + 1
+                    y0, y1 = ys.min(), ys.max() + 1
+                    minx, maxx = gt[0] + x0 * gt[1], gt[0] + x1 * gt[1]
+                    maxy, miny = gt[3] + y0 * gt[5], gt[3] + y1 * gt[5]
+                    out.append(dict(
+                        image_id=r.image_id, n_valid=n,
+                        wkb=wkb_polygon([(minx, miny), (maxx, miny),
+                                         (maxx, maxy), (minx, maxy),
+                                         (minx, miny)]),
                         area_m2=float((maxx - minx) * (maxy - miny)),
-                    )
-                )
-            yield pd.DataFrame(out, columns=["image_id", "n_valid", "wkb", "area_m2"])
+                        n_rings=1,
+                    ))
+                    continue
+                if h > trace_max or w > trace_max:
+                    dh, dw = min(h, trace_max), min(w, trace_max)
+                    tmask = resample_nearest(mask.astype(np.uint8), dh, dw) > 0
+                    tgt = [gt[0], gt[1] * w / dw, 0.0, gt[3], 0.0, gt[5] * h / dh]
+                else:
+                    tmask, tgt = mask, gt
+                kind, data = _trace_mask(tmask, tgt)
+                g = (kind, data)
+                out.append(dict(
+                    image_id=r.image_id, n_valid=n,
+                    wkb=G.to_wkb(kind, data),
+                    area_m2=float(G.area(g)),
+                    n_rings=int(sum(len(p) for p in data)
+                                if kind == "multipolygon" else len(data)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_valid", "wkb", "area_m2", "n_rings"]
+            )
 
     return images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
-        gen, schema="image_id string, n_valid long, wkb binary, area_m2 double"
+        gen,
+        schema="image_id string, n_valid long, wkb binary, area_m2 double, "
+               "n_rings int",
     )
 
 
 def zonal_stats(images: DataFrame, zone_zoom: int = 9) -> DataFrame:
     """Zonal statistics (alg/zonal.cpp:361 GDALRasterZonalStats): band-1
     pixels grouped by the mercator tile cell containing each pixel center.
+    Stats per apps/gdalalg_raster_zonal_stats.cpp:67-73: count, mean, stdev,
+    min, max, plus the order statistics median / mode / minority / variety.
 
-    Two-phase: per-image partial (count/sum/sumsq/min/max per zone, numpy
-    bincount inside the decode UDF — no per-pixel rows ever leave the task),
-    then one groupBy(zone) merge. The scalable zonal shape."""
+    Two-phase: per-image partial (count/sum/sumsq/min/max AND a 256-bin
+    histogram per zone — band values are uint8, so the histogram is a
+    LOSSLESS sufficient statistic for every order stat), then one
+    groupBy(zone) merge: scalar partials sum natively; histograms sum
+    element-wise JVM-side (``aggregate``/``zip_with``); the final
+    median/mode/minority/variety read the merged histogram in a tiny
+    factorizable UDF over one row per zone. No per-pixel rows ever shuffle."""
 
     def partials(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                a8 = decode(r.bytes)[:, :, 0]
+                a = a8.astype(np.float64)
                 h, w = a.shape
                 gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
                 # pixel-center mercator coords
@@ -257,17 +317,25 @@ def zonal_stats(images: DataFrame, zone_zoom: int = 9) -> DataFrame:
                 np.minimum.at(vmin, inv, flat_val)
                 vmax = np.full(uniq.size, -np.inf)
                 np.maximum.at(vmax, inv, flat_val)
+                # per-zone 256-bin histogram in one bincount over a fused key
+                fused = inv.astype(np.int64) * 256 + a8.ravel()
+                hist = np.bincount(fused, minlength=uniq.size * 256).reshape(
+                    uniq.size, 256
+                )
                 for j, z in enumerate(uniq):
                     out.append(
                         dict(zone=int(z), cnt=int(cnt[j]), s=float(s[j]),
                              s2=float(s2[j]), vmin=float(vmin[j]),
-                             vmax=float(vmax[j]))
+                             vmax=float(vmax[j]), hist=hist[j].tolist())
                     )
-            yield pd.DataFrame(out, columns=["zone", "cnt", "s", "s2", "vmin", "vmax"])
+            yield pd.DataFrame(
+                out, columns=["zone", "cnt", "s", "s2", "vmin", "vmax", "hist"]
+            )
 
     part = images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
         partials,
-        schema="zone long, cnt long, s double, s2 double, vmin double, vmax double",
+        schema="zone long, cnt long, s double, s2 double, vmin double, "
+               "vmax double, hist array<long>",
     )
     agg = part.groupBy("zone").agg(
         F.sum("cnt").alias("pixel_count"),
@@ -275,14 +343,43 @@ def zonal_stats(images: DataFrame, zone_zoom: int = 9) -> DataFrame:
         F.sum("s2").alias("_s2"),
         F.min("vmin").alias("zmin"),
         F.max("vmax").alias("zmax"),
+        F.aggregate(
+            F.collect_list("hist"),
+            F.array_repeat(F.lit(0).cast("long"), 256),
+            lambda acc, hh: F.zip_with(acc, hh, lambda x, y: x + y),
+        ).alias("_hist"),
     )
+
+    @F.pandas_udf("median double, mode int, minority int, variety int")
+    def order_stats(hists: pd.Series) -> pd.DataFrame:
+        rows = []
+        for hl in hists:
+            hist = np.asarray(hl, dtype=np.int64)
+            total = int(hist.sum())
+            csum = np.cumsum(hist)
+            # true median (average of the two middles for even counts)
+            lo_idx = int(np.searchsorted(csum, (total + 1) // 2))
+            hi_idx = int(np.searchsorted(csum, total // 2 + 1))
+            median = (lo_idx + hi_idx) / 2.0
+            present = np.nonzero(hist)[0]
+            mode = int(present[np.argmax(hist[present])])  # ties -> smallest
+            minority = int(present[np.argmin(hist[present])])
+            rows.append((median, mode, minority, int(present.size)))
+        return pd.DataFrame(
+            rows, columns=["median", "mode", "minority", "variety"]
+        )
+
     mean = F.col("_s") / F.col("pixel_count")
     var = F.col("_s2") / F.col("pixel_count") - mean * mean
-    return agg.select(
+    return agg.withColumn("_os", order_stats("_hist")).select(
         "zone", "pixel_count",
         F.round(mean, 4).alias("zmean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("zstd"),
         "zmin", "zmax",
+        F.col("_os.median").alias("zmedian"),
+        F.col("_os.mode").alias("zmode"),
+        F.col("_os.minority").alias("zminority"),
+        F.col("_os.variety").alias("zvariety"),
     )
 
 
@@ -410,22 +507,39 @@ def mosaic_tiles(images: DataFrame, zoom: int | None = None,
     image's base tiles at a fixed zoom, then merge tiles sharing (z, x, y)
     across images — 'mean' averages overlaps, 'last' takes the highest
     image_id (VRT ordering semantics: later sources on top)."""
-    from .tiling import TILE_SCHEMA, render_base_tiles, _tile_row
+    from .tiling import TILE_SCHEMA, _decode_tile, _tile_row, render_base_tiles
 
     z = zoom if zoom is not None else 8
-    base = render_base_tiles(images, zoom=z)
+    base = render_base_tiles(images, zoom=z, codec="raw")
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        zz, xx, yy = key
-        arrs = []
-        pdf = pdf.sort_values("image_id")
-        for r in pdf.itertuples(index=False):
-            arrs.append(decode(r.tile).astype(np.float64))
-        if reducer == "mean":
-            out = np.clip(np.floor(np.mean(arrs, axis=0) + 0.5), 0, 255).astype(np.uint8)
-        else:  # last
-            out = arrs[-1].astype(np.uint8)
-        row = _tile_row("__mosaic__", zz, xx, yy, out)
-        return pd.DataFrame([row])
+    # children gathered JVM-side (collect_list of per-image structs), merged
+    # in whole Arrow batches — applyInPandas on tiny (z,x,y) groups costs a
+    # pandas frame + UDF call per tile (~1 ms each), the trap the pyramid
+    # reducer already engineered around (tiling._reduce_level)
+    gathered = base.groupBy("z", "x", "y").agg(
+        F.sort_array(
+            F.collect_list(F.struct("image_id", "tile"))
+        ).alias("children")
+    )
 
-    return base.groupBy("z", "x", "y").applyInPandas(merge, schema=TILE_SCHEMA)
+    def merge(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arrs = [
+                    _decode_tile(bytes(c["tile"]), "raw").astype(np.float64)
+                    for c in r.children  # sort_array ordered by image_id
+                ]
+                if reducer == "mean":
+                    out = np.clip(
+                        np.floor(np.mean(arrs, axis=0) + 0.5), 0, 255
+                    ).astype(np.uint8)
+                else:  # last: highest image_id on top (VRT ordering)
+                    out = arrs[-1].astype(np.uint8)
+                rows.append(_tile_row("__mosaic__", r.z, r.x, r.y, out))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
+            )
+
+    return gathered.mapInPandas(merge, schema=TILE_SCHEMA)

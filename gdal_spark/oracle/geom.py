@@ -151,7 +151,11 @@ def wkb_point(x: float, y: float) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _ring_signed_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
+    # translate to the first vertex before the cross products: the shoelace
+    # is translation-invariant, and centering kills the catastrophic
+    # cancellation that absolute EPSG:3857 coords (~1e7) otherwise cause
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return float(0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
 
 
@@ -237,11 +241,14 @@ def centroid(g):
             return float(arr[:, 0].mean()), float(arr[:, 1].mean())
         return cx / tot_l, cy / tot_l
     polys = [d] if kind == "polygon" else d
+    # translate everything near the origin first (see _ring_signed_area:
+    # absolute EPSG:3857 coords make the cross products cancel badly)
+    ox, oy = polys[0][0][0] if polys and len(polys[0]) else (0.0, 0.0)
     tot_a, cx, cy = 0.0, 0.0, 0.0
     for rings in polys:
         for i, ring in enumerate(rings):
-            x, y = ring[:-1, 0], ring[:-1, 1]
-            xn, yn = ring[1:, 0], ring[1:, 1]
+            x, y = ring[:-1, 0] - ox, ring[:-1, 1] - oy
+            xn, yn = ring[1:, 0] - ox, ring[1:, 1] - oy
             cross = x * yn - xn * y
             a = cross.sum() / 2.0
             a_eff = abs(a) if i == 0 else -abs(a)  # holes subtract
@@ -252,6 +259,7 @@ def centroid(g):
             tot_a += a_eff
             cx += gx * a_eff
             cy += gy * a_eff
+    cx, cy = cx + ox * (tot_a if tot_a else 0), cy + oy * (tot_a if tot_a else 0)
     if tot_a == 0:
         arr = np.vstack([np.vstack(r) for r in polys])
         return float(arr[:, 0].mean()), float(arr[:, 1].mean())

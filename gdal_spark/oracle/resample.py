@@ -170,7 +170,20 @@ def _lanczos_weight(x):
     return out
 
 
-_KERNELS = {"cubic": (_cubic_weight, 2), "lanczos": (_lanczos_weight, 3)}
+def _bspline_weight(x):
+    """Cubic B-spline (GRA_CubicSpline; alg/gdalwarpkernel.cpp:3817
+    GWKBSpline): sum of clipped cubics; the reference's 1/6 factor is
+    omitted there too — per-pixel normalization cancels any constant."""
+    ax = np.abs(x)
+    inner = (2.0 - ax) ** 3 - 4.0 * np.maximum(1.0 - ax, 0.0) ** 3
+    return np.where(ax < 2.0, np.maximum(inner, 0.0), 0.0)
+
+
+_KERNELS = {
+    "cubic": (_cubic_weight, 2),
+    "lanczos": (_lanczos_weight, 3),
+    "cubicspline": (_bspline_weight, 2),
+}
 
 
 def _convolve_axis(src, out_n, axis, kernel, radius):
@@ -235,6 +248,89 @@ def resample_average(src, out_h, out_w):
     return out.astype(src_arr.dtype)
 
 
+def _round_int(out, dtype):
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(dtype)
+    return out.astype(dtype)
+
+
+def resample_stat(src, out_h, out_w, stat: str):
+    """Box-statistic downsample kernels GRA_Min/Max/Med/Q1/Q3/Sum/RMS
+    (alg/gdalwarpkernel.cpp:102-136 enum; GWKAverageOrModeThread impl):
+
+    * min/max/sum: reduction over the source pixels covered by each
+      destination cell (sum is the whole-pixel-coverage case of the
+      sum-preserving kernel);
+    * rms: sqrt(mean of squares) (gdalwarpkernel.cpp:8032-8075);
+    * med/q1/q3: sorted-pick quantile with the reference's exact index rule
+      ``ceil(q * n - 1)`` — no interpolation (gdalwarpkernel.cpp:8337-8341).
+
+    Even-factor grids reduce fully vectorized (reshape blocks); ragged
+    grids fall back to the per-cell loop.
+    """
+    src_arr = np.asarray(src)
+    h, w = src_arr.shape[0], src_arr.shape[1]
+    quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(stat)
+
+    def reduce_block(block):
+        # block axes: (..., k) with k = pixels of one destination cell
+        if stat == "min":
+            return block.min(axis=-1)
+        if stat == "max":
+            return block.max(axis=-1)
+        if stat == "sum":
+            return block.astype(np.float64).sum(axis=-1)
+        if stat == "rms":
+            b = block.astype(np.float64)
+            return np.sqrt((b * b).mean(axis=-1))
+        n = block.shape[-1]
+        qi = int(np.ceil(quant * n - 1))
+        return np.sort(block, axis=-1)[..., max(qi, 0)]
+
+    if h % out_h == 0 and w % out_w == 0:
+        fy, fx = h // out_h, w // out_w
+        if src_arr.ndim == 3:
+            blocks = (
+                src_arr.reshape(out_h, fy, out_w, fx, src_arr.shape[2])
+                .transpose(0, 2, 4, 1, 3)
+                .reshape(out_h, out_w, src_arr.shape[2], fy * fx)
+            )
+        else:
+            blocks = (
+                src_arr.reshape(out_h, fy, out_w, fx)
+                .transpose(0, 2, 1, 3)
+                .reshape(out_h, out_w, fy * fx)
+            )
+        out = reduce_block(blocks)
+    else:
+        ylo, yhi = _box_slices(out_h, h)
+        xlo, xhi = _box_slices(out_w, w)
+        out = np.empty((out_h, out_w) + src_arr.shape[2:], dtype=np.float64)
+        for r in range(out_h):
+            band = src_arr[ylo[r] : yhi[r]]
+            for c in range(out_w):
+                block = band[:, xlo[c] : xhi[c]]
+                flat = (
+                    block.reshape(-1, block.shape[2]).T
+                    if block.ndim == 3 else block.reshape(1, -1)
+                )
+                v = reduce_block(flat)
+                out[r, c] = v if block.ndim == 3 else v[0]
+
+    if stat in ("min", "max") or quant is not None:
+        return out.astype(src_arr.dtype)  # picked source values: exact
+    if stat == "sum":
+        if np.issubdtype(src_arr.dtype, np.integer):
+            info = np.iinfo(src_arr.dtype)
+            return np.clip(out, info.min, info.max).astype(src_arr.dtype)
+        return out.astype(src_arr.dtype)
+    return _round_int(out, src_arr.dtype)  # rms
+
+
+STAT_KERNELS = ("min", "max", "med", "q1", "q3", "sum", "rms")
+
+
 def resample_mode(src, out_h, out_w):
     """Mode downsample (GRA_Mode): most frequent value in each destination
     cell; ties -> smallest value (deterministic)."""
@@ -259,12 +355,15 @@ def resample_mode(src, out_h, out_w):
 # querysize multiplier per method, after gdal2tiles options_post_processing
 # (near -> tile, bilinear -> 2x, everything else reads a 4x canvas)
 QUERYSIZE_FACTOR = {"nearest": 1, "bilinear": 2, "cubic": 4, "lanczos": 4,
-                    "average": 4, "mode": 4}
+                    "cubicspline": 4, "average": 4, "mode": 4,
+                    **{k: 4 for k in STAT_KERNELS}}
 
 
 def scale_to_tile(window, tile_size=256, method="nearest"):
     """Resize an extracted source window to a tile_size² tile —
-    the role of gdal2tiles' ``scale_query_to_tile`` (gdal2tiles.py:838-932)."""
+    the role of gdal2tiles' ``scale_query_to_tile`` (gdal2tiles.py:838-932).
+    Full warp-kernel set (alg/gdalwarper.h:37-67): near, bilinear, cubic,
+    cubicspline, lanczos, average, mode, min, max, med, q1, q3, sum, rms."""
     if method == "nearest":
         return resample_nearest(window, tile_size, tile_size)
     if method == "bilinear":
@@ -275,6 +374,8 @@ def scale_to_tile(window, tile_size=256, method="nearest"):
         return resample_average(window, tile_size, tile_size)
     if method == "mode":
         return resample_mode(window, tile_size, tile_size)
+    if method in STAT_KERNELS:
+        return resample_stat(window, tile_size, tile_size, method)
     raise ValueError(f"unsupported resampling {method!r}")
 
 

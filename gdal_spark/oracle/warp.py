@@ -52,9 +52,38 @@ def suggested_output(src_gt, w, h):
     return dst_gt, out_w, out_h
 
 
+def _convolve_irregular(src, centers, axis, kernel, radius):
+    """1-D convolution resize along ``axis`` with arbitrary (monotonic)
+    fractional source centers (pixel-center space), edge clamp and
+    per-output weight normalization — the irregular-grid analogue of
+    resample._convolve_axis used by the warp path."""
+    src_n = src.shape[axis]
+    centers = np.asarray(centers, dtype=np.float64)
+    # local scale: widen the kernel when the warp downsamples
+    d = np.abs(np.gradient(centers)) if centers.size > 1 else np.ones(1)
+    ksc = max(float(d.mean()), 1.0)
+    half = int(np.ceil(radius * ksc))
+    offs = np.arange(-half, half + 1)
+    idx = np.floor(centers)[:, None] + offs[None, :]
+    w = kernel((idx - centers[:, None]) / ksc)
+    s = w.sum(axis=1, keepdims=True)
+    s[s == 0] = 1.0
+    w = w / s
+    idx = np.clip(idx, 0, src_n - 1).astype(np.int64)
+    moved = np.moveaxis(src, axis, 0)
+    gathered = moved[idx]
+    out = np.einsum("ok,ok...->o...", w, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
 def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
                       fill=0):
     """Warp a north-up EPSG:3857 image to EPSG:4326.
+
+    ``method``: nearest, bilinear, cubic, cubicspline, or lanczos (the
+    warp kernels that sample a point neighborhood; the box-statistic
+    kernels min/max/med/q1/q3/sum/rms apply to the tiling/overview path,
+    oracle/resample.resample_stat).
 
     approx_every > 0 enables the approximate transformer: exact inverse
     transform every ``approx_every``-th column, linear interpolation between
@@ -118,6 +147,20 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
             wxx = wx[None, :]
             wyy = wy[:, None]
         out = (a * (1 - wxx) + b * wxx) * (1 - wyy) + (c * (1 - wxx) + d * wxx) * wyy
+        ok_x = (fx >= 0) & (fx <= w)
+        ok_y = (fy >= 0) & (fy <= h)
+        mask = np.outer(ok_y, ok_x)
+    elif method in ("cubic", "cubicspline", "lanczos"):
+        # separable convolution warp: the 3857->4326 transform maps dst x
+        # only to src x and dst y only to src y, so the 2-D kernel factors
+        # into two 1-D passes with irregular sample centers — the structure
+        # of GWKResampleNoMasks (alg/gdalwarpkernel.cpp convolution path)
+        from .resample import _KERNELS
+
+        kernel, radius = _KERNELS[method]
+        out = _convolve_irregular(np.asarray(arr, np.float64), fy - 0.5, 0,
+                                  kernel, radius)
+        out = _convolve_irregular(out, fx - 0.5, 1, kernel, radius)
         ok_x = (fx >= 0) & (fx <= w)
         ok_y = (fy >= 0) & (fy <= h)
         mask = np.outer(ok_y, ok_x)

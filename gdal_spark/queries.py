@@ -707,6 +707,18 @@ def warp_wgs84_q(spark, sf_dir):
     return warp_to_wgs84(imgs, "bilinear").select("image_id", "cs1", "cs2", "cs3")
 
 
+@q("warp_wgs84_cubic", None)
+def warp_wgs84_cubic_q(spark, sf_dir):
+    """gdalwarp with the cubic (Catmull-Rom) kernel — the full kernel set
+    (near/bilinear/cubic/cubicspline/lanczos) flows through the same
+    separable-convolution warp (alg/gdalwarpkernel.cpp kernel table)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return warp_to_wgs84(imgs, "cubic").select("image_id", "cs1", "cs2", "cs3")
+
+
 @q("dem_hillshade", None)
 def dem_hillshade_q(spark, sf_dir):
     """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328) over
@@ -919,38 +931,31 @@ def sieve_proximity_q(spark, sf_dir):
 def st_functions_sql(spark, sf_dir):
     """ST_* SQL surface (ogrsqlitesqlfunctions.cpp parity): area, centroid,
     containment and distance over footprint polygons + caption points,
-    straight from spark.sql."""
-    import pandas as pd
-
+    straight from spark.sql. Center points are built executor-side
+    (mercator column expressions + ST_MakePoint) — no driver collect."""
     from .fixtures.images import images_df
+    from .functions import cells as C
     from .operators.rasterops import footprint
-    from .sql.ogr_compat import register_st_functions, wkb_point
+    from .sql.ogr_compat import register_st_functions
 
     register_st_functions(spark)
     n = min(_images_n(sf_dir), 100)
     imgs = images_df(spark, n).persist()
     fp = footprint(imgs, threshold=-1)
     fp.createOrReplaceTempView("footprints")
-    centers = imgs.select("image_id", "lon", "lat").toPandas()
-    from .oracle import mercator as M
-
-    mx, my = M.lonlat_to_meters(centers["lon"].to_numpy(), centers["lat"].to_numpy())
-    pts = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "image_id": centers["image_id"],
-                "pt": [wkb_point(float(a), float(b)) for a, b in zip(mx, my)],
-            }
-        )
-    )
-    pts.createOrReplaceTempView("centers")
+    imgs.select(
+        "image_id",
+        C.mercator_x("lon").alias("mx"),
+        C.mercator_y("lat").alias("my"),
+    ).createOrReplaceTempView("centers_xy")
     return spark.sql(
         """
         SELECT f.image_id,
                ROUND(ST_Area(f.wkb), 1) AS area,
-               ST_Within(c.pt, f.wkb) AS center_inside,
-               ROUND(ST_Distance(ST_Centroid(f.wkb), c.pt), 1) AS centroid_dist
-        FROM footprints f JOIN centers c ON f.image_id = c.image_id
+               ST_Within(ST_MakePoint(c.mx, c.my), f.wkb) AS center_inside,
+               ROUND(ST_Distance(ST_Centroid(f.wkb),
+                                 ST_MakePoint(c.mx, c.my)), 1) AS centroid_dist
+        FROM footprints f JOIN centers_xy c ON f.image_id = c.image_id
         """
     )
 

@@ -55,6 +55,80 @@ class TestKernels:
         a = np.array([[1, 2], [2, 1]], dtype=np.uint8)
         assert RS.resample_mode(a, 1, 1)[0, 0] == 1
 
+    def test_cubicspline_constant_and_smoothing(self):
+        a = np.full((16, 16), 77, dtype=np.uint8)
+        assert (RS.resample_convolve(a, 8, 8, "cubicspline") == 77).all()
+        # B-spline SMOOTHS (unlike Catmull-Rom it does not interpolate):
+        # an impulse spreads mass to its neighbors
+        b = np.zeros((9, 9), dtype=np.float64)
+        b[4, 4] = 81.0
+        out = RS.resample_convolve(b, 9, 9, "cubicspline")
+        assert 0 < out[4, 4] < 81.0 and out[4, 3] > 0
+
+    def test_stat_kernels_even_factor(self):
+        a = np.array([[1, 2, 5, 6], [3, 4, 7, 8],
+                      [9, 10, 13, 14], [11, 12, 15, 16]], dtype=np.uint8)
+        assert (RS.resample_stat(a, 2, 2, "min")
+                == np.array([[1, 5], [9, 13]], np.uint8)).all()
+        assert (RS.resample_stat(a, 2, 2, "max")
+                == np.array([[4, 8], [12, 16]], np.uint8)).all()
+        np.testing.assert_array_equal(
+            RS.resample_stat(a.astype(np.float64), 2, 2, "sum"),
+            [[10.0, 26.0], [42.0, 58.0]],
+        )
+        # med over 4 sorted values picks index ceil(0.5*4 - 1) = 1
+        assert (RS.resample_stat(a, 2, 2, "med")
+                == np.array([[2, 6], [10, 14]], np.uint8)).all()
+        # q1 -> ceil(.25*4-1) = 0, q3 -> ceil(.75*4-1) = 2
+        assert (RS.resample_stat(a, 2, 2, "q1")
+                == np.array([[1, 5], [9, 13]], np.uint8)).all()
+        assert (RS.resample_stat(a, 2, 2, "q3")
+                == np.array([[3, 7], [11, 15]], np.uint8)).all()
+        rms = RS.resample_stat(a, 2, 2, "rms")
+        exp = np.floor(np.sqrt([[30 / 4, 174 / 4], [446 / 4, 846 / 4]]) + 0.5)
+        np.testing.assert_array_equal(rms, exp.astype(np.uint8))
+
+    def test_stat_kernels_ragged_matches_blocked(self):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 255, (12, 12), dtype=np.uint8)
+        for stat in RS.STAT_KERNELS:
+            even = RS.resample_stat(a, 4, 4, stat)  # factor 3: even
+            # ragged: 12 -> 5 exercises the per-cell loop path; just shape +
+            # bound checks (boxes differ from even factors by construction)
+            ragged = RS.resample_stat(a, 5, 5, stat)
+            assert even.shape == (4, 4) and ragged.shape == (5, 5)
+            if stat in ("min", "max", "med", "q1", "q3"):
+                assert set(np.unique(ragged)) <= set(np.unique(a))
+
+    def test_stat_kernels_3band(self):
+        a = np.stack([np.full((4, 4), v, np.uint8) for v in (10, 20, 30)], 2)
+        for stat in ("min", "max", "med", "rms"):
+            out = RS.resample_stat(a, 2, 2, stat)
+            assert out.shape == (2, 2, 3)
+            assert (out[..., 0] == 10).all() and (out[..., 2] == 30).all()
+
+    def test_warp_convolution_kernels(self):
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        rng = np.random.default_rng(8)
+        a = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        gt = geotransform_3857(5.0, 45.0, 64, 64, 100.0)
+        near, _ = warp_3857_to_4326(a, gt, "nearest")
+        for m in ("cubic", "cubicspline", "lanczos"):
+            out, dst_gt = warp_3857_to_4326(a, gt, m)
+            assert out.shape == near.shape and out.dtype == np.uint8
+            # interiors track the nearest warp closely on average
+            diff = np.abs(out[8:-8, 8:-8].astype(float)
+                          - near[8:-8, 8:-8].astype(float))
+            assert diff.mean() < 40, (m, diff.mean())
+        const = np.full((32, 32), 200, np.uint8)
+        gt2 = geotransform_3857(5.0, 45.0, 32, 32, 100.0)
+        for m in ("cubic", "cubicspline", "lanczos"):
+            out, _ = warp_3857_to_4326(const, gt2, m)
+            inner = out[4:-4, 4:-4]
+            assert (inner == 200).all(), m
+
     @pytest.mark.parametrize("method", ["cubic", "lanczos", "average", "mode"])
     def test_scale_to_tile_all_methods(self, method):
         from gdal_spark.fixtures.images import make_pixels

@@ -148,6 +148,51 @@ class TestFootprintZonal:
             assert got.loc[z, "zmean"] == pytest.approx(round(vals.mean(), 4), abs=2e-4)
             assert got.loc[z, "zmin"] == vals.min()
             assert got.loc[z, "zmax"] == vals.max()
+            # round-2 order statistics from the merged histogram: exact
+            assert got.loc[z, "zmedian"] == np.median(vals)
+            iv = vals.astype(np.int64)
+            counts = np.bincount(iv, minlength=256)
+            present = np.nonzero(counts)[0]
+            assert got.loc[z, "zmode"] == present[np.argmax(counts[present])]
+            assert got.loc[z, "zminority"] == present[np.argmin(counts[present])]
+            assert got.loc[z, "zvariety"] == present.size
+
+    def test_footprint_traced_with_hole(self, spark):
+        """A donut mask footprints as one polygon with an interior ring;
+        two blobs footprint as a MultiPolygon (gdal_footprint parity:
+        polygonized mask, not its bbox)."""
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.operators.rasterops import footprint
+        from gdal_spark.oracle import geom as G
+
+        a = np.zeros((32, 32, 3), dtype=np.uint8)
+        a[4:28, 4:28] = 200   # big square
+        a[12:20, 12:20] = 0   # hole
+        b = np.zeros((32, 32, 3), dtype=np.uint8)
+        b[2:10, 2:10] = 100
+        b[20:30, 20:30] = 100  # two components
+        pdf = pd.DataFrame([
+            dict(image_id="donut", bytes=encode(a, "png"), w=32, h=32,
+                 fmt="png", caption="", phash=0, lon=5.0, lat=45.0,
+                 gsd_m=10.0),
+            dict(image_id="blobs", bytes=encode(b, "png"), w=32, h=32,
+                 fmt="png", caption="", phash=0, lon=6.0, lat=46.0,
+                 gsd_m=10.0),
+        ])
+        got = footprint(
+            spark.createDataFrame(pdf), threshold=0
+        ).toPandas().set_index("image_id")
+        donut = G.parse_wkb(bytes(got.loc["donut", "wkb"]))
+        assert donut[0] == "polygon" and len(donut[1]) == 2  # outer + hole
+        assert got.loc["donut", "n_valid"] == 24 * 24 - 8 * 8
+        assert got.loc["donut", "area_m2"] == pytest.approx(
+            (24 * 24 - 8 * 8) * 100.0
+        )
+        blobs = G.parse_wkb(bytes(got.loc["blobs", "wkb"]))
+        assert blobs[0] == "multipolygon" and len(blobs[1]) == 2
+        assert got.loc["blobs", "area_m2"] == pytest.approx(
+            (64 + 100) * 100.0
+        )
 
     def test_sample_at_points(self, spark, imgs, imgs_pdf):
         from gdal_spark.operators.rasterops import sample_at_points
