@@ -19,10 +19,13 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def grid_interpolate(points: DataFrame, minx: float, miny: float,
-                     cell: float, nx: int, ny: int, radius: float,
+                     cell: float, nx: int, ny: int, radius: float = 0.0,
                      algorithm: str = "invdist", power: float = 2.0,
                      x: str = "x", y: str = "y", v: str = "v",
-                     smoothing: float = 0.0) -> DataFrame:
+                     smoothing: float = 0.0,
+                     radius1: float | None = None,
+                     radius2: float | None = None, angle: float = 0.0,
+                     min_points: int = 0, max_points: int = 0) -> DataFrame:
     """Rasterize scattered (x, y, v) onto an (nx, ny) grid.
 
     Output rows: (px, py, value, n) for pixels with >= 1 point in radius —
@@ -31,13 +34,24 @@ def grid_interpolate(points: DataFrame, minx: float, miny: float,
       invdist   sum(v / d^power) / sum(1 / d^power)   (gdalgrid.cpp:110)
       average   mean(v in radius)                     (:630)
       nearest   v of the closest point                (:905)
-      count / vmin / vmax / range                     data metrics (:1024+)
+      count / vmin / vmax / range / avg_distance      data metrics (:1024+)
     Distances use pixel centers; d==0 contributes the point value exactly
     (the reference's dfR2==0 branch takes the point value).
+
+    Search window: circular ``radius``, or a ROTATED ELLIPSE via
+    ``radius1/radius2/angle`` (degrees) with the reference's exact membership
+    test ``r2²·x'² + r1²·y'² <= r1²·r2`` after rotating the offset by
+    angle (gdalgrid.cpp:652-695). ``min_points``: pixels with fewer points
+    emit nothing (nodata). ``max_points`` (invdist): only the nearest
+    max_points points contribute — the IDW nearest-neighbor variant
+    (GDALGridInverseDistanceToAPowerNearestNeighbor, gdalgrid.cpp:905 family)
+    — implemented as a per-pixel distance top-k window before the aggregate.
     """
+    ellipse = radius1 is not None and radius2 is not None
+    search_r = max(radius1, radius2) if ellipse else radius
     maxy = miny + ny * cell
-    # how many cells the radius can span
-    span = int(np.ceil(radius / cell))
+    # how many cells the search radius can span
+    span = int(np.ceil(search_r / cell))
 
     pts = points.select(
         F.col(x).alias("_x"), F.col(y).alias("_y"), F.col(v).alias("_v")
@@ -58,8 +72,33 @@ def grid_interpolate(points: DataFrame, minx: float, miny: float,
     # pixel-center coords
     pcx = F.lit(minx) + (F.col("_px") + 0.5) * F.lit(cell)
     pcy = F.lit(maxy) - (F.col("_py") + 0.5) * F.lit(cell)
-    d2 = (F.col("_x") - pcx) ** 2 + (F.col("_y") - pcy) ** 2
-    in_r = exploded.withColumn("_d2", d2).where(F.col("_d2") <= radius * radius)
+    rx = F.col("_x") - pcx
+    ry = F.col("_y") - pcy
+    d2 = rx**2 + ry**2
+    if ellipse:
+        a = np.radians(angle)
+        c1, c2 = float(np.cos(a)), float(np.sin(a))
+        rxr = rx * c1 + ry * c2  # gdalgrid.cpp:685-688 rotation
+        ryr = ry * c1 - rx * c2
+        member = (
+            F.lit(radius2**2) * rxr**2 + F.lit(radius1**2) * ryr**2
+            <= F.lit(radius1**2 * radius2**2)
+        )
+    else:
+        member = d2 <= radius * radius
+    in_r = exploded.withColumn("_d2", d2).where(member)
+
+    if max_points > 0:
+        from pyspark.sql import Window
+
+        w_nn = Window.partitionBy("_px", "_py").orderBy(
+            F.col("_d2").asc(), F.col("_x").asc(), F.col("_y").asc()
+        )
+        in_r = (
+            in_r.withColumn("_nnr", F.row_number().over(w_nn))
+            .where(F.col("_nnr") <= max_points)
+            .drop("_nnr")
+        )
 
     g = in_r.groupBy("_px", "_py")
     if algorithm == "invdist":
@@ -90,17 +129,19 @@ def grid_interpolate(points: DataFrame, minx: float, miny: float,
             F.col("_px").alias("px"), F.col("_py").alias("py"),
             F.round(agg["_nearest"]["_v"], 6).alias("value"), "n",
         )
-    elif algorithm in ("count", "vmin", "vmax", "range"):
+    elif algorithm in ("count", "vmin", "vmax", "range", "avg_distance"):
         agg = g.agg(
             F.count("*").alias("n"),
             F.min("_v").alias("_mn"),
             F.max("_v").alias("_mx"),
+            F.avg(F.sqrt("_d2")).alias("_ad"),
         )
         value = {
             "count": F.col("n").cast("double"),
             "vmin": F.col("_mn"),
             "vmax": F.col("_mx"),
             "range": F.col("_mx") - F.col("_mn"),
+            "avg_distance": F.col("_ad"),
         }[algorithm]
         out = agg.select(
             F.col("_px").alias("px"), F.col("_py").alias("py"),
@@ -108,4 +149,6 @@ def grid_interpolate(points: DataFrame, minx: float, miny: float,
         )
     else:
         raise ValueError(f"unknown gridding algorithm {algorithm!r}")
+    if min_points > 0:
+        out = out.where(F.col("n") >= min_points)
     return out

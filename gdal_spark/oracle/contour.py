@@ -65,6 +65,54 @@ def contour_segments(band, levels):
     return segs
 
 
+def contour_polylines(band, levels):
+    """Chain marching-squares segments into iso-polylines per level — the
+    reference's segment-merge phase (alg/contour.cpp SegmentMerger /
+    alg/marching_squares ring assembly). Returns {level: [ (N,2) arrays ]}
+    with (x, y) pixel-center coordinates; closed rings repeat their first
+    point. Endpoints join on 1e-9-quantized coordinates."""
+    segs = contour_segments(band, levels)
+    out = {}
+    by_level = {}
+    for lv, x1, y1, x2, y2 in segs:
+        by_level.setdefault(lv, []).append(((x1, y1), (x2, y2)))
+
+    def key(p):
+        return (round(p[0] * 1e9), round(p[1] * 1e9))
+
+    for lv, pairs in by_level.items():
+        adj = {}
+        for i, (a, b) in enumerate(pairs):
+            adj.setdefault(key(a), []).append((i, b))
+            adj.setdefault(key(b), []).append((i, a))
+        used = [False] * len(pairs)
+        lines = []
+        for start_i, (pa, pb) in enumerate(pairs):
+            if used[start_i]:
+                continue
+            used[start_i] = True
+            # grow both directions from the seed segment
+            line = [pa, pb]
+            for end in (1, 0):
+                while True:
+                    k = key(line[-1] if end else line[0])
+                    nxt = None
+                    for i, other in adj.get(k, ()):
+                        if not used[i]:
+                            nxt = (i, other)
+                            break
+                    if nxt is None:
+                        break
+                    used[nxt[0]] = True
+                    if end:
+                        line.append(nxt[1])
+                    else:
+                        line.insert(0, nxt[1])
+            lines.append(np.asarray(line, dtype=np.float64))
+        out[lv] = lines
+    return out
+
+
 def contour_summary(band, levels):
     """Per-level (n_segments, total_length) — the tabular contour output."""
     segs = contour_segments(band, levels)

@@ -147,6 +147,62 @@ def average_2x2(src):
     return acc.astype(src.dtype)
 
 
+def rms_2x2(src):
+    """2x2 RMS downsample (gcore/overview.cpp AverageOrRMS, RMS branch):
+    sqrt of the block mean of squares, rounded half-up for integers."""
+    src = np.asarray(src)
+    h, w = src.shape[0] & ~1, src.shape[1] & ~1
+    s = src[:h, :w].astype(np.float64)
+    sq = s * s
+    blocks = (
+        sq.reshape(h // 2, 2, w // 2, 2, s.shape[2]) if s.ndim == 3
+        else sq.reshape(h // 2, 2, w // 2, 2)
+    )
+    out = np.sqrt(blocks.mean(axis=(1, 3)))
+    if np.issubdtype(src.dtype, np.integer):
+        info = np.iinfo(src.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(src.dtype)
+    return out.astype(src.dtype)
+
+
+_GAUSS3 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)
+
+
+def gauss_2x2(src):
+    """2x Gauss overview (gcore/overview.cpp:1996 GDALResampleChunk_Gauss,
+    3x3 kernel for factor 2): output pixel (i, j) convolves the 3x3 window
+    rooted at source (2i, 2j) with [[1,2,1],[2,4,2],[1,2,1]], truncated and
+    re-normalized at the bottom/right image edges (overview.cpp:2101-2160
+    window clamp + weight accumulation)."""
+    src = np.asarray(src)
+    if src.ndim == 3:
+        return np.stack(
+            [gauss_2x2(src[:, :, c]) for c in range(src.shape[2])], axis=2
+        )
+    h, w = src.shape
+    oh, ow = h // 2, w // 2
+    acc = np.zeros((oh, ow), dtype=np.float64)
+    wsum = np.zeros((oh, ow), dtype=np.float64)
+    s = src.astype(np.float64)
+    for di in range(3):
+        rows = 2 * np.arange(oh) + di
+        rok = rows < h
+        for dj in range(3):
+            cols = 2 * np.arange(ow) + dj
+            cok = cols < w
+            if not (rok.any() and cok.any()):
+                continue
+            kw = _GAUSS3[di, dj]
+            block = s[np.ix_(rows[rok], cols[cok])]
+            acc[np.ix_(rok, cok)] += kw * block
+            wsum[np.ix_(rok, cok)] += kw
+    out = acc / wsum
+    if np.issubdtype(src.dtype, np.integer):
+        info = np.iinfo(src.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(src.dtype)
+    return out.astype(src.dtype)
+
+
 def _cubic_weight(x):
     """Catmull-Rom (a = -0.5), GDAL's 'cubic' (alg/gdalwarper.h GRA_Cubic;
     kernel in alg/gdalwarpkernel.cpp GWKCubicComputeWeights)."""

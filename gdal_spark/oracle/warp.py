@@ -52,6 +52,80 @@ def suggested_output(src_gt, w, h):
     return dst_gt, out_w, out_h
 
 
+def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
+                     south: bool = False, fill=0):
+    """Warp a north-up UTM image (EPSG:326xx/327xx) to EPSG:4326 — the
+    reference's benchmark workload (autotest/benchmark/test_gdalwarp.py:24,
+    EPSG:32631 -> 4326), powered by the closed-form Krüger transform
+    (oracle/utm.py; PROJ-free).
+
+    Unlike 3857->4326 this mapping is NOT separable, so every destination
+    pixel center is inverse-projected individually (vectorized meshgrid) —
+    the full GDALWarpKernel shape (transform dst centers, sample src).
+    Output sizing samples the source boundary at 21 points per edge, the
+    GDALSuggestedWarpOutput2 grid density (alg/gdaltransformer.cpp:342).
+    """
+    from . import utm as U
+
+    h, w = arr.shape[0], arr.shape[1]
+    ts = np.linspace(0.0, 1.0, 21)
+    bx = np.concatenate([ts * w, ts * w, np.zeros(21), np.full(21, float(w))])
+    by = np.concatenate([np.zeros(21), np.full(21, float(h)), ts * h, ts * h])
+    be = src_gt[0] + bx * src_gt[1]
+    bn = src_gt[3] + by * src_gt[5]
+    lon_b, lat_b = U.utm_to_lonlat(be, bn, zone, south)
+    minlon, maxlon = lon_b.min(), lon_b.max()
+    minlat, maxlat = lat_b.min(), lat_b.max()
+    out_w, out_h = w, h
+    dst_gt = [minlon, (maxlon - minlon) / out_w, 0.0,
+              maxlat, 0.0, -(maxlat - minlat) / out_h]
+
+    lon_c = dst_gt[0] + (np.arange(out_w) + 0.5) * dst_gt[1]
+    lat_c = dst_gt[3] + (np.arange(out_h) + 0.5) * dst_gt[5]
+    lon_g, lat_g = np.meshgrid(lon_c, lat_c)
+    E, N = U.lonlat_to_utm(lon_g, lat_g, zone, south)
+    fx = (E - src_gt[0]) / src_gt[1]
+    fy = (N - src_gt[3]) / src_gt[5]
+
+    if method == "nearest":
+        ix = np.floor(fx).astype(np.int64)
+        iy = np.floor(fy).astype(np.int64)
+        mask = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out = arr[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)].astype(np.float64)
+    elif method == "bilinear":
+        gx = fx - 0.5
+        gy = fy - 0.5
+        x0 = np.clip(np.floor(gx).astype(np.int64), 0, w - 1)
+        y0 = np.clip(np.floor(gy).astype(np.int64), 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        wx = np.clip(gx - x0, 0.0, 1.0)
+        wy = np.clip(gy - y0, 0.0, 1.0)
+        if arr.ndim == 3:
+            wx = wx[:, :, None]
+            wy = wy[:, :, None]
+        out = (
+            arr[y0, x0].astype(np.float64) * (1 - wx) * (1 - wy)
+            + arr[y0, x1].astype(np.float64) * wx * (1 - wy)
+            + arr[y1, x0].astype(np.float64) * (1 - wx) * wy
+            + arr[y1, x1].astype(np.float64) * wx * wy
+        )
+        mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
+    else:
+        raise ValueError(method)
+
+    if arr.ndim == 3:
+        out = np.where(mask[:, :, None], out, float(fill))
+    else:
+        out = np.where(mask, out, float(fill))
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(arr.dtype)
+    else:
+        out = out.astype(arr.dtype)
+    return out, dst_gt
+
+
 def _convolve_irregular(src, centers, axis, kernel, radius):
     """1-D convolution resize along ``axis`` with arbitrary (monotonic)
     fractional source centers (pixel-center space), edge clamp and

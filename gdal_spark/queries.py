@@ -614,6 +614,75 @@ def image_decode_stats(spark, sf_dir):
     )
 
 
+# band 1 is (x + y*w) % 256 over w*h pixels (fixtures make_pixels), so its
+# exact sum/sum-of-squares have closed forms: c full 0..255 cycles plus a
+# partial run — a DuckDB value gate on the real zlib PNG decode + stats.
+_DECODE_STATS_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0  -- png rows only (jpeg/webp are deterministic-lossy)
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+sums AS (
+  SELECT i, w, h, CAST(w AS BIGINT) * h AS n,
+         (CAST(w AS BIGINT) * h) // 256 AS c,
+         (CAST(w AS BIGINT) * h) % 256 AS r
+  FROM meta
+)
+SELECT printf('img%08d', i) AS image_id,
+       0 AS min1,
+       CASE WHEN n >= 256 THEN 255 ELSE n - 1 END AS max1,
+       ROUND((c * 32640.0 + r * (r - 1) / 2.0) / n, 4) AS mean1,
+       ROUND(sqrt((c * 5559680.0 + (r - 1) * r * (2 * r - 1) / 6.0) / n
+                  - ((c * 32640.0 + r * (r - 1) / 2.0) / n)
+                    * ((c * 32640.0 + r * (r - 1) / 2.0) / n)), 4) AS std1
+FROM sums
+"""
+
+
+@q("decode_stats_png", _DECODE_STATS_SQL)
+def decode_stats_png_q(spark, sf_dir):
+    """Band statistics value-oracled end to end: decode the (real, zlib)
+    PNG bytes, compute min/max/mean/std of band 1; DuckDB derives the same
+    numbers from the closed-form pixel cycle — gates the codec AND the
+    stats kernel."""
+    import pandas as pd
+
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "png":
+                    continue
+                a = _dec(r.bytes)
+                out.append(dict(
+                    image_id=r.image_id,
+                    min1=int(a[..., 0].min()), max1=int(a[..., 0].max()),
+                    mean1=float(np.round(a[..., 0].mean(), 4)),
+                    std1=float(np.round(a[..., 0].std(), 4)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "min1", "max1", "mean1", "std1"]
+            )
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.mapInPandas(
+        stats,
+        schema="image_id string, min1 int, max1 int, mean1 double, std1 double",
+    )
+
+
 @q("caption_passthrough", None)
 def caption_passthrough(spark, sf_dir):
     """Captions survive the full pipeline byte-identical (input_hint gate):
@@ -719,6 +788,27 @@ def warp_wgs84_cubic_q(spark, sf_dir):
     return warp_to_wgs84(imgs, "cubic").select("image_id", "cs1", "cs2", "cs3")
 
 
+@q("warp_utm32631", None)
+def warp_utm_q(spark, sf_dir):
+    """gdalwarp UTM->4326 (the autotest/benchmark/test_gdalwarp.py:24
+    workload, EPSG:32631-style) via the closed-form Krüger transform."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_utm
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return warp_utm(imgs, "bilinear")
+
+
+@q("pansharpen", None)
+def pansharpen_q(spark, sf_dir):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import pansharpen
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return pansharpen(imgs)
+
+
 @q("dem_hillshade", None)
 def dem_hillshade_q(spark, sf_dir):
     """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328) over
@@ -753,6 +843,48 @@ def footprint_q(spark, sf_dir):
 
     imgs = images_df(spark, min(_images_n(sf_dir), 200))
     return footprint(imgs, threshold=0).select(
+        "image_id", "n_valid", F.round("area_m2", 1).alias("area_m2")
+    )
+
+
+# footprint value oracle: image metadata is pure integer-mod math over the
+# row index (fixtures/images.py W/H/GSD cycles), so DuckDB can derive the
+# exact expected n_valid and area from generate_series — a true value gate
+# on decode + mask trace + polygon area (n fixed at 60 so the SQL text is
+# scale-independent: _images_n >= 60 at every sf).
+_FOOTPRINT_EXACT_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0
+               WHEN 2 THEN 100.0 ELSE 500.0 END AS gsd
+  FROM idx
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(w AS BIGINT) * h AS n_valid,
+       ROUND(w * gsd * h * gsd, 1) AS area_m2
+FROM meta
+"""
+
+
+@q("footprint_exact", _FOOTPRINT_EXACT_SQL)
+def footprint_exact_q(spark, sf_dir):
+    """Footprint with a VALUE oracle: threshold=-1 makes every pixel valid,
+    so the traced polygon must cover exactly w*h pixels with area
+    w*gsd*h*gsd (decimation divides by 64 = 2^6, exact in binary) — DuckDB
+    derives both from the deterministic metadata cycles."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import footprint
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return footprint(imgs, threshold=-1).select(
         "image_id", "n_valid", F.round("area_m2", 1).alias("area_m2")
     )
 
@@ -872,6 +1004,112 @@ FROM customer_points"""
 # determinism rule — a hand-typed literal here once diverged by 1.5e-7 m)
 _RZ_OS = 20037508.342789244
 _RZ_CELL = T._d(2.0 * _RZ_OS / 32.0)
+
+# shared text fragments for the round-2 grid-mode oracles (same derived
+# points as grid_idw: customer mercator megameters, v = pid % 100)
+_GRID_PTS_CTE = f"""pts AS (
+  SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+         {T.sql_my('lat')} / 1000000.0 AS y,
+         CAST(pid % 100 AS DOUBLE) AS v
+  FROM customer_points
+),
+cells AS (
+  SELECT px, py,
+         -20.0 + (px + 0.5) * 2.5 AS cx,
+         20.0 - (py + 0.5) * 2.5 AS cy
+  FROM (SELECT CAST(a AS BIGINT) AS px FROM (SELECT unnest(generate_series(0, 15)) AS a)) xs
+  CROSS JOIN (SELECT CAST(b AS BIGINT) AS py FROM (SELECT unnest(generate_series(0, 15)) AS b)) ys
+)"""
+
+_MOVAVG_ANGLE = 30.0
+_MA_C1 = T._d(float(np.cos(np.radians(_MOVAVG_ANGLE))))
+_MA_C2 = T._d(float(np.sin(np.radians(_MOVAVG_ANGLE))))
+
+_GRID_MOVAVG_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{_GRID_PTS_CTE},
+pairs AS (
+  SELECT c.px, c.py, p.v,
+         (p.x - c.cx) * {_MA_C1} + (p.y - c.cy) * {_MA_C2} AS rxr,
+         (p.y - c.cy) * {_MA_C1} - (p.x - c.cx) * {_MA_C2} AS ryr
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 49.0
+)
+SELECT px, py, ROUND(AVG(v), 6) AS value, COUNT(*) AS n
+FROM pairs
+WHERE 9.0 * rxr * rxr + 49.0 * ryr * ryr <= 441.0
+GROUP BY px, py
+HAVING COUNT(*) >= 2
+"""
+
+
+@q("grid_movavg_ellipse", _GRID_MOVAVG_SQL)
+def grid_movavg_ellipse(spark, sf_dir):
+    """gdalgrid moving-average with a rotated-ellipse search window
+    (radius1=7, radius2=3, angle=30°, min_points=2 — gdalgrid.cpp:630-695
+    membership r2²·x'² + r1²·y'² <= r1²·r2²); oracle repeats the exact
+    rotation/membership arithmetic in SQL."""
+    from .operators.gridding import grid_interpolate
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"""WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+       {T.sql_my('lat')} / 1000000.0 AS y,
+       CAST(pid % 100 AS DOUBLE) AS v
+FROM customer_points"""
+    )
+    return grid_interpolate(
+        pts, minx=-20.0, miny=-20.0, cell=2.5, nx=16, ny=16,
+        algorithm="average", radius1=7.0, radius2=3.0, angle=_MOVAVG_ANGLE,
+        min_points=2,
+    )
+
+
+_GRID_IDW_NN_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{_GRID_PTS_CTE},
+pairs AS (
+  SELECT c.px, c.py, p.v,
+         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.px, c.py
+           ORDER BY (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy),
+                    p.x, p.y
+         ) AS nnr
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 64.0
+)
+SELECT px, py,
+       ROUND(CASE WHEN min(d2) = 0 THEN min_by(v, d2)
+                  ELSE sum(v / d2) / sum(1.0 / d2) END, 6) AS value,
+       COUNT(*) AS n
+FROM pairs WHERE nnr <= 8
+GROUP BY px, py
+"""
+
+
+@q("grid_idw_nn", _GRID_IDW_NN_SQL)
+def grid_idw_nn(spark, sf_dir):
+    """IDW bounded to the 8 nearest points in radius — the reference's
+    InverseDistanceToAPowerNearestNeighbor variant (gdalgrid.cpp:905
+    family); per-pixel top-k window before the weighted aggregate, oracled
+    by the identical ROW_NUMBER SQL."""
+    from .operators.gridding import grid_interpolate
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"""WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+       {T.sql_my('lat')} / 1000000.0 AS y,
+       CAST(pid % 100 AS DOUBLE) AS v
+FROM customer_points"""
+    )
+    return grid_interpolate(
+        pts, minx=-20.0, miny=-20.0, cell=2.5, nx=16, ny=16, radius=8.0,
+        algorithm="invdist", max_points=8,
+    )
+
 
 _RASTERIZE_COUNT_SQL = f"""
 WITH {ORDERS_POINTS_CTE.strip()},
@@ -1240,6 +1478,86 @@ def contour_q(spark, sf_dir):
 
     imgs = images_df(spark, min(_images_n(sf_dir), 100))
     return contour(imgs)
+
+
+@q("contour_lines", None)
+def contour_lines_q(spark, sf_dir):
+    """Contour with line GEOMETRY: chained iso-polylines as MultiLineString
+    WKB per (image, level) (alg/contour.cpp segment merge)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import contour_lines
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return contour_lines(imgs).select(
+        "image_id", "level", "n_lines", "total_len"
+    )
+
+
+@q("overview_gauss_rms", None)
+def overview_gauss_rms_q(spark, sf_dir):
+    """Overview kernels beyond average: gauss (gcore/overview.cpp:1996) and
+    rms 2x downsample checksums side by side."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import overview_downsample
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100)).persist()
+    g = overview_downsample(imgs, "gauss").withColumnsRenamed(
+        {"cs1": "g_cs1", "cs2": "g_cs2", "cs3": "g_cs3"}
+    )
+    rm = overview_downsample(imgs, "rms").select(
+        "image_id", F.col("cs1").alias("r_cs1"), F.col("cs2").alias("r_cs2"),
+        F.col("cs3").alias("r_cs3"),
+    )
+    return g.join(rm, "image_id")
+
+
+@q("translate_projwin_expand", None)
+def translate_projwin_q(spark, sf_dir):
+    """gdal_translate -projwin (georeferenced window, exact floor/ceil
+    snapping of gdal_translate_lib.cpp:981-1000) + -expand gray->rgb."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import translate
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    # window: a box around each image's own center (quarter extent) — the
+    # projwin is global; images far away crop to empty and drop out
+    return translate(
+        imgs, projwin=(-20000000.0, 19000000.0, 20000000.0, -19000000.0),
+        bands=[1], expand="rgb", outsize=(32, 32),
+    ).select("image_id", "w2", "h2", "cs1")
+
+
+@q("point_sample_cubic", None)
+def point_sample_cubic_q(spark, sf_dir):
+    """InterpolateAtPoint with the cubic kernel
+    (alg/gdal_interpolateatpoint.cpp:415)."""
+    import pandas as pd
+
+    from .fixtures.images import images_df
+    from .fixtures.points import caption_points_pdf
+    from .operators.rasterops import sample_at_points
+
+    n = min(_images_n(sf_dir), 100)
+    imgs = images_df(spark, n)
+    pts_pdf = caption_points_pdf(n)
+    pts_pdf["point_id"] = np.arange(n, dtype=np.int64)
+    pts = spark.createDataFrame(
+        pts_pdf.rename(columns={"lon": "plon", "lat": "plat"})[
+            ["image_id", "point_id", "plon", "plat"]
+        ]
+    )
+    return sample_at_points(imgs, pts, "cubic")
+
+
+@q("dem_color_relief", None)
+def dem_color_relief_q(spark, sf_dir):
+    """gdaldem color-relief: piecewise-linear color ramp over band 1
+    (apps/gdaldem_lib.cpp GDALColorRelief)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import dem_metrics
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return dem_metrics(imgs, "color-relief")
 
 
 @q("fill_nodata", None)

@@ -129,6 +129,47 @@ class TestKernels:
             inner = out[4:-4, 4:-4]
             assert (inner == 200).all(), m
 
+    def test_gauss_2x2_interior_kernel(self):
+        a = np.zeros((8, 8), dtype=np.float64)
+        a[2, 2] = 16.0  # impulse at a window-root position
+        out = RS.gauss_2x2(a)
+        # out[1,1] convolves rows/cols 2..4 with [[1,2,1],[2,4,2],[1,2,1]]/16
+        assert out[1, 1] == pytest.approx(16.0 * 1 / 16)
+        assert out[0, 0] == pytest.approx(16.0 * 1 / 16)  # (2,2) is k[2][2] of win at 0
+        const = np.full((16, 16), 200, dtype=np.uint8)
+        assert (RS.gauss_2x2(const) == 200).all()  # edge renormalization exact
+
+    def test_rms_2x2(self):
+        a = np.array([[0, 0], [0, 2]], dtype=np.uint8)
+        # rms = sqrt(4/4) = 1
+        assert RS.rms_2x2(a)[0, 0] == 1
+        b = np.array([[3.0, 4.0], [0.0, 0.0]])
+        assert RS.rms_2x2(b)[0, 0] == pytest.approx(np.sqrt(25 / 4))
+
+    def test_contour_polylines_conserve_segments(self):
+        # radial cone -> each level is one closed ring
+        yy, xx = np.mgrid[0:33, 0:33]
+        cone = 255.0 - 14.0 * np.hypot(xx - 16, yy - 16)
+        levels = [64.0, 128.0, 192.0]
+        from gdal_spark.oracle.contour import (
+            contour_polylines, contour_summary,
+        )
+
+        summary = contour_summary(cone, levels)
+        lines = contour_polylines(cone, levels)
+        for lv in levels:
+            n_seg, total = summary[lv]
+            got = lines[lv]
+            seg_in_lines = sum(ln.shape[0] - 1 for ln in got)
+            assert seg_in_lines == n_seg  # every segment used exactly once
+            ln_total = sum(
+                float(np.hypot(*(ln[1:] - ln[:-1]).T).sum()) for ln in got
+            )
+            assert ln_total == pytest.approx(total)
+            # a cone iso-line is a single closed ring
+            assert len(got) == 1
+            assert np.allclose(got[0][0], got[0][-1])
+
     @pytest.mark.parametrize("method", ["cubic", "lanczos", "average", "mode"])
     def test_scale_to_tile_all_methods(self, method):
         from gdal_spark.fixtures.images import make_pixels

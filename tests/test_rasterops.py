@@ -118,6 +118,60 @@ class TestFootprintZonal:
                 (r.w * r.gsd_m) * (r.h * r.gsd_m), rel=1e-9
             )
 
+    def test_utm_transform_roundtrip_and_invariants(self):
+        from gdal_spark.oracle import utm as U
+
+        rng = np.random.default_rng(6)
+        lon = rng.uniform(0.5, 5.5, 500)
+        lat = rng.uniform(-79, 83, 500)
+        E, N = U.lonlat_to_utm(lon, lat, 31)
+        lo, la = U.utm_to_lonlat(E, N, 31)
+        np.testing.assert_allclose(lo, lon, atol=1e-10)
+        np.testing.assert_allclose(la, lat, atol=1e-10)
+        # central meridian invariants: false easting, scale factor 0.9996
+        e, n = U.lonlat_to_utm(3.0, 0.0, 31)
+        assert abs(e - 500000.0) < 1e-6 and abs(n) < 1e-6
+        e1, n1 = U.lonlat_to_utm(3.0, 45.0, 31)
+        e2, n2 = U.lonlat_to_utm(3.0, 45.001, 31)
+        a, f = 6378137.0, 1 / 298.257223563
+        ee = f * (2 - f)
+        phi = np.radians(45.0005)
+        M = a * (1 - ee) / (1 - ee * np.sin(phi) ** 2) ** 1.5
+        assert abs((n2 - n1) / (M * np.radians(0.001)) - 0.9996) < 1e-6
+
+    def test_warp_utm_runs(self, spark, imgs):
+        from gdal_spark.operators.rasterops import warp_utm
+
+        got = warp_utm(imgs, "bilinear").toPandas()
+        assert len(got) == imgs.count()
+        assert (got["cs1"] >= 0).all() and got["zone"].between(1, 60).all()
+
+    def test_pansharpen_brovey(self, spark, imgs, imgs_pdf):
+        """Fusing the downsampled spectral with the full-res pan must beat
+        plain upsampling (the pan injects detail), and reproduce the Brovey
+        formula exactly per pixel."""
+        from gdal_spark.operators.rasterops import pansharpen
+        from gdal_spark.oracle.resample import (
+            psnr, resample_average, resample_bilinear,
+        )
+
+        got = pansharpen(imgs).toPandas().set_index("image_id")
+        for r in imgs_pdf.head(3).itertuples(index=False):
+            a = decode(r.bytes)
+            h, w, nb = a.shape
+            pan = a.astype(np.float64).mean(axis=2)
+            lo = resample_average(a, max(1, h // 4), max(1, w // 4))
+            up = resample_bilinear(lo, h, w).astype(np.float64)
+            wts = np.asarray([1.0 / nb] * nb)
+            pseudo = (up * wts[None, None, :]).sum(axis=2)  # operator's exact arith
+            factor = np.where(pseudo != 0, pan / np.where(pseudo == 0, 1, pseudo), 0)
+            exp = np.clip(np.floor(up * factor[:, :, None] + 0.5), 0, 255
+                          ).astype(np.uint8)
+            assert got.loc[r.image_id, "cs1"] == checksum_image(exp)[0]
+            assert got.loc[r.image_id, "psnr_vs_src"] >= round(
+                min(psnr(up.astype(np.uint8), a), 999.0), 2
+            ) - 3.0  # fusion >= plain upsample (small tolerance)
+
     def test_zonal_stats_matches_numpy(self, spark, imgs, imgs_pdf):
         from gdal_spark.operators.rasterops import zonal_stats
 
