@@ -24,12 +24,16 @@ try:  # pragma: no cover - not available in this container
 except ImportError:
     _HAVE_PIL = False
 
-FORMATS = ("png", "jpeg", "webp")
+FORMATS = ("png", "jpeg", "webp", "cog")
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
+    if fmt in ("cog", "tiff"):
+        from .cog import encode_cog
+
+        return encode_cog(arr)
     if fmt in ("jpeg", "webp"):
         if _HAVE_PIL:  # pragma: no cover
             buf = io.BytesIO()
@@ -47,6 +51,10 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(bytes(data))
     if head[:4] in (b"FAKJ", b"FAKW"):
         return decode_fake_lossy(bytes(data))
+    if head[:4] == b"II*\x00":  # little-endian TIFF / COG
+        from .cog import decode_cog
+
+        return decode_cog(bytes(data))[0]
     if _HAVE_PIL:  # pragma: no cover
         return np.asarray(Image.open(io.BytesIO(bytes(data))))
     raise NotImplementedError(

@@ -203,6 +203,38 @@ def build_tile_pyramid(images: DataFrame, tminz: int = 0,
     return _transcode_tiles(out, "raw", codec)
 
 
+def write_cog_directory(images: DataFrame, root: str,
+                        compression: str = "deflate") -> int:
+    """COG sink: one Cloud-Optimized GeoTIFF per image at
+    ``{root}/{image_id}.tif`` — actual COG containers (tiled TIFF, internal
+    2x overviews, IFDs at the head, overview-first tile layout; see
+    codecs/cog.py, re-deriving frmts/gtiff/cogdriver.cpp rules), written
+    executor-side with the file count from an accumulator."""
+    import os
+
+    from ..codecs.cog import encode_cog
+    from ..oracle.tiling import geotransform_3857
+
+    acc = images.sparkSession.sparkContext.accumulator(0)
+
+    def write_part(rows):
+        os.makedirs(root, exist_ok=True)
+        for r in rows:
+            a = decode(bytes(r["bytes"]))
+            gt = geotransform_3857(
+                r["lon"], r["lat"], a.shape[1], a.shape[0], r["gsd_m"]
+            )
+            blob = encode_cog(a, gt, compression)
+            with open(os.path.join(root, f"{r['image_id']}.tif"), "wb") as f:
+                f.write(blob)
+            acc.add(1)
+
+    images.select("image_id", "bytes", "lon", "lat", "gsd_m").foreachPartition(
+        write_part
+    )
+    return acc.value
+
+
 def write_tiles(tiles: DataFrame, path: str, mode: str = "append") -> None:
     """Tile sink: parquet partitioned by zoom (the z/x/y directory layout of
     the tile-directory sink, gdal2tiles.py:1278-1434, adapted to a columnar

@@ -683,6 +683,63 @@ def decode_stats_png_q(spark, sf_dir):
     )
 
 
+# COG container round-trip oracle: overview count is a pure function of the
+# fixture W/H cycles ((257,300) and (512,512) need one 2x reduction to fit a
+# 256 tile; everything else none), and the writer must be lossless + obey
+# the COG layout rules — all derivable in SQL.
+_COG_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+)
+SELECT printf('img%08d', i) AS image_id,
+       CASE WHEN i % 5 IN (3, 4) THEN 2 ELSE 1 END AS n_ifds,
+       TRUE AS lossless,
+       TRUE AS cog_layout
+FROM idx
+"""
+
+
+@q("cog_roundtrip", _COG_SQL)
+def cog_roundtrip_q(spark, sf_dir):
+    """COG container sink (frmts/gtiff/cogdriver.cpp rules re-derived in
+    codecs/cog.py): encode every image as a tiled GeoTIFF with internal
+    overviews, decode it back, and verify pixel equality + head-IFD/
+    overview-first layout; DuckDB oracles the expected IFD count and the
+    invariants."""
+    import pandas as pd
+
+    from .codecs.cog import decode_cog, encode_cog, is_cog_layout
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+    from .oracle.tiling import geotransform_3857
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _dec(r.bytes)
+                gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0],
+                                       r.gsd_m)
+                blob = encode_cog(a, gt)
+                back, nifd, gt2 = decode_cog(blob)
+                out.append(dict(
+                    image_id=r.image_id, n_ifds=int(nifd),
+                    lossless=bool((back == a).all() and gt2 == gt),
+                    cog_layout=bool(is_cog_layout(blob)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_ifds", "lossless", "cog_layout"]
+            )
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.mapInPandas(
+        rt,
+        schema="image_id string, n_ifds int, lossless boolean, "
+               "cog_layout boolean",
+    )
+
+
 @q("caption_passthrough", None)
 def caption_passthrough(spark, sf_dir):
     """Captions survive the full pipeline byte-identical (input_hint gate):

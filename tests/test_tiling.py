@@ -98,6 +98,26 @@ def test_checksums_populated_and_stable(spark, images_sdf):
     assert (a["cs1"] >= 0).all()
 
 
+def test_write_cog_directory(spark, images_sdf, tmp_path):
+    import glob
+
+    from gdal_spark.codecs.cog import decode_cog, is_cog_layout
+    from gdal_spark.codecs.registry import decode
+    from gdal_spark.operators.tiling import write_cog_directory
+
+    root = str(tmp_path / "cogs")
+    imgs = images_sdf.limit(4)
+    n = write_cog_directory(imgs, root)
+    files = sorted(glob.glob(f"{root}/*.tif"))
+    assert len(files) == n == 4
+    blob = open(files[0], "rb").read()
+    arr, nifd, gt = decode_cog(blob)
+    assert is_cog_layout(blob) and gt is not None and arr.dtype == np.uint8
+    # the registry identifies TIFF magic and decodes band data
+    r0 = imgs.toPandas().sort_values("image_id").iloc[0]
+    assert (decode(blob) == decode(r0["bytes"])).all()
+
+
 def test_write_tile_directory(spark, images_sdf, tmp_path):
     import glob
 
