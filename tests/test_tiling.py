@@ -74,6 +74,24 @@ def test_pyramid_matches_oracle(spark, images_pdf, images_sdf):
     assert (per_img == tminz).all()
 
 
+def test_distributed_pyramid_equals_per_image(spark, images_sdf):
+    """The level-loop (distributed, for block-split giant rasters / resume)
+    and the map-only per-image path must produce identical tile sets and
+    checksums."""
+    from gdal_spark.operators.tiling import build_tile_pyramid
+
+    cols = ["image_id", "z", "x", "y", "cs1", "cs2", "cs3"]
+    a = build_tile_pyramid(
+        images_sdf, tminz=7, per_image=True
+    ).toPandas()[cols].sort_values(cols[:4], ignore_index=True)
+    b = build_tile_pyramid(
+        images_sdf, tminz=7, per_image=False
+    ).toPandas()[cols].sort_values(cols[:4], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_resume_anti_join_skips_existing(spark, images_sdf):
     from gdal_spark.operators.tiling import render_base_tiles
 
