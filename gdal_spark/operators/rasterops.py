@@ -610,6 +610,49 @@ def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
     )
 
 
+def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
+                   target_height: float = 0.0, downsample_to: int = 64
+                   ) -> DataFrame:
+    """Viewshed from each image's center over band 1 as the DEM — the Wang
+    reference-plane algorithm (alg/viewshed/viewshed_executor.cpp
+    CalcHeightLine/CalcHeightEdge propagation, Edge cell mode). Emits the
+    visible-cell count/fraction + a visibility-mask checksum, plus an LOS
+    check to the four corners (alg/los.cpp semantics)."""
+    from ..oracle.viewshed import line_of_sight, viewshed
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                oy, ox = a.shape[0] // 2, a.shape[1] // 2
+                vis = viewshed(a, oy, ox, observer_height, target_height)
+                corners = sum(
+                    line_of_sight(a, oy, ox, cy, cx, observer_height)
+                    for cy in (0, a.shape[0] - 1) for cx in (0, a.shape[1] - 1)
+                )
+                out.append(dict(
+                    image_id=r.image_id,
+                    n_visible=int(vis.sum()),
+                    frac_visible=float(np.round(vis.mean(), 4)),
+                    cs=checksum_image(vis.astype(np.uint8) * 255)[0],
+                    corners_visible=int(corners),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_visible", "frac_visible", "cs",
+                         "corners_visible"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen,
+        schema="image_id string, n_visible long, frac_visible double, "
+               "cs long, corners_visible int",
+    )
+
+
 def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
                   downsample_to: int = 64) -> DataFrame:
     """Contour with GEOMETRY output: marching-squares segments chained into

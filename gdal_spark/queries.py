@@ -1670,6 +1670,17 @@ def point_sample_cubic_q(spark, sf_dir):
     return sample_at_points(imgs, pts, "cubic")
 
 
+@q("viewshed", None)
+def viewshed_q(spark, sf_dir):
+    """Viewshed + LOS per image (alg/viewshed Wang reference-plane method,
+    alg/los.cpp) with band 1 as the DEM."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import viewshed_stats
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    return viewshed_stats(imgs)
+
+
 @q("dem_color_relief", None)
 def dem_color_relief_q(spark, sf_dir):
     """gdaldem color-relief: piecewise-linear color ramp over band 1

@@ -118,6 +118,37 @@ class TestFootprintZonal:
                 (r.w * r.gsd_m) * (r.h * r.gsd_m), rel=1e-9
             )
 
+    def test_viewshed_wall_and_bruteforce(self):
+        from gdal_spark.oracle.viewshed import (
+            line_of_sight, viewshed, viewshed_bruteforce,
+        )
+
+        flat = np.zeros((21, 21))
+        assert viewshed(flat, 10, 10, 2.0).all()
+        dem = np.zeros((21, 21))
+        dem[6, :] = 10.0  # wall north of the observer
+        v = viewshed(dem, 10, 10, 2.0)
+        assert v[6].all() and v[11:].all()
+        assert not v[0:5, 8:13].any()  # shadow straight behind the wall
+        assert line_of_sight(dem, 10, 10, 8, 10)
+        assert not line_of_sight(dem, 10, 10, 2, 10)
+        assert line_of_sight(dem, 10, 10, 2, 10, observer_height=20.0)
+        # reference-plane result tracks the exact ray-marching oracle
+        yy, xx = np.mgrid[0:25, 0:25]
+        hill = 30 * np.exp(-(((xx - 17) ** 2 + (yy - 8) ** 2)) / 18.0)
+        v1 = viewshed(hill, 12, 12, 2.0)
+        v2 = viewshed_bruteforce(hill, 12, 12, 2.0)
+        assert (v1 == v2).mean() > 0.92  # boundary cells differ by method
+
+    def test_viewshed_operator_runs(self, spark, imgs):
+        from gdal_spark.operators.rasterops import viewshed_stats
+
+        got = viewshed_stats(imgs).toPandas()
+        assert len(got) == imgs.count()
+        assert (got["n_visible"] >= 1).all()
+        assert got["frac_visible"].between(0, 1).all()
+        assert got["corners_visible"].between(0, 4).all()
+
     def test_utm_transform_roundtrip_and_invariants(self):
         from gdal_spark.oracle import utm as U
 

@@ -202,3 +202,26 @@ class TestSimilarity:
         exact = cosine_topk(df, q, k=500).toPandas().set_index("vec_id")["cosine"]
         for r in ann.itertuples(index=False):
             assert abs(exact.loc[r.vec_id] - r.cosine) < 1e-5
+    def test_lsh_topk_recall_on_planted_neighbors(self, spark, emb_pdf):
+        """Recall assertion (round-1 review): the signature prefilter must
+        recover PLANTED near-duplicates (cosine ~0.99) — the workload the
+        ANN path exists for. (On near-orthogonal vectors low recall is
+        inherent to sign-LSH: a 75° pair disagrees on ~5 of 12 planes.)"""
+        from gdal_spark.operators.similarity import lsh_topk
+
+        rng = np.random.default_rng(3)
+        q = np.asarray(emb_pdf.iloc[3]["embedding"], dtype=np.float64)
+        rows = [
+            {"vec_id": int(v), "embedding": [float(x) for x in e]}
+            for v, e in zip(emb_pdf["vec_id"], emb_pdf["embedding"])
+        ]
+        planted = []
+        for j in range(5):
+            nb = q + rng.normal(0, 0.02 * np.abs(q).mean(), q.shape)
+            planted.append(10_000 + j)
+            rows.append({"vec_id": 10_000 + j,
+                         "embedding": [float(x) for x in nb]})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        ann = lsh_topk(df, q, k=6).toPandas()
+        found = len(set(ann["vec_id"]) & set(planted))
+        assert found >= 4, f"recovered {found}/5 planted near-duplicates"
