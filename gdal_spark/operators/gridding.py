@@ -152,3 +152,56 @@ def grid_interpolate(points: DataFrame, minx: float, miny: float,
     if min_points > 0:
         out = out.where(F.col("n") >= min_points)
     return out
+
+
+def grid_linear(points: DataFrame, minx: float, miny: float, cell: float,
+                nx: int, ny: int, x: str = "x", y: str = "y", v: str = "v",
+                max_points: int = 500_000) -> DataFrame:
+    """gdalgrid 'linear': barycentric interpolation over the Delaunay TIN
+    of the scattered points (alg/gdalgrid.cpp GDALGridLinear; triangulation
+    from scratch, oracle/delaunay.py — no qhull in this env).
+
+    A TIN is a GLOBAL structure: the points are collected to the driver
+    (guarded by ``max_points``), triangulated once, and the triangle fan is
+    shipped in the task closure while the PIXELS are interpolated
+    distributed (mapInPandas over a range of grid rows). For unbounded
+    point sets use the scatter+combine algorithms (invdist/average/...);
+    this matches the reference, whose linear mode also builds one global
+    triangulation."""
+    import pandas as pd
+
+    from ..oracle.delaunay import tin_interpolate, triangulate
+
+    pdf = points.select(
+        F.col(x).alias("x"), F.col(y).alias("y"), F.col(v).alias("v")
+    ).limit(max_points + 1).toPandas()
+    if len(pdf) > max_points:
+        raise ValueError(
+            f"grid_linear collected > {max_points} points; TIN gridding is "
+            "for bounded inputs — use invdist/average for unbounded sets"
+        )
+    pdf = pdf.drop_duplicates(["x", "y"])
+    pts = pdf[["x", "y"]].to_numpy()
+    vals = pdf["v"].to_numpy()
+    tris = triangulate(pts)  # once, driver-side; ships in the closure
+    maxy = miny + ny * cell
+    spark = points.sparkSession
+
+    rows = spark.range(ny).withColumnRenamed("id", "py")
+
+    def interp(batches):
+        for b in batches:
+            out = []
+            for py in b["py"]:
+                py = int(py)
+                cx = minx + (np.arange(nx) + 0.5) * cell
+                cy = maxy - (py + 0.5) * cell
+                val, inside = tin_interpolate(
+                    pts, vals, cx, np.full(nx, cy), tris=tris
+                )
+                for px in np.nonzero(inside)[0]:
+                    out.append(dict(px=int(px), py=py,
+                                    value=float(np.round(val[px], 6))))
+            yield pd.DataFrame(out, columns=["px", "py", "value"])
+
+    return rows.mapInPandas(interp, schema="px long, py long, value double")

@@ -477,10 +477,61 @@ def text_metrics(spark, sf_dir):
     )
 
 
-@q("lang_quality", None)
+# lang_id / quality_score re-derived in DuckDB: stopword-intersection
+# scoring with Spark's exact tie-break (array_max over (score, lang)
+# structs -> ties pick the lexicographically LARGEST language string:
+# fr > es > en > de), plus the arithmetic quality formula.
+_LQ_STOP = {
+    "en": "'the','and','of','to','in','is','that','it','was','for'",
+    "de": "'der','die','das','und','ist','nicht','ein','mit','auf','sich'",
+    "fr": "'le','la','les','et','est','un','une','des','dans','que'",
+    "es": "'el','la','los','las','es','un','una','que','por','con'",
+}
+
+_LANG_QUALITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE list_distinct(list_transform(
+                     string_split_regex(trim(text), '\s+'), x -> lower(x)))
+         END AS dt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, text, ntok,
+         len(list_intersect(dt, [{_LQ_STOP['en']}])) AS s_en,
+         len(list_intersect(dt, [{_LQ_STOP['de']}])) AS s_de,
+         len(list_intersect(dt, [{_LQ_STOP['fr']}])) AS s_fr,
+         len(list_intersect(dt, [{_LQ_STOP['es']}])) AS s_es,
+         length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         length(regexp_replace(text, '\s+', '', 'g'))
+           / greatest(ntok, 1) AS mtl,
+         (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS pr
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+              CASE WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   ELSE 'de' END
+            ELSE 'und' END AS lang_pred,
+       ROUND(least(ntok / 20.0, 1.0) * 0.4
+             + CASE WHEN mtl >= 3 AND mtl <= 12 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END, 4) AS quality
+FROM sc
+"""
+
+
+@q("lang_quality", _LANG_QUALITY_SQL)
 def lang_quality(spark, sf_dir):
-    """Language-ID + quality scoring per document (heuristics not worth
-    re-deriving in SQL — rows-only check; pytest pins exact behavior)."""
+    """Language-ID + quality scoring per document, now VALUE-gated: the
+    stopword-vote heuristic (incl. its struct-max tie-break) and the
+    length/punct quality formula are replayed in DuckDB."""
     from .functions.text import lang_id, quality_score
 
     register_tpch_views(spark, sf_dir)
@@ -1230,6 +1281,25 @@ FROM customer_points"""
         pts, minx=-20.0, miny=-20.0, cell=2.5, nx=16, ny=16, radius=8.0,
         algorithm="invdist", max_points=8,
     )
+
+
+@q("grid_linear_tin", None)
+def grid_linear_tin(spark, sf_dir):
+    """gdalgrid 'linear' (Delaunay TIN + barycentric interpolation,
+    alg/gdalgrid.cpp GDALGridLinear; from-scratch Bowyer-Watson,
+    oracle/delaunay.py). Rows-only: the TIN structure is not
+    SQL-expressible; linear-precision is pytest-pinned."""
+    from .operators.gridding import grid_linear
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"""WITH {CUSTOMER_POINTS_CTE.strip()}
+SELECT {T.sql_mx('lon')} / 1000000.0 AS x,
+       {T.sql_my('lat')} / 1000000.0 AS y,
+       CAST(pid % 100 AS DOUBLE) AS v
+FROM customer_points"""
+    )
+    return grid_linear(pts, minx=-20.0, miny=-20.0, cell=2.5, nx=16, ny=16)
 
 
 _RASTERIZE_COUNT_SQL = f"""

@@ -281,6 +281,73 @@ class TestSTFunctionsRound2:
         assert got["dx"] == 0.0 and got["dy"] == 0.0 and got["dd"] == 0.0
 
 
+class TestDelaunayTIN:
+    def test_delaunay_properties(self):
+        """Euler count (T = 2n - h - 2) + empty-circumcircle on random
+        points — the defining Delaunay invariants."""
+        from gdal_spark.oracle.delaunay import triangulate
+        from gdal_spark.oracle.geom import convex_hull
+
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 100, (200, 2))
+        tris = triangulate(pts)
+        h = convex_hull(pts).shape[0] - 1
+        assert len(tris) == 2 * 200 - h - 2
+        a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+        d = 2 * (a[:, 0] * (b[:, 1] - c[:, 1]) + b[:, 0] * (c[:, 1] - a[:, 1])
+                 + c[:, 0] * (a[:, 1] - b[:, 1]))
+        a2, b2, c2 = (a**2).sum(1), (b**2).sum(1), (c**2).sum(1)
+        ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1])
+              + c2 * (a[:, 1] - b[:, 1])) / d
+        uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0])
+              + c2 * (b[:, 0] - a[:, 0])) / d
+        r2 = (ux - a[:, 0]) ** 2 + (uy - a[:, 1]) ** 2
+        dist2 = ((pts[:, 0][None, :] - ux[:, None]) ** 2
+                 + (pts[:, 1][None, :] - uy[:, None]) ** 2)
+        assert not (dist2 < r2[:, None] * (1 - 1e-9)).any()
+
+    def test_tin_linear_precision(self):
+        """Barycentric TIN interpolation reproduces any plane exactly —
+        the defining property of gdalgrid 'linear'."""
+        from gdal_spark.oracle.delaunay import tin_interpolate
+
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 100, (150, 2))
+        vals = 3.0 + 0.5 * pts[:, 0] - 0.25 * pts[:, 1]
+        qx = rng.uniform(20, 80, 300)
+        qy = rng.uniform(20, 80, 300)
+        out, inside = tin_interpolate(pts, vals, qx, qy)
+        assert inside.mean() > 0.98  # a few may fall outside the hull
+        exp = 3.0 + 0.5 * qx - 0.25 * qy
+        np.testing.assert_allclose(out[inside], exp[inside], rtol=1e-9)
+        out2, in2 = tin_interpolate(
+            pts, vals, np.array([1e4]), np.array([1e4])
+        )
+        assert not in2[0] and np.isnan(out2[0])
+
+    def test_grid_linear_operator(self, spark):
+        """Spark grid_linear on plane-valued points = the plane at every
+        interior pixel center."""
+        from gdal_spark.operators.gridding import grid_linear
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({
+            "x": rng.uniform(0, 100, 400),
+            "y": rng.uniform(0, 100, 400),
+        })
+        pdf["v"] = 1.0 + 0.1 * pdf.x + 0.2 * pdf.y
+        got = grid_linear(
+            spark.createDataFrame(pdf), minx=0.0, miny=0.0, cell=10.0,
+            nx=10, ny=10,
+        ).toPandas()
+        assert len(got) >= 80  # most pixels inside the hull
+        for r in got.itertuples(index=False):
+            cx = 0.0 + (r.px + 0.5) * 10.0
+            cy = 100.0 - (r.py + 0.5) * 10.0
+            assert r.value == pytest.approx(1.0 + 0.1 * cx + 0.2 * cy,
+                                            abs=1e-5)
+
+
 class TestGridding:
     @pytest.fixture(scope="class")
     def pts(self, spark):
