@@ -1052,9 +1052,31 @@ def geodesic_length(g, radius: float = AUTHALIC_R) -> float:
     return tot
 
 
+_WGS84_F = 1.0 / 298.257223563
+_WGS84_E2 = _WGS84_F * (2.0 - _WGS84_F)
+
+
+def _authalic_lat(lat_rad):
+    """Geodetic -> authalic latitude (3-term series in e², sub-cm): the
+    authalic projection preserves AREA exactly, so spherical formulas on
+    the authalic sphere give ellipsoidal areas (standard map-projection
+    identity; Snyder, Map Projections — A Working Manual, eq. 3-18)."""
+    e2 = _WGS84_E2
+    return lat_rad + (
+        -(e2 / 3.0 + 31.0 * e2**2 / 180.0 + 59.0 * e2**3 / 560.0)
+        * np.sin(2 * lat_rad)
+        + (17.0 * e2**2 / 360.0 + 61.0 * e2**3 / 1260.0) * np.sin(4 * lat_rad)
+        - (383.0 * e2**3 / 45360.0) * np.sin(6 * lat_rad)
+    )
+
+
 def geodesic_area(g, radius: float = AUTHALIC_R) -> float:
-    """Spherical polygon area (m^2) over lon/lat degrees — the spherical
-    shoelace (Chamberlain & Duquette 2007), holes subtracted."""
+    """Ellipsoidal polygon area (m^2) over lon/lat degrees: geodetic
+    latitudes are mapped to AUTHALIC latitudes (area-preserving), then the
+    spherical shoelace (Chamberlain & Duquette 2007) runs on the authalic
+    sphere — exact up to edge-path shape (geodesic edges vs mapped great
+    circles differ O(f * edge_len²); vertex-dense rings converge to the
+    GeographicLib values the reference uses). Holes subtracted."""
     kind, d = g
     if kind == "multipolygon":
         return sum(geodesic_area(("polygon", p), radius) for p in d)
@@ -1063,7 +1085,7 @@ def geodesic_area(g, radius: float = AUTHALIC_R) -> float:
 
     def ring_area(ring):
         lon = np.radians(ring[:, 0])
-        lat = np.radians(ring[:, 1])
+        lat = _authalic_lat(np.radians(ring[:, 1]))
         s = ((lon[1:] - lon[:-1]) * (2 + np.sin(lat[:-1]) + np.sin(lat[1:]))).sum()
         return abs(s) * radius * radius / 2.0
 

@@ -88,6 +88,97 @@ def streaming_dedup(spark: SparkSession, source_dir: str, checkpoint_dir: str,
     q.awaitTermination()
 
 
+def sessionize_events(spark: SparkSession, source_dir: str,
+                      checkpoint_dir: str, sink_dir: str,
+                      gap_minutes: int = 10,
+                      watermark: str = "30 minutes") -> None:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    per-user session windows over the events stream — a session closes when
+    no event arrives within ``gap_minutes`` of the last one (event time),
+    enforced by an event-time timeout so state is bounded by the watermark.
+    The output rows (one per closed session) carry start/end/count/sum.
+
+    This is the Structured-Streaming shape the engine offers beyond the
+    reference's pull-based iterators (SURVEY §2.8): arbitrary per-key state
+    with timeouts, exactly-once via the checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out_schema = ("user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long, sum_value double")
+    state_schema = "start long, last long, n long, s double"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start, unit="ms"),
+                "session_end": pd.Timestamp(last, unit="ms"),
+                "n_events": n, "sum_value": s,
+            }])
+            return
+        import numpy as np
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True).sort_values("ts")
+        ts = (batch["ts"].astype("int64") // 1_000_000).to_numpy()  # ms
+        vals = batch["value"].to_numpy(dtype=np.float64)
+        # walk events in order, splitting whenever the gap is exceeded —
+        # a whole burst sequence can arrive inside one micro-batch
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start, last, n, s = int(ts[0]), int(ts[0]) - 1, 0, 0.0
+        closed = []
+        for t, v in zip(ts, vals):
+            t = int(t)
+            if n > 0 and t - last > gap_ms:
+                closed.append((start, last, n, s))
+                start, n, s = t, 0, 0.0
+            elif n == 0:
+                start = t
+            last = max(last, t)
+            n += 1
+            s += float(v)
+        state.update((start, last, n, s))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(a, unit="ms"),
+                "session_end": pd.Timestamp(b, unit="ms"),
+                "n_events": cn, "sum_value": cs,
+            } for a, b, cn, cs in closed])
+
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(spark: SparkSession, source_dir: str,
                           checkpoint_dir: str, sink_dir: str,
                           window: str = "5 minutes",

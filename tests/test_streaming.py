@@ -93,3 +93,46 @@ def test_windowed_event_counts_stream_matches_batch(spark, dirs, tmp_path):
     if len(missing):
         horizon = exp["win_start"].max() - pd.Timedelta(minutes=15)
         assert (missing["win_start"] >= horizon).all()
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user session
+    windows with event-time gap timeout. Two bursts for user 1 separated by
+    > gap must land in separate sessions."""
+    import pandas as pd
+
+    from gdal_spark.streaming.incremental import sessionize_events
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # user 1: burst A (3 events), 30-minute silence, burst B (2 events)
+    for i in range(3):
+        rows.append((i, t0 + pd.Timedelta(minutes=i), 1, "c", 1.0, "{}"))
+    for i in range(2):
+        rows.append((10 + i, t0 + pd.Timedelta(minutes=30 + i), 1, "c", 2.0, "{}"))
+    # user 2: one burst
+    rows.append((20, t0 + pd.Timedelta(minutes=1), 2, "c", 5.0, "{}"))
+    # a late "clock" event pushes the watermark far past every gap
+    rows.append((99, t0 + pd.Timedelta(hours=3), 3, "c", 0.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"],
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    sessionize_events(spark, src, ckpt, sink, gap_minutes=10,
+                      watermark="1 minute")
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    u1 = got[got.user_id == 1]
+    assert len(u1) == 2  # two separate sessions
+    a, b = u1.iloc[0], u1.iloc[1]
+    assert a["n_events"] == 3 and a["sum_value"] == 3.0
+    assert a["session_start"] == t0 and a["session_end"] == t0 + pd.Timedelta(minutes=2)
+    assert b["n_events"] == 2 and b["sum_value"] == 4.0
+    u2 = got[got.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0]["n_events"] == 1
