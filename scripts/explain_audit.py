@@ -85,6 +85,36 @@ def main():
     p = plan_of(df)
     check("group-by has partial aggregation", p.count("HashAggregate") >= 2)
 
+    # 6. per-image pyramid is MAP-ONLY: zero exchanges in the whole plan
+    from gdal_spark.fixtures.images import images_df
+    from gdal_spark.operators.tiling import build_tile_pyramid
+
+    imgs = images_df(spark, 60)
+    df = build_tile_pyramid(imgs, tminz=8, codec="internal")
+    p = plan_of(df)
+    check("per-image pyramid has zero shuffles", "Exchange" not in p,
+          "no Exchange node in the plan")
+
+    # 7. convex-polygon overlay broadcasts the method layer
+    import pandas as pd
+
+    from gdal_spark.functions.geometry import diamond_wkb
+    from gdal_spark.operators.layer_algebra import poly_intersection
+
+    a = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()} SELECT pid AS aid, "
+        f"{T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my, 300000.0 AS s "
+        "FROM customer_points"
+    ).select("aid", diamond_wkb("mx", "my", "s").alias("wkb"))
+    b = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS bid, CAST(id AS DOUBLE) * 1000.0 AS mx,"
+        " 0.0 AS my, 1000000.0 AS s FROM range(50)"
+    ).select("bid", diamond_wkb("mx", "my", "s").alias("wkb"))
+    p = plan_of(poly_intersection(a, b))
+    check("polygon overlay broadcasts the method layer",
+          "BroadcastHashJoin" in p)
+    check("polygon overlay not sort-merge", "SortMergeJoin" not in p)
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
