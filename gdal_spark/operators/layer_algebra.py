@@ -300,6 +300,18 @@ def _parse_outer(blob: bytes):
     raise ValueError(f"layer algebra needs polygons, got {kind}")
 
 
+def _parse_pieces(blob: bytes) -> list:
+    """Blob -> list of disjoint CONVEX rings covering the geometry: a
+    single convex outer ring passes through unchanged; concave rings,
+    holes, and multipolygons go through the ear-clipping decomposition
+    (geom.decompose_convex) — the generalization that lifts the overlay
+    kernels beyond the convex domain."""
+    g = _G.parse_wkb(bytes(blob))
+    if _G._is_simple_convex(g):
+        return [g[1][0]]
+    return _G.decompose_convex(g)
+
+
 def poly_intersection(a: DataFrame, b: DataFrame, a_id: str = "aid",
                       b_id: str = "bid", zoom: int = 5,
                       broadcast_b: bool = True) -> DataFrame:
@@ -314,35 +326,43 @@ def poly_intersection(a: DataFrame, b: DataFrame, a_id: str = "aid",
             cache: dict = {}
             for r in pdf.itertuples(index=False):
                 aw, bw = bytes(r.awkb), bytes(r.bwkb)
-                ra = cache.setdefault(("a", aw), _parse_outer(aw))
-                rb = cache.setdefault(("b", bw), _parse_outer(bw))
-                ring = _G.clip_convex(ra, rb)
-                if ring.shape[0] < 4:
+                pa = cache.setdefault(("a", aw), _parse_pieces(aw))
+                pb = cache.setdefault(("b", bw), _parse_pieces(bw))
+                pieces = []
+                for ta in pa:
+                    for tb in pb:
+                        ring = _G.clip_convex(ta, tb)
+                        if (ring.shape[0] >= 4
+                                and abs(_G._ring_signed_area(ring)) > 1e-9):
+                            pieces.append(ring)
+                if not pieces:
                     continue
-                ar = abs(_G._ring_signed_area(ring))
-                if ar <= 1e-9:
-                    continue
+                ar = sum(abs(_G._ring_signed_area(p)) for p in pieces)
+                wkb = (_G.to_wkb("polygon", [pieces[0]])
+                       if len(pieces) == 1
+                       else _G.to_wkb("multipolygon", [[p] for p in pieces]))
                 rows.append({
                     a_id: getattr(r, a_id), b_id: getattr(r, b_id),
-                    "wkb": _G.to_wkb("polygon", [ring]), "area": ar,
+                    "wkb": wkb, "area": ar,
                 })
             yield _pd.DataFrame(rows, columns=[a_id, b_id, "wkb", "area"])
 
     return pairs.mapInPandas(kernel, schema=schema)
 
 
-def _erase_pieces(a_ring, b_blobs) -> list:
-    """Sequential multi-subtract: convex pieces of a_ring minus every clip
-    polygon, clip order fixed by WKB bytes (deterministic decomposition)."""
-    pieces = [a_ring]
+def _erase_pieces(a_blob, b_blobs) -> list:
+    """Sequential multi-subtract: the input's convex pieces minus every
+    clip polygon's pieces, clip order fixed by WKB bytes (deterministic
+    decomposition). Works for concave / holed inputs via _parse_pieces."""
+    pieces = _parse_pieces(a_blob)
     for bw in sorted(b_blobs):
-        rb = _parse_outer(bw)
-        nxt = []
-        for p in pieces:
-            nxt.extend(_G.subtract_convex(p, rb))
-        pieces = nxt
-        if not pieces:
-            break
+        for rb in _parse_pieces(bw):
+            nxt = []
+            for p in pieces:
+                nxt.extend(_G.subtract_convex(p, rb))
+            pieces = nxt
+            if not pieces:
+                return pieces
     return pieces
 
 
@@ -366,8 +386,7 @@ def poly_erase(a: DataFrame, b: DataFrame, a_id: str = "aid", zoom: int = 5,
             rows = []
             for r in pdf.itertuples(index=False):
                 pieces = _erase_pieces(
-                    _parse_outer(bytes(r.awkb)),
-                    [bytes(x) for x in r.bwkbs],
+                    bytes(r.awkb), [bytes(x) for x in r.bwkbs]
                 )
                 ar_sum = sum(abs(_G._ring_signed_area(p)) for p in pieces)
                 rows.append({

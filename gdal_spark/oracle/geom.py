@@ -513,6 +513,111 @@ def _clip_halfplane(ring: np.ndarray, a, b) -> np.ndarray:
     return _close_ring(np.array(new_pts))
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a SIMPLE ring (convex or concave, no
+    holes) -> list of closed CCW triangle rings. O(n^2); the decomposition
+    backbone that upgrades the convex overlay kernels to arbitrary simple
+    polygons (clip each triangle of A against B's convex pieces)."""
+    r = _orient_ccw(_close_ring(np.asarray(ring, dtype=np.float64)))[:-1]
+    n = r.shape[0]
+    if n < 3:
+        return []
+    if n == 3:
+        return [_close_ring(r.copy())]
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        n_cur = len(idx)
+        ear_found = False
+        for k in range(n_cur):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n_cur]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= _EPS:  # reflex or degenerate corner
+                continue
+            # no other remaining vertex strictly inside the candidate ear
+            tri = np.array([a, b, c, a])
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                pts = r[others]
+                inside = point_in_ring(pts[:, 0], pts[:, 1], tri)
+                if inside.any():
+                    continue
+            tris.append(tri)
+            idx.pop(k)
+            ear_found = True
+            break
+        if not ear_found:
+            # numerically stuck (collinear runs): snip the least-reflex corner
+            k = 0
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            tris.append(np.array([r[i0], r[i1], r[i2], r[i0]]))
+            idx.pop(k)
+    if len(idx) == 3:
+        tris.append(np.array([r[idx[0]], r[idx[1]], r[idx[2]], r[idx[0]]]))
+    return [t for t in tris if abs(_ring_signed_area(t)) > _EPS]
+
+
+def decompose_convex(g) -> list[np.ndarray]:
+    """Polygon (with holes) / multipolygon -> disjoint CONVEX pieces
+    (triangles) covering the same area: triangulate the outer ring, then
+    subtract each hole from every triangle with the convex half-plane
+    subtract. The pieces feed the convex overlay kernels, generalizing
+    Intersection/Difference/Union to arbitrary simple polygons."""
+    kind, d = g
+    if kind == "multipolygon":
+        out = []
+        for p in d:
+            out.extend(decompose_convex(("polygon", p)))
+        return out
+    if kind != "polygon" or not d:
+        return []
+    pieces = triangulate_ring(d[0])
+    for hole in d[1:]:
+        hole_tris = triangulate_ring(hole)
+        for ht in hole_tris:
+            nxt = []
+            for p in pieces:
+                nxt.extend(subtract_convex(p, ht))
+            pieces = nxt
+    return pieces
+
+
+def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
+    """Intersection of two arbitrary simple polygons (holes allowed) as
+    disjoint convex pieces: pairwise convex clip over both decompositions."""
+    pa = decompose_convex(a)
+    pb = decompose_convex(b)
+    out = []
+    for ta in pa:
+        for tb in pb:
+            r = clip_convex(ta, tb)
+            if r.shape[0] >= 4 and abs(_ring_signed_area(r)) > _EPS:
+                out.append(r)
+    return out
+
+
+def polygon_difference_pieces(a, b) -> list[np.ndarray]:
+    """a minus b for arbitrary simple polygons: subtract every convex piece
+    of b from every piece of a (sequentially, so pieces stay disjoint)."""
+    pieces = decompose_convex(a)
+    for tb in decompose_convex(b):
+        nxt = []
+        for p in pieces:
+            nxt.extend(subtract_convex(p, tb))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def polygon_intersection_area(a, b) -> float:
+    return sum(abs(_ring_signed_area(p))
+               for p in polygon_intersection_pieces(a, b))
+
+
 # ---------------------------------------------------------------------------
 # Constructions
 # ---------------------------------------------------------------------------
@@ -885,12 +990,29 @@ def _first_rings(g):
     return d if kind == "polygon" else d[0]
 
 
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """All turns the same direction (collinear runs allowed)."""
+    r = _close_ring(np.asarray(ring, dtype=np.float64))
+    v = np.diff(r, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    scale = max(1.0, float(np.abs(v).max()) ** 2)
+    pos = (cross > _EPS * scale).any()
+    neg = (cross < -_EPS * scale).any()
+    return not (pos and neg)
+
+
+def _is_simple_convex(g) -> bool:
+    kind, d = g
+    return kind == "polygon" and len(d) == 1 and is_convex_ring(d[0])
+
+
 def _interior_overlap_area(a, b) -> float:
-    """Intersection area (convex outer rings; holes ignored) — backs the
-    Touches/Overlaps interior tests in the convex polygon domain."""
-    ra = _first_rings(a)[0]
-    rb = _first_rings(b)[0]
-    return convex_intersection_area(ra, rb)
+    """Intersection area backing the Touches/Overlaps/Equals interior
+    tests: direct convex clip when both sides are single convex rings,
+    triangle-decomposition overlay otherwise (concave + holes exact)."""
+    if _is_simple_convex(a) and _is_simple_convex(b):
+        return convex_intersection_area(a[1][0], b[1][0])
+    return polygon_intersection_area(a, b)
 
 
 def crosses(a, b) -> bool:

@@ -152,40 +152,52 @@ def _boundary(g):
     return G.to_wkb("multipoint", np.empty((0, 2)))
 
 
-# --- binary overlay kernels (convex polygon domain; see geom.py) -----------
+# --- binary overlay kernels ------------------------------------------------
+# Fast path: both sides single convex rings -> direct Sutherland-Hodgman.
+# General path: ear-clipping triangle decomposition (concave + holes exact),
+# results emitted as disjoint convex-piece MultiPolygons (coverage-equal to
+# the dissolved GEOS result; internal piece boundaries not dissolved).
 
 def _intersection_wkb(a, b):
-    ra = G._first_rings(a)[0] if a[0] in ("polygon", "multipolygon") else None
-    rb = G._first_rings(b)[0] if b[0] in ("polygon", "multipolygon") else None
-    if ra is None or rb is None:
+    if a[0] not in ("polygon", "multipolygon") or b[0] not in (
+        "polygon", "multipolygon"
+    ):
         raise ValueError("ST_Intersection implemented for polygonal inputs")
-    r = G.clip_convex(ra, rb)
-    if r.shape[0] < 4:
-        return G.to_wkb("polygon", [])
-    return G.to_wkb("polygon", [r])
+    if G._is_simple_convex(a) and G._is_simple_convex(b):
+        r = G.clip_convex(a[1][0], b[1][0])
+        if r.shape[0] < 4:
+            return G.to_wkb("polygon", [])
+        return G.to_wkb("polygon", [r])
+    pieces = G.polygon_intersection_pieces(a, b)
+    return G.to_wkb("multipolygon", [[p] for p in pieces])
 
 
 def _difference_wkb(a, b):
-    ra = G._first_rings(a)[0]
-    rb = G._first_rings(b)[0]
-    pieces = G.subtract_convex(ra, rb)
+    if G._is_simple_convex(a) and G._is_simple_convex(b):
+        pieces = G.subtract_convex(a[1][0], b[1][0])
+    else:
+        pieces = G.polygon_difference_pieces(a, b)
     return G.to_wkb("multipolygon", [[p] for p in pieces])
 
 
 def _symdifference_wkb(a, b):
-    ra = G._first_rings(a)[0]
-    rb = G._first_rings(b)[0]
-    pieces = G.subtract_convex(ra, rb) + G.subtract_convex(rb, ra)
+    if G._is_simple_convex(a) and G._is_simple_convex(b):
+        pieces = (G.subtract_convex(a[1][0], b[1][0])
+                  + G.subtract_convex(b[1][0], a[1][0]))
+    else:
+        pieces = (G.polygon_difference_pieces(a, b)
+                  + G.polygon_difference_pieces(b, a))
     return G.to_wkb("multipolygon", [[p] for p in pieces])
 
 
 def _union_wkb(a, b):
-    """Coverage union as a disjoint decomposition: (a - b) pieces + b whole.
-    Same point set as the dissolved GEOS union; boundaries between pieces
-    are not dissolved (documented deviation)."""
-    ra = G._first_rings(a)[0]
-    rb = G._first_rings(b)[0]
-    pieces = G.subtract_convex(ra, rb) + [rb]
+    """Coverage union as a disjoint decomposition: (a - b) pieces + b's
+    pieces. Same point set as the dissolved GEOS union; boundaries between
+    pieces are not dissolved (documented deviation)."""
+    if G._is_simple_convex(a) and G._is_simple_convex(b):
+        pieces = G.subtract_convex(a[1][0], b[1][0]) + [b[1][0]]
+    else:
+        pieces = G.polygon_difference_pieces(a, b) + G.decompose_convex(b)
     return G.to_wkb("multipolygon", [[p] for p in pieces])
 
 

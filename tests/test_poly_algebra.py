@@ -124,6 +124,56 @@ class TestDiamondOverlay:
         for r in got.itertuples(index=False):
             assert r.area == pytest.approx(exp[(r.aid, r.bid)], rel=1e-9)
 
+    def test_nonconvex_intersection(self, spark):
+        """Concave (L-shaped) inputs run through the ear-clipping
+        decomposition path and match the kernel-level overlay area."""
+        from gdal_spark.operators.layer_algebra import poly_intersection
+
+        def L_wkb(ox, oy, s):
+            ring = np.array([
+                (0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)
+            ], float) * s + (ox, oy)
+            return G.to_wkb("polygon", [ring])
+
+        a = spark.createDataFrame(pd.DataFrame({
+            "aid": np.arange(6, dtype=np.int64),
+            "wkb": [L_wkb(i * 3.0, 0.0, 1e5) for i in range(6)],
+        }))
+        b = spark.createDataFrame(pd.DataFrame({
+            "bid": np.arange(3, dtype=np.int64),
+            "wkb": [_diamond_wkb(5e5 + i * 2e5, 4e5, 4e5) for i in range(3)],
+        }))
+        got = poly_intersection(a, b).toPandas()
+        assert len(got) > 0
+        adf = a.toPandas().set_index("aid")
+        bdf = b.toPandas().set_index("bid")
+        for r in got.itertuples(index=False):
+            ga = G.parse_wkb(bytes(adf.loc[r.aid, "wkb"]))
+            gb = G.parse_wkb(bytes(bdf.loc[r.bid, "wkb"]))
+            exp = G.polygon_intersection_area(ga, gb)
+            assert r.area == pytest.approx(exp, rel=1e-9)
+            # emitted geometry's own area agrees
+            assert G.area(G.parse_wkb(bytes(r.wkb))) == pytest.approx(exp, rel=1e-9)
+
+    def test_nonconvex_erase_conservation(self, spark):
+        from gdal_spark.operators.layer_algebra import (
+            poly_erase, poly_intersection,
+        )
+
+        ring = np.array([
+            (0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)
+        ], float) * 1e5
+        a = spark.createDataFrame(pd.DataFrame({
+            "aid": [0], "wkb": [G.to_wkb("polygon", [ring])],
+        }))
+        b = spark.createDataFrame(pd.DataFrame({
+            "bid": [0], "wkb": [_diamond_wkb(5e5, 2e5, 3e5)],
+        }))
+        inter = poly_intersection(a, b).toPandas()["area"].sum()
+        er = poly_erase(a, b).toPandas()
+        assert len(er) == 1
+        assert er["area"].iloc[0] + inter == pytest.approx(64 * 1e10, rel=1e-9)
+
     def test_union_coverage_total(self, spark):
         from gdal_spark.operators.layer_algebra import poly_union
 

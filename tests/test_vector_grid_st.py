@@ -253,6 +253,32 @@ class TestSTFunctionsRound2:
         assert got["sn"] == 4  # the 0.01 wiggle dropped, the 1.0 peak kept
         assert got["fixed"]  # open ring closed by MakeValid
 
+    def test_nonconvex_overlay_sql(self, spark):
+        """ST_Intersection handles concave polygons and holes (round-2
+        decomposition path): donut ∩ square = square area minus hole."""
+        got = spark.sql(
+            """
+            SELECT ST_Area(ST_Intersection(
+                     ST_GeomFromText('POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0),
+                                               (4 4, 4 8, 8 8, 8 4, 4 4))'),
+                     ST_GeomFromText('POLYGON ((2 2, 10 2, 10 10, 2 10, 2 2))')
+                   )) AS donut_sq,
+                   ST_Area(ST_Intersection(
+                     ST_GeomFromText('POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10,
+                                                0 10, 0 0))'),
+                     ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')
+                   )) AS l_in_sq,
+                   ST_Area(ST_Difference(
+                     ST_GeomFromText('POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10,
+                                                0 10, 0 0))'),
+                     ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')
+                   )) AS l_minus_corner
+            """
+        ).collect()[0]
+        assert got["donut_sq"] == pytest.approx(64 - 16)
+        assert got["l_in_sq"] == pytest.approx(64.0)
+        assert got["l_minus_corner"] == pytest.approx(64 - 16)
+
     def test_geodesic(self, spark):
         got = spark.sql(
             """
