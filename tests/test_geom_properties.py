@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the WKB geometry kernel — the
+random-input robustness layer on top of the example-based suites."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from gdal_spark.oracle import geom as G
+
+COORD = st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)
+
+
+def _convex(seed, n_pts=12, scale=100.0, off=(0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-scale, scale, (n_pts, 2)) + np.asarray(off)
+    ring = G.convex_hull(pts)
+    return ring if ring.shape[0] >= 4 else None
+
+
+def _star_shaped(seed, n=10, scale=100.0):
+    """Simple (star-shaped) polygon: random radii sorted by angle."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if np.diff(ang).min() < 1e-3:
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rad = rng.uniform(0.2 * scale, scale, n)
+    ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+class TestWkbRoundTrip:
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(COORD, COORD), min_size=1, max_size=8),
+           st.sampled_from(["point", "multipoint", "linestring"]))
+    def test_point_line_roundtrip(self, coords, kind):
+        arr = np.asarray(coords, dtype=np.float64)
+        if kind == "point":
+            g = ("point", arr[0])
+        elif kind == "multipoint":
+            g = ("multipoint", arr)
+        else:
+            if arr.shape[0] < 2:
+                return
+            g = ("linestring", arr)
+        rt = G.parse_wkb(G.to_wkb(*g))
+        assert rt[0] == g[0]
+        np.testing.assert_array_equal(np.asarray(rt[1]).reshape(-1, 2),
+                                      np.asarray(g[1]).reshape(-1, 2))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 10_000))
+    def test_polygon_roundtrip(self, seed):
+        ring = _convex(seed)
+        if ring is None:
+            return
+        hole = _convex(seed + 1, scale=10.0)
+        rings = [ring] + ([hole] if hole is not None else [])
+        g = ("polygon", rings)
+        rt = G.parse_wkb(G.to_wkb(*g))
+        assert rt[0] == "polygon" and len(rt[1]) == len(rings)
+        for a, b in zip(rt[1], rings):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestConvexOverlayProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 10_000),
+           st.floats(-120, 120), st.floats(-120, 120))
+    def test_clip_bounded_symmetric_conserving(self, s1, s2, dx, dy):
+        a = _convex(s1)
+        b = _convex(s2, off=(dx, dy))
+        if a is None or b is None:
+            return
+        area_a = abs(G._ring_signed_area(a))
+        area_b = abs(G._ring_signed_area(b))
+        inter_ab = G.convex_intersection_area(a, b)
+        inter_ba = G.convex_intersection_area(b, a)
+        tol = 1e-9 * max(area_a, area_b, 1.0)
+        # bounded above by both inputs, symmetric in its arguments
+        assert inter_ab <= min(area_a, area_b) + tol
+        assert abs(inter_ab - inter_ba) <= tol
+        # conservation: a = (a ∩ b) + (a − b)
+        remainder = sum(abs(G._ring_signed_area(p))
+                        for p in G.subtract_convex(a, b))
+        assert abs(inter_ab + remainder - area_a) <= tol
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 10_000),
+           st.floats(-150, 150), st.floats(-150, 150))
+    def test_predicate_consistency(self, s1, s2, dx, dy):
+        ra = _convex(s1)
+        rb = _convex(s2, off=(dx, dy))
+        if ra is None or rb is None:
+            return
+        a = ("polygon", [ra])
+        b = ("polygon", [rb])
+        inter = G.intersects(a, b)
+        assert G.disjoint(a, b) == (not inter)
+        if G.within(a, b):
+            assert inter
+            assert G.contains(b, a)
+        if G.touches(a, b):
+            assert inter and not G.overlaps(a, b)
+        if G.overlaps(a, b):
+            assert inter and not G.within(a, b) and not G.within(b, a)
+        assert G.equals(a, a)
+        assert G.intersects(a, a) and not G.disjoint(a, a)
+        # distance is 0 iff intersecting (strictly positive when disjoint)
+        d = G.distance(a, b)
+        if inter:
+            assert d == 0.0
+        else:
+            assert d > 0.0
+
+
+class TestDecompositionProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10_000))
+    def test_triangulation_covers_star_polygon(self, seed):
+        ring = _star_shaped(seed)
+        area = abs(G._ring_signed_area(ring))
+        tris = G.triangulate_ring(ring)
+        cover = sum(abs(G._ring_signed_area(t)) for t in tris)
+        assert cover == pytest.approx(area, rel=1e-6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 10_000),
+           st.floats(-80, 80), st.floats(-80, 80))
+    def test_nonconvex_overlay_conservation(self, s1, s2, dx, dy):
+        a = ("polygon", [_star_shaped(s1)])
+        rb = _convex(s2, off=(dx, dy))
+        if rb is None:
+            return
+        b = ("polygon", [rb])
+        area_a = G.area(a)
+        inter = G.polygon_intersection_area(a, b)
+        diff = sum(abs(G._ring_signed_area(p))
+                   for p in G.polygon_difference_pieces(a, b))
+        assert inter + diff == pytest.approx(area_a, rel=1e-6)
+        assert inter <= min(area_a, G.area(b)) * (1 + 1e-9) + 1e-9
+
+
+class TestConstructionProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 10_000), st.floats(1.0, 50.0))
+    def test_buffer_grows_simplify_shrinks(self, seed, dist):
+        ring = _convex(seed)
+        if ring is None:
+            return
+        g = ("polygon", [ring])
+        buffered = G.buffer_geom(g, float(dist))
+        assert G.area(buffered) >= G.area(g)
+        # the original's vertices lie inside the buffer
+        assert G.points_in_geom(ring[:-1, 0], ring[:-1, 1], buffered).all()
+        simp = G.simplify_geom(g, 1e-9)
+        assert G.n_points(simp) <= G.n_points(g)
+        assert G.area(simp) == pytest.approx(G.area(g), rel=1e-6)
