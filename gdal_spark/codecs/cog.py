@@ -270,6 +270,54 @@ def decode_cog(data: bytes, ifd_index: int = 0):
     return (arr[:, :, 0] if bands == 1 else arr), len(ifd_offsets), gt
 
 
+def decode_cog_window(data: bytes, x0: int, y0: int, w: int, h: int,
+                      ifd_index: int = 0):
+    """Windowed read: decode ONLY the tiles the requested window touches —
+    the RasterIO windowed-read semantics over the COG container
+    (gcore/rasterio.cpp block-window intersection; the whole point of the
+    COG layout is that a range reader fetches just these tile extents)."""
+    (first_ifd,) = struct.unpack_from("<I", data, 4)
+    ifd_offsets = []
+    off = first_ifd
+    while off:
+        ifd_offsets.append(off)
+        (n,) = struct.unpack_from("<H", data, off)
+        (off,) = struct.unpack_from("<I", data, off + 2 + n * 12)
+    tags = _read_ifd(data, ifd_offsets[ifd_index])
+    iw = tags[_T_WIDTH][0]
+    ih = tags[_T_LENGTH][0]
+    bands = tags.get(_T_SAMPLESPERPIXEL, [1])[0]
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    offs = tags[_T_TILEOFFSETS]
+    cnts = tags[_T_TILEBYTECOUNTS]
+    ta = (iw + TILE - 1) // TILE
+    x0 = max(0, x0)
+    y0 = max(0, y0)
+    x1 = min(iw, x0 + w)
+    y1 = min(ih, y0 + h)
+    if x1 <= x0 or y1 <= y0:
+        return np.zeros((0, 0, bands), dtype=np.uint8), 0
+    tx0, tx1 = x0 // TILE, (x1 - 1) // TILE
+    ty0, ty1 = y0 // TILE, (y1 - 1) // TILE
+    out = np.zeros((y1 - y0, x1 - x0, bands), dtype=np.uint8)
+    n_tiles_read = 0
+    for ty in range(ty0, ty1 + 1):
+        for tx in range(tx0, tx1 + 1):
+            i = ty * ta + tx
+            raw = data[offs[i] : offs[i] + cnts[i]]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            block = np.frombuffer(raw, dtype=np.uint8).reshape(TILE, TILE, bands)
+            n_tiles_read += 1
+            bx0, by0 = tx * TILE, ty * TILE
+            sy0, sy1 = max(y0, by0), min(y1, by0 + TILE)
+            sx0, sx1 = max(x0, bx0), min(x1, bx0 + TILE)
+            out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = block[
+                sy0 - by0 : sy1 - by0, sx0 - bx0 : sx1 - bx0
+            ]
+    return (out[:, :, 0] if bands == 1 else out), n_tiles_read
+
+
 def _read_ifd(data: bytes, off: int) -> dict:
     (n,) = struct.unpack_from("<H", data, off)
     tags = {}

@@ -695,6 +695,82 @@ def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
     )
 
 
+def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
+                     downsample_to: int = 64) -> DataFrame:
+    """Contour POLYGON output (the reference's `gdal_contour -p` mode,
+    alg/contour.cpp polygon writer): one row per (image, band) where band
+    [lo, hi) collects the pixels with lo <= value < hi, polygonized with
+    the component/ring tracer (holes included) and georeferenced to
+    EPSG:3857. Emits MultiPolygon WKB + pixel count + area."""
+    from ..oracle import geom as G
+    from ..oracle.rasterize import label_components, trace_rings
+
+    lv = [-np.inf] + sorted(float(x) for x in levels) + [np.inf]
+
+    def _mask_to_geom(mask, gt):
+        labels, ncomp = label_components(mask.astype(np.uint8))
+        polys = []
+        for lbl in range(1, ncomp + 1):
+            sel = labels == lbl
+            if not mask[sel][0]:
+                continue
+            rings_px = trace_rings(sel)
+            if not rings_px:
+                continue
+            areas = [abs(G._ring_signed_area(rg)) for rg in rings_px]
+            order = np.argsort(areas)[::-1]
+            rings = []
+            for k in order:
+                rg = rings_px[k]
+                xs = gt[0] + rg[:, 0] * gt[1]
+                ys = gt[3] + rg[:, 1] * gt[5]
+                rings.append(np.column_stack([xs, ys]))
+            polys.append(rings)
+        return polys
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                h, w = a.shape
+                gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+                if h > downsample_to or w > downsample_to:
+                    dh, dw = min(h, downsample_to), min(w, downsample_to)
+                    a = resample_nearest(a, dh, dw)
+                    gt = [gt[0], gt[1] * w / dw, 0.0, gt[3], 0.0,
+                          gt[5] * h / dh]
+                for bi in range(len(lv) - 1):
+                    lo, hi = lv[bi], lv[bi + 1]
+                    mask = (a >= lo) & (a < hi)
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    polys = _mask_to_geom(mask, gt)
+                    if not polys:
+                        continue
+                    g = ("multipolygon", polys)
+                    out.append(dict(
+                        image_id=r.image_id,
+                        level_min=float(lo) if np.isfinite(lo) else None,
+                        level_max=float(hi) if np.isfinite(hi) else None,
+                        n_pixels=n,
+                        area_m2=float(G.area(g)),
+                        wkb=G.to_wkb(*g),
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "level_min", "level_max", "n_pixels",
+                         "area_m2", "wkb"],
+            )
+
+    return images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
+        gen,
+        schema="image_id string, level_min double, level_max double, "
+               "n_pixels long, area_m2 double, wkb binary",
+    )
+
+
 def overview_downsample(images: DataFrame, method: str = "average"
                         ) -> DataFrame:
     """One 2x overview level per image with the full overview kernel set:

@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -84,3 +85,61 @@ def lsh_topk(df: DataFrame, query: np.ndarray, k: int = 10,
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_pca(df: DataFrame, k: int = 8, vec_col: str = "embedding",
+                  id_col: str = "vec_id", whiten: bool = False):
+    """Distributed PCA over an `array<float>` column — the embedding
+    dimensionality-reduction step of a training-data pipeline (beyond the
+    reference's surface, per the engine's training-data mandate).
+
+    Execution shape: mean and covariance via per-partition Arrow-batched
+    numpy PARTIALS (sum vector + Gram matrix per batch) merged with one
+    tiny driver reduce — the d x d Gram never exceeds a few KB regardless
+    of row count, so the only full-data pass is map-side. Eigendecomposition
+    runs on the driver (d x d); the projection back over the rows is a
+    second map-only pass.
+
+    Returns (projected_df with `components` array<double>[k], explained
+    variance ratios as a list).
+    """
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "s": [m.sum(axis=0).tolist()],
+                "g": [(m.T @ m).ravel().tolist()],
+            })
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).toPandas()
+    n = int(part["n"].sum())
+    s = np.sum(np.vstack(part["s"].to_numpy()), axis=0)
+    gram = np.sum(np.vstack(part["g"].to_numpy()), axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    evals = np.maximum(evals[order], 0.0)
+    basis = evecs[:, order]  # (d, k)
+    if whiten:
+        basis = basis / np.sqrt(np.maximum(evals, 1e-12))[None, :]
+    explained = (evals / max(np.trace(cov), 1e-30)).tolist()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64) - mean[None, :]
+        proj = m @ basis
+        return pd.Series(list(proj))
+
+    out = df.select(F.col(id_col), project(F.col(vec_col)).alias("components"))
+    return out, explained

@@ -1684,6 +1684,91 @@ def contour_lines_q(spark, sf_dir):
     )
 
 
+@q("contour_polygons", None)
+def contour_polygons_q(spark, sf_dir):
+    """Contour polygon bands (`gdal_contour -p` mode): per (image, band)
+    MultiPolygon of the pixels between consecutive levels."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import contour_polygons
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return contour_polygons(imgs).select(
+        "image_id", "level_min", "level_max", "n_pixels",
+        F.round("area_m2", 1).alias("area_m2"),
+    )
+
+
+# windowed-read oracle: the (250,250)+40x16 window crosses the 256-pixel
+# tile boundary only on the (257,300) and (512,512) images (i % 5 in 3,4 ->
+# 2x2 tiles); every smaller image clamps inside tile (0,0).
+_COG_WINDOW_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+)
+SELECT printf('img%08d', i) AS image_id,
+       TRUE AS window_ok,
+       CASE WHEN i % 5 IN (3, 4) THEN 4 ELSE 1 END AS tiles_touched
+FROM idx
+"""
+
+
+@q("cog_window_read", _COG_WINDOW_SQL)
+def cog_window_read_q(spark, sf_dir):
+    """RasterIO WINDOWED read over the COG container: decode only the
+    tiles a window touches (gcore/rasterio.cpp block intersection). The
+    oracle pins the touched-tile count per image-size cycle, and the
+    window pixels must equal the full decode's slice."""
+    import pandas as pd
+
+    from .codecs.cog import decode_cog_window, encode_cog
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _dec(r.bytes)
+                blob = encode_cog(a)
+                h, w = a.shape[0], a.shape[1]
+                # window straddling the first tile boundary when possible
+                x0 = max(0, min(w - 2, 250))
+                y0 = max(0, min(h - 2, 250))
+                ww = min(40, w - x0)
+                hh = min(16, h - y0)
+                win, ntiles = decode_cog_window(blob, x0, y0, ww, hh)
+                exp = a[y0 : y0 + hh, x0 : x0 + ww]
+                out.append(dict(
+                    image_id=r.image_id,
+                    window_ok=bool((win == exp).all()),
+                    tiles_touched=int(ntiles),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "window_ok", "tiles_touched"]
+            )
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.mapInPandas(
+        rt, schema="image_id string, window_ok boolean, tiles_touched int"
+    )
+
+
+@q("embedding_pca", None)
+def embedding_pca_q(spark, sf_dir):
+    """Distributed PCA over the embeddings table (map-side Gram partials +
+    driver eigh + map-side projection) — training-data pipeline op."""
+    from .operators.similarity import embedding_pca
+
+    register_tpch_views(spark, sf_dir)
+    out, explained = embedding_pca(spark.table("embeddings"), k=4)
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("components", i + 1), 4).alias(f"pc{i + 1}")
+          for i in range(4)],
+    )
+
+
 @q("overview_gauss_rms", None)
 def overview_gauss_rms_q(spark, sf_dir):
     """Overview kernels beyond average: gauss (gcore/overview.cpp:1996) and

@@ -384,3 +384,67 @@ class TestLayerAlgebra:
         got = identity(a, b).toPandas()
         assert got[got.bid.isna()].shape[0] > 0  # outside pieces
         assert got[got.bid.notna()].shape[0] == 3  # intersection pieces
+
+
+class TestRound2Extras:
+    def test_contour_polygons_partition(self, spark, imgs, imgs_pdf):
+        """The level bands partition the raster: per image, band pixel
+        counts sum to the (downsampled) pixel total and band areas sum to
+        the image footprint area."""
+        from gdal_spark.operators.rasterops import contour_polygons
+
+        got = contour_polygons(imgs).toPandas()
+        for r in imgs_pdf.itertuples(index=False):
+            sub = got[got.image_id == r.image_id]
+            dh, dw = min(r.h, 64), min(r.w, 64)
+            assert sub["n_pixels"].sum() == dh * dw
+            assert sub["area_m2"].sum() == pytest.approx(
+                (r.w * r.gsd_m) * (r.h * r.gsd_m), rel=1e-9
+            )
+
+    def test_cog_window_reads(self):
+        from gdal_spark.codecs.cog import decode_cog_window, encode_cog
+        from gdal_spark.fixtures.images import make_pixels
+
+        a = make_pixels(300, 280)
+        blob = encode_cog(a)
+        rng = np.random.default_rng(4)
+        for _ in range(12):
+            x0 = int(rng.integers(0, 295))
+            y0 = int(rng.integers(0, 275))
+            w = int(rng.integers(1, 300 - x0))
+            h = int(rng.integers(1, 280 - y0))
+            win, ntiles = decode_cog_window(blob, x0, y0, w, h)
+            np.testing.assert_array_equal(win, a[y0:y0 + h, x0:x0 + w])
+            exp_tiles = (((x0 + w - 1) // 256) - x0 // 256 + 1) * (
+                ((y0 + h - 1) // 256) - y0 // 256 + 1
+            )
+            assert ntiles == exp_tiles
+
+    def test_embedding_pca_matches_numpy(self, spark):
+        from gdal_spark.operators.similarity import embedding_pca
+
+        rng = np.random.default_rng(5)
+        # anisotropic data: variance concentrated in 2 known directions
+        base = rng.normal(size=(300, 6)) * np.array([5.0, 3.0, 0.5, 0.3, 0.2, 0.1])
+        rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+        data = base @ rot.T + 2.0
+        df = spark.createDataFrame(pd.DataFrame({
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [[float(x) for x in row] for row in data],
+        }))
+        out, explained = embedding_pca(df, k=2)
+        got = out.toPandas().sort_values("vec_id", ignore_index=True)
+        proj = np.vstack(got["components"].to_numpy())
+        # numpy oracle
+        mean = data.mean(axis=0)
+        cov = np.cov(data.T, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:2]
+        exp = (data - mean) @ evecs[:, order]
+        for j in range(2):  # eigenvectors defined up to sign
+            same = np.abs(proj[:, j] - exp[:, j]).max()
+            flip = np.abs(proj[:, j] + exp[:, j]).max()
+            assert min(same, flip) < 1e-6
+        assert explained[0] > explained[1] > 0
+        assert sum(explained) <= 1.0 + 1e-9
