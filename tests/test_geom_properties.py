@@ -19,11 +19,14 @@ def _convex(seed, n_pts=12, scale=100.0, off=(0.0, 0.0)):
 
 
 def _star_shaped(seed, n=10, scale=100.0):
-    """Simple (star-shaped) polygon: random radii sorted by angle."""
+    """Simple (star-shaped) polygon: random radii at jittered angles.
+    Angular gaps are kept < pi (evenly spaced + bounded jitter) — with a
+    gap over pi the closing chord crosses the far side and the ring
+    self-intersects (hypothesis found exactly that with fully random
+    sorted angles)."""
     rng = np.random.default_rng(seed)
-    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
-    if np.diff(ang).min() < 1e-3:
-        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    step = 2 * np.pi / n
+    ang = np.arange(n) * step + rng.uniform(-0.3, 0.3, n) * step
     rad = rng.uniform(0.2 * scale, scale, n)
     ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
     return np.vstack([ring, ring[:1]])
