@@ -735,6 +735,81 @@ def decode_stats_png_q(spark, sf_dir):
     )
 
 
+# Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
+# pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
+# arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the
+# shared template tile math, overview levels by recursive halving.
+_PYRAMID_KEYS_SQL = f"""
+WITH RECURSIVE idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0
+               WHEN 2 THEN 100.0 ELSE 500.0 END AS gsd,
+    CASE i % 4 WHEN 0 THEN 13 WHEN 1 THEN 11
+               WHEN 2 THEN 10 ELSE 8 END AS nz,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v
+  FROM idx
+),
+ctr AS (
+  SELECT i, w, h, gsd, nz,
+    {T.sql_mx("CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0 ELSE u * 360.0 - 180.0 END")} AS mx,
+    {T.sql_my("CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0 ELSE (v * 2.0 - 1.0) * 85.05 END")} AS my
+  FROM meta
+),
+bb AS (
+  SELECT i, nz,
+         mx - w * gsd / 2.0 AS bminx, my - h * gsd / 2.0 AS bminy,
+         mx + w * gsd / 2.0 AS bmaxx, my + h * gsd / 2.0 AS bmaxy
+  FROM ctr
+),
+rng AS (
+  SELECT i, nz,
+    {T._clamped(T.sql_pixels_to_tile(T.sql_px('bminx', 'nz')), 'nz')} AS tminx,
+    {T._clamped(T.sql_pixels_to_tile(T.sql_px('bminy', 'nz')), 'nz')} AS tminy,
+    {T._clamped(T.sql_pixels_to_tile(T.sql_px('bmaxx', 'nz')), 'nz')} AS tmaxx,
+    {T._clamped(T.sql_pixels_to_tile(T.sql_px('bmaxy', 'nz')), 'nz')} AS tmaxy
+  FROM bb
+),
+base AS (
+  SELECT r.i, r.nz AS z, CAST(xs.a AS BIGINT) AS x, CAST(ys.a AS BIGINT) AS y
+  FROM rng r,
+       LATERAL (SELECT unnest(generate_series(r.tminx, r.tmaxx)) AS a) xs,
+       LATERAL (SELECT unnest(generate_series(r.tminy, r.tmaxy)) AS a) ys
+),
+pyr AS (
+  SELECT i, z, x, y FROM base
+  UNION
+  SELECT i, z - 1, x // 2, y // 2 FROM pyr WHERE z > 8
+)
+SELECT printf('img%08d', i) AS image_id, z, x, y FROM pyr
+"""
+
+
+@q("pyramid_keys", _PYRAMID_KEYS_SQL)
+def pyramid_keys_q(spark, sf_dir):
+    """The FULL pyramid key set (every image x level x tile) value-gated:
+    DuckDB rebuilds native zooms, base tile ranges (ceil-1 convention,
+    geo bounds from the fixture arithmetic) and the overview halving chain
+    with a recursive CTE; any drift in tile assignment or the reduction
+    keys breaks the hash."""
+    from .fixtures.images import images_df
+    from .operators.tiling import build_tile_pyramid
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return build_tile_pyramid(imgs, tminz=8, codec="internal").select(
+        "image_id", F.col("z").cast("long").alias("z"),
+        F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y"),
+    )
+
+
 # COG container round-trip oracle: overview count is a pure function of the
 # fixture W/H cycles ((257,300) and (512,512) need one 2x reduction to fit a
 # 256 tile; everything else none), and the writer must be lossless + obey
