@@ -1,0 +1,230 @@
+"""Multidimensional (NetCDF-style) arrays as chunked Spark tables — a v1
+slice of the reference's multidim data model
+(/root/reference/gcore/multidim/, GDALMDArray: named dimensions, chunked
+storage, hyperslab views `GetView`/Read with start+count per dimension,
+and whole-dimension statistics).
+
+Spark mapping (SURVEY §1.1 "maps to ArrayType columns"): one ROW per chunk,
+
+    (var string, chunk array<long>, shape array<int>, data array<double>)
+
+with ``chunk`` the per-dimension chunk index, ``shape`` the (edge-truncated)
+chunk extents, and ``data`` the C-order values. Metadata (dimension names,
+sizes, chunk sizes) travels in an ``MDMeta``. The shape is exactly a Zarr/
+NetCDF chunk grid, which is what a 100 TB array store looks like: hyperslab
+selection prunes to the touched chunks with plain integer predicates
+(partition-prunable when the table is written partitioned by chunk), and
+per-dimension reductions are per-chunk numpy partials + one groupBy on the
+surviving chunk coordinates — no per-element rows ever exist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MD_SCHEMA = ("var string, chunk array<bigint>, shape array<int>, "
+             "data array<double>")
+
+
+@dataclass
+class MDMeta:
+    """Dimension metadata for one variable (GDALMDArray analogue)."""
+    var: str
+    dims: list  # [(name, size), ...]
+    chunks: list  # chunk size per dimension
+
+    @property
+    def sizes(self):
+        return [s for _, s in self.dims]
+
+    def n_chunks(self):
+        return [int(np.ceil(s / c)) for s, c in zip(self.sizes, self.chunks)]
+
+
+def array_to_chunks(spark: SparkSession, arr: np.ndarray, meta: MDMeta
+                    ) -> DataFrame:
+    """Materialize a numpy ND array as the chunked table (test/ingest
+    helper; production arrays arrive already chunked)."""
+    rows = []
+    grids = [range(n) for n in meta.n_chunks()]
+    import itertools
+
+    for ci in itertools.product(*grids):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(ci, meta.chunks, meta.sizes)
+        )
+        block = np.ascontiguousarray(arr[slices], dtype=np.float64)
+        rows.append({
+            "var": meta.var,
+            "chunk": [int(x) for x in ci],
+            "shape": [int(x) for x in block.shape],
+            "data": block.ravel().tolist(),
+        })
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MD_SCHEMA)
+
+
+def hyperslab(df: DataFrame, meta: MDMeta, starts, counts) -> DataFrame:
+    """GDALMDArray::Read(start, count): the chunked subset of the slab.
+
+    Chunk pruning is a pure integer predicate per dimension (chunk index
+    range overlap) — the scan never touches chunks outside the slab; the
+    in-chunk slice runs vectorized per chunk. Output rows keep the chunk
+    layout with ``chunk`` re-based to the slab origin and ``shape`` the
+    clipped extents."""
+    nd = len(meta.dims)
+    starts = [int(s) for s in starts]
+    counts = [int(c) for c in counts]
+    ends = [s + c for s, c in zip(starts, counts)]
+    cond = F.lit(True)
+    for d in range(nd):
+        c = meta.chunks[d]
+        lo = starts[d] // c
+        hi = (ends[d] - 1) // c
+        cd = F.element_at("chunk", d + 1)
+        cond = cond & (cd >= lo) & (cd <= hi)
+    pruned = df.where(F.col("var") == meta.var).where(cond)
+
+    chunks = list(meta.chunks)
+
+    def slice_chunks(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                ci = list(r.chunk)
+                shape = list(r.shape)
+                block = np.asarray(r.data, dtype=np.float64).reshape(shape)
+                slc = []
+                new_chunk = []
+                ok = True
+                for d in range(nd):
+                    off = ci[d] * chunks[d]
+                    lo = max(starts[d], off) - off
+                    hi = min(ends[d], off + shape[d]) - off
+                    if hi <= lo:
+                        ok = False
+                        break
+                    slc.append(slice(lo, hi))
+                    new_chunk.append(ci[d] - starts[d] // chunks[d])
+                if not ok:
+                    continue
+                sub = np.ascontiguousarray(block[tuple(slc)])
+                out.append({
+                    "var": r.var, "chunk": new_chunk,
+                    "shape": [int(x) for x in sub.shape],
+                    "data": sub.ravel().tolist(),
+                })
+            yield pd.DataFrame(
+                out, columns=["var", "chunk", "shape", "data"]
+            )
+
+    return pruned.mapInPandas(slice_chunks, schema=MD_SCHEMA)
+
+
+def chunks_to_array(df: DataFrame, meta_or_nd) -> np.ndarray:
+    """Assemble a (small) chunked result back into numpy (driver-side;
+    tests / final small outputs only)."""
+    pdf = df.toPandas()
+    nd = (len(meta_or_nd.dims)
+          if isinstance(meta_or_nd, MDMeta) else int(meta_or_nd))
+    if len(pdf) == 0:
+        return np.zeros((0,) * nd)
+    # chunk extents per dimension from the max chunk index + shapes
+    chunk_sizes = [
+        {} for _ in range(nd)
+    ]
+    for r in pdf.itertuples(index=False):
+        for d in range(nd):
+            chunk_sizes[d][int(r.chunk[d])] = int(r.shape[d])
+    offs = []
+    totals = []
+    for d in range(nd):
+        sizes = chunk_sizes[d]
+        off = {}
+        acc = 0
+        for i in sorted(sizes):
+            off[i] = acc
+            acc += sizes[i]
+        offs.append(off)
+        totals.append(acc)
+    out = np.zeros(totals)
+    for r in pdf.itertuples(index=False):
+        slc = tuple(
+            slice(offs[d][int(r.chunk[d])],
+                  offs[d][int(r.chunk[d])] + int(r.shape[d]))
+            for d in range(nd)
+        )
+        out[slc] = np.asarray(r.data, dtype=np.float64).reshape(list(r.shape))
+    return out
+
+
+def reduce_dim(df: DataFrame, meta: MDMeta, dim: int, op: str = "mean"
+               ) -> DataFrame:
+    """Reduce one dimension away (GDALMDArray statistics / GetResampled
+    analogue): per-chunk numpy partials (sum/count or min/max along the
+    axis) + one groupBy on the surviving chunk coordinates. ``op``:
+    mean | sum | min | max."""
+    nd = len(meta.dims)
+
+    def partials(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                block = np.asarray(r.data, dtype=np.float64).reshape(list(r.shape))
+                if op in ("mean", "sum"):
+                    red = block.sum(axis=dim)
+                elif op == "min":
+                    red = block.min(axis=dim)
+                else:
+                    red = block.max(axis=dim)
+                keep_chunk = [int(c) for d, c in enumerate(r.chunk) if d != dim]
+                out.append({
+                    "var": r.var, "chunk": keep_chunk,
+                    "shape": [int(x) for x in red.shape],
+                    "data": np.ascontiguousarray(red).ravel().tolist(),
+                    "cnt": int(r.shape[dim]),
+                })
+            yield pd.DataFrame(
+                out, columns=["var", "chunk", "shape", "data", "cnt"]
+            )
+
+    part = df.where(F.col("var") == meta.var).mapInPandas(
+        partials, schema=MD_SCHEMA + ", cnt long"
+    )
+    merge_expr = {
+        "mean": "+", "sum": "+", "min": "min", "max": "max",
+    }[op]
+
+    def merge(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arrs = [
+                    np.asarray(d, dtype=np.float64).reshape(list(s))
+                    for d, s in zip(r.datas, r.shapes)
+                ]
+                if merge_expr == "+":
+                    acc = np.sum(arrs, axis=0)
+                    if op == "mean":
+                        acc = acc / sum(r.cnts)
+                elif merge_expr == "min":
+                    acc = np.min(arrs, axis=0)
+                else:
+                    acc = np.max(arrs, axis=0)
+                out.append({
+                    "var": r.var, "chunk": list(r.chunk),
+                    "shape": [int(x) for x in acc.shape],
+                    "data": acc.ravel().tolist(),
+                })
+            yield pd.DataFrame(out, columns=["var", "chunk", "shape", "data"])
+
+    gathered = part.groupBy("var", "chunk").agg(
+        F.collect_list("data").alias("datas"),
+        F.collect_list("shape").alias("shapes"),
+        F.collect_list("cnt").alias("cnts"),
+    )
+    return gathered.mapInPandas(merge, schema=MD_SCHEMA)

@@ -1736,6 +1736,53 @@ FROM seq WHERE pp IS NOT NULL
     )
 
 
+# Multidim value oracle: the cube is the closed form v = t*1e4 + y*1e2 + x,
+# so the time-mean over the hyperslab [3:9, 5:25, 7:32] is
+# mean(t in 3..8)*1e4 + y*1e2 + x = 55000 + y*100 + x, enumerable in SQL.
+_MD_SLAB_SQL = """
+SELECT CAST(y.a AS BIGINT) AS y, CAST(x.a AS BIGINT) AS x,
+       55000.0 + y.a * 100.0 + x.a AS value
+FROM (SELECT unnest(generate_series(5, 24)) AS a) y
+CROSS JOIN (SELECT unnest(generate_series(7, 31)) AS a) x
+"""
+
+
+@q("md_hyperslab_mean", _MD_SLAB_SQL)
+def md_hyperslab_mean_q(spark, sf_dir):
+    """Multidim chunked-array pipeline value-gated end to end: chunk a
+    (time, y, x) cube, take a chunk-crossing hyperslab (GDALMDArray::Read
+    start+count semantics), reduce the time dimension (per-chunk partials
+    + groupBy merge), and emit element rows — DuckDB enumerates the exact
+    closed-form expectations."""
+    import itertools
+
+    import pandas as pd
+
+    from .operators.multidim import (
+        MDMeta, array_to_chunks, hyperslab, reduce_dim,
+    )
+
+    t, y, x = np.meshgrid(np.arange(12), np.arange(30), np.arange(40),
+                          indexing="ij")
+    cube = (t * 10000.0 + y * 100.0 + x).astype(np.float64)
+    meta = MDMeta("v", [("time", 12), ("y", 30), ("x", 40)], [5, 16, 16])
+    df = array_to_chunks(spark, cube, meta)
+    slab = hyperslab(df, meta, (3, 5, 7), (6, 20, 25))
+    red = reduce_dim(slab, MDMeta("v", [("time", 6), ("y", 20), ("x", 25)],
+                                  [5, 16, 16]), dim=0, op="mean")
+
+    # the reduced slab is small by construction — reassemble driver-side
+    # and emit element rows (large reductions stay chunked; see multidim.py)
+    from .operators.multidim import chunks_to_array
+
+    arr2 = chunks_to_array(red, 2)
+    rows = [
+        dict(y=int(iy + 5), x=int(ix + 7), value=float(v))
+        for (iy, ix), v in np.ndenumerate(arr2)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["y", "x", "value"]))
+
+
 @q("contour", None)
 def contour_q(spark, sf_dir):
     """Marching-squares contour summary per image (alg/contour.cpp)."""
