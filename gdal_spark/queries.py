@@ -930,6 +930,99 @@ def caption_tile_oracle_q(spark, sf_dir):
     )
 
 
+# Audio features value oracle: the FAKA PCM formula
+# s[k] = (((k*37 + 13*i) % 256) - 128) * 64 replays verbatim in SQL over
+# generate_series — mean, RMS, peak, and lag-based zero crossings exact.
+_AUDIO_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i FROM (SELECT unnest(generate_series(0, 59)) AS a)
+),
+meta AS (
+  SELECT i,
+         CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+         1000 + (i % 7) * 500 AS n
+  FROM idx
+),
+pcm AS (
+  SELECT m.i, m.sr, m.n, CAST(k.a AS BIGINT) AS k,
+         ((((CAST(k.a AS BIGINT) * 37 + 13 * m.i) % 256) - 128) * 64) AS s
+  FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.n - 1)) AS a) k
+),
+lagged AS (
+  SELECT i, sr, n, s,
+         LAG(s) OVER (PARTITION BY i ORDER BY k) AS sp
+  FROM pcm
+)
+SELECT printf('med%06d', i) AS media_id,
+       ROUND(CAST(n AS DOUBLE) / sr, 6) AS duration_s,
+       ROUND(SUM(CAST(s AS DOUBLE)) / n, 6) AS mean_amp,
+       ROUND(sqrt(SUM(CAST(s AS DOUBLE) * s) / n), 6) AS rms,
+       CAST(MAX(abs(s)) AS INTEGER) AS peak,
+       SUM(CASE WHEN sp IS NOT NULL AND ((sp < 0 AND s >= 0)
+                 OR (sp >= 0 AND s < 0)) THEN 1 ELSE 0 END) AS zero_crossings
+FROM lagged
+GROUP BY i, sr, n
+"""
+
+
+@q("audio_features", _AUDIO_SQL)
+def audio_features_q(spark, sf_dir):
+    """Audio multimodal column: decode PCM inside Arrow batches and emit
+    duration/mean/RMS/peak/zero-crossings — DuckDB replays the payload
+    formula sample by sample (the swap-in point for a real audio codec
+    leaves this Spark plumbing untouched)."""
+    from .fixtures.media import media_df
+    from .operators.media import audio_features
+
+    return audio_features(media_df(spark, 60))
+
+
+# Video frame sampling oracle: frame f's pixels are (k + 7f + i) % 256 over
+# the flat index — the per-frame mean replays with one series per frame.
+_VIDEO_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i FROM (SELECT unnest(generate_series(0, 39)) AS a)
+),
+meta AS (
+  SELECT i,
+         CASE WHEN i % 2 = 0 THEN 32 ELSE 64 END AS w,
+         CASE WHEN i % 2 = 0 THEN 24 ELSE 48 END AS h,
+         10 + (i % 11) AS nf,
+         CASE WHEN i % 2 = 0 THEN 5 ELSE 10 END AS fps
+  FROM idx
+),
+frames AS (
+  SELECT m.*, CAST(f.a AS BIGINT) AS fi
+  FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.nf - 1, 5)) AS a) f
+),
+px AS (
+  SELECT fr.i, fr.fi, fr.fps, fr.w, fr.h,
+         ((CAST(k.a AS BIGINT) + 7 * fr.fi + fr.i) % 256) AS v
+  FROM frames fr,
+       LATERAL (SELECT unnest(generate_series(0, fr.w * fr.h - 1)) AS a) k
+)
+SELECT printf('med%06d', i) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       ROUND(CAST(fi AS DOUBLE) / fps, 6) AS t_sec,
+       ROUND(SUM(CAST(v AS DOUBLE)) / (w * h), 6) AS fmean
+FROM px
+GROUP BY i, fi, fps, w, h
+"""
+
+
+@q("video_frames", _VIDEO_SQL)
+def video_frames_q(spark, sf_dir):
+    """Video multimodal column: explode each clip to one row per sampled
+    frame (every 5th; frame-addressable decode — whole videos never
+    materialize), per-frame means value-gated by the payload formula."""
+    from .fixtures.media import media_df
+    from .operators.media import video_frame_sample
+
+    return video_frame_sample(media_df(spark, 40), every_n=5).select(
+        "media_id", "frame_idx", "t_sec", "fmean"
+    )
+
+
 @q("caption_passthrough", None)
 def caption_passthrough(spark, sf_dir):
     """Captions survive the full pipeline byte-identical (input_hint gate):
