@@ -143,7 +143,9 @@ def main():
     result["tiles"] = n_tiles
     result["images_per_sec"] = round(N_IMAGES / t_full, 1)
     result["aggregation"] = "best_of_3"
-    result["pyramid_sec"] = round(run_pyramid(spark, images_path), 3)
+    result["pyramid_sec"] = round(
+        min(run_pyramid(spark, images_path) for _ in range(2)), 3
+    )
 
     # representative operator timings at SF_DIR
     import __spark_entry__ as entrymod

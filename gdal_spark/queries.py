@@ -1847,8 +1847,6 @@ def md_hyperslab_mean_q(spark, sf_dir):
     start+count semantics), reduce the time dimension (per-chunk partials
     + groupBy merge), and emit element rows — DuckDB enumerates the exact
     closed-form expectations."""
-    import itertools
-
     import pandas as pd
 
     from .operators.multidim import (
