@@ -178,3 +178,41 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS bkt_test_a")
             spark.sql("DROP TABLE IF EXISTS bkt_test_b")
+
+
+class TestArrowDbConnector:
+    def test_read_sql_matches_spark_read(self, spark):
+        """Arrow-native DB read (ADBC role, gcore/gdal_adbc.cpp): DuckDB
+        executes, results cross as Arrow — equal to Spark's own scan."""
+        from gdal_spark.sources.adbc import read_sql
+
+        got = read_sql(
+            spark,
+            f"SELECT o_orderkey, o_totalprice FROM "
+            f"read_parquet('{SF_DIR}/orders.parquet') WHERE o_orderkey <= 500",
+        ).toPandas().sort_values("o_orderkey", ignore_index=True)
+        exp = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .where("o_orderkey <= 500")
+            .select("o_orderkey", "o_totalprice")
+            .toPandas().sort_values("o_orderkey", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_partitioned_read_complete_and_distributed(self, spark):
+        """Ranged partitioned read: every row exactly once across stride
+        partitions (open-ended first/last), executed task-side."""
+        from gdal_spark.sources.adbc import read_sql_partitioned
+
+        sql = (f"SELECT o_orderkey, o_custkey FROM "
+               f"read_parquet('{SF_DIR}/orders.parquet')")
+        got = read_sql_partitioned(
+            spark, sql, "o_orderkey", lower=0, upper=60000, num_partitions=6
+        )
+        exp = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        assert got.count() == exp.count()
+        g = got.toPandas().sort_values("o_orderkey", ignore_index=True)
+        e = exp.select("o_orderkey", "o_custkey").toPandas().sort_values(
+            "o_orderkey", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(g, e)
