@@ -62,6 +62,8 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
     Unlike 3857->4326 this mapping is NOT separable, so every destination
     pixel center is inverse-projected individually (vectorized meshgrid) —
     the full GDALWarpKernel shape (transform dst centers, sample src).
+    ``method``: nearest, bilinear, or the 2-D convolution kernels
+    cubic / cubicspline / lanczos.
     Output sizing samples the source boundary at 21 points per edge, the
     GDALSuggestedWarpOutput2 grid density (alg/gdaltransformer.cpp:342).
     """
@@ -110,6 +112,34 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
             + arr[y1, x0].astype(np.float64) * (1 - wx) * wy
             + arr[y1, x1].astype(np.float64) * wx * wy
         )
+        mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
+    elif method in ("cubic", "cubicspline", "lanczos"):
+        # full 2-D convolution gather: the UTM mapping is NOT separable,
+        # so each destination pixel accumulates (2r)^2 taps with 2-D
+        # weights — the GWKResample general path (alg/gdalwarpkernel.cpp)
+        from .resample import _KERNELS
+
+        kernel, radius = _KERNELS[method]
+        gx = fx - 0.5
+        gy = fy - 0.5
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        shape = arr.shape if arr.ndim == 3 else arr.shape + (1,)
+        a3 = arr.reshape(shape).astype(np.float64)
+        acc = np.zeros(gx.shape + (shape[2],))
+        wsum = np.zeros(gx.shape)
+        offs = np.arange(-radius + 1, radius + 1)
+        for dy in offs:
+            wy = kernel(gy - (y0 + dy))
+            yi = np.clip(y0 + dy, 0, h - 1)
+            for dx in offs:
+                wgt = wy * kernel(gx - (x0 + dx))
+                xi = np.clip(x0 + dx, 0, w - 1)
+                acc += wgt[:, :, None] * a3[yi, xi]
+                wsum += wgt
+        out = acc / np.where(wsum == 0, 1.0, wsum)[:, :, None]
+        if arr.ndim == 2:
+            out = out[:, :, 0]
         mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
     else:
         raise ValueError(method)

@@ -170,6 +170,30 @@ class TestKernels:
             assert len(got) == 1
             assert np.allclose(got[0][0], got[0][-1])
 
+    def test_utm_warp_convolution_kernels(self):
+        """The non-separable UTM warp accepts the 2-D convolution kernels:
+        constants are preserved in the interior, and the kernel output
+        tracks the nearest warp on average."""
+        from gdal_spark.oracle.utm import lonlat_to_utm
+        from gdal_spark.oracle.warp import warp_utm_to_4326
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        e0, n0 = lonlat_to_utm(3.5, 44.0, 31)
+        gt = [float(e0) - 24 * 50.0, 50.0, 0.0, float(n0) + 24 * 50.0, 0.0, -50.0]
+        near, _ = warp_utm_to_4326(a, gt, 31, "nearest")
+        for m in ("cubic", "cubicspline", "lanczos"):
+            out, _ = warp_utm_to_4326(a, gt, 31, m)
+            assert out.shape == near.shape and out.dtype == np.uint8
+            diff = np.abs(out[6:-6, 6:-6].astype(float)
+                          - near[6:-6, 6:-6].astype(float))
+            assert diff.mean() < 45, (m, diff.mean())
+        const = np.full((32, 32), 180, np.uint8)
+        gt2 = [float(e0) - 16 * 50.0, 50.0, 0.0, float(n0) + 16 * 50.0, 0.0, -50.0]
+        for m in ("cubic", "cubicspline", "lanczos"):
+            out, _ = warp_utm_to_4326(const, gt2, 31, m)
+            assert (out[4:-4, 4:-4] == 180).all(), m
+
     @pytest.mark.parametrize("method", ["cubic", "lanczos", "average", "mode"])
     def test_scale_to_tile_all_methods(self, method):
         from gdal_spark.fixtures.images import make_pixels
