@@ -452,6 +452,49 @@ def poly_union(a: DataFrame, b: DataFrame, a_id: str = "aid",
     )
 
 
+def dissolve(df: DataFrame, key: str, wkb_col: str = "wkb",
+             zoom: int = 5) -> DataFrame:
+    """`gdal vector dissolve` (apps/gdalalg_vector_dissolve.cpp): merge all
+    features sharing ``key`` into one unioned geometry per group.
+
+    Union-as-disjoint-decomposition: within a group, each feature's convex
+    pieces are added after subtracting everything already covered
+    (sequential, WKB-byte-ordered for determinism), so the result is a
+    coverage-exact MultiPolygon with no double-counted area. One groupBy
+    shuffle on the dissolve key; the merge runs in Arrow batches."""
+
+    gathered = df.groupBy(key).agg(
+        F.sort_array(F.collect_list(wkb_col)).alias("wkbs")
+    )
+    schema = f"{key} long, wkb binary, area double, n_pieces int"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                covered: list = []
+                for bw in r.wkbs:
+                    for piece in _parse_pieces(bytes(bw)):
+                        frags = [piece]
+                        for c in covered:
+                            nxt = []
+                            for p in frags:
+                                nxt.extend(_G.subtract_convex(p, c))
+                            frags = nxt
+                            if not frags:
+                                break
+                        covered.extend(frags)
+                ar = sum(abs(_G._ring_signed_area(p)) for p in covered)
+                rows.append({
+                    key: getattr(r, key),
+                    "wkb": _G.to_wkb("multipolygon", [[p] for p in covered]),
+                    "area": ar, "n_pieces": len(covered),
+                })
+            yield _pd.DataFrame(rows, columns=[key, "wkb", "area", "n_pieces"])
+
+    return gathered.mapInPandas(kernel, schema=schema)
+
+
 def poly_sym_difference(a: DataFrame, b: DataFrame, a_id: str = "aid",
                         b_id: str = "bid", zoom: int = 5,
                         broadcast_b: bool = True) -> DataFrame:

@@ -423,6 +423,18 @@ def _close_ring(pts: np.ndarray) -> np.ndarray:
     return pts
 
 
+def _dedupe_ring(pts: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (open ring input/output).
+    Duplicate vertices create zero-length edges whose half-planes are the
+    whole plane — a clip ring carrying one would otherwise duplicate the
+    entire subject in subtract_convex (found by the dissolve union test)."""
+    if pts.shape[0] < 2:
+        return pts
+    d = np.abs(np.diff(np.vstack([pts, pts[:1]]), axis=0)).max(axis=1)
+    scale = max(1.0, float(np.abs(pts).max()))
+    return pts[d > _EPS * scale]
+
+
 def _orient_ccw(ring: np.ndarray) -> np.ndarray:
     return ring if _ring_signed_area(ring) >= 0 else ring[::-1].copy()
 
@@ -432,8 +444,12 @@ def clip_convex(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
     CONVEX ``clip_ring``. Returns a closed ring ((K,2), possibly empty).
     Exact when the subject is convex; for concave subjects the result may
     include degenerate bridging edges (standard S-H behavior)."""
-    clip = _orient_ccw(_close_ring(np.asarray(clip_ring, dtype=np.float64)))
+    clip = _close_ring(_dedupe_ring(
+        _orient_ccw(_close_ring(np.asarray(clip_ring, dtype=np.float64)))[:-1]
+    ))
     out = _close_ring(np.asarray(subject_ring, dtype=np.float64))[:-1]
+    if clip.shape[0] < 4:
+        return np.empty((0, 2))
     for i in range(clip.shape[0] - 1):
         if out.shape[0] == 0:
             break
@@ -456,6 +472,7 @@ def clip_convex(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
                 new_pts.append(cur + t * (nxt - cur))
             # note: inside sign flipped below — d>0 means RIGHT of edge here
         out = np.array(new_pts) if new_pts else np.empty((0, 2))
+    out = _dedupe_ring(out)
     if out.shape[0] < 3:
         return np.empty((0, 2))
     return _close_ring(out)
@@ -474,9 +491,13 @@ def subtract_convex(subject_ring: np.ndarray, clip_ring: np.ndarray
     polygon into half-planes; piece_i = subject ∩ outside(edge_i) ∩
     inside(edges_0..i-1). Pieces are disjoint; their union is the erase
     remainder (OGRLayer::Erase per-feature semantics)."""
-    clip = _orient_ccw(_close_ring(np.asarray(clip_ring, dtype=np.float64)))
+    clip = _close_ring(_dedupe_ring(
+        _orient_ccw(_close_ring(np.asarray(clip_ring, dtype=np.float64)))[:-1]
+    ))
     pieces = []
     current = _close_ring(np.asarray(subject_ring, dtype=np.float64))
+    if clip.shape[0] < 4:
+        return [current] if current.shape[0] >= 4 else []
     for i in range(clip.shape[0] - 1):
         if current.shape[0] < 4:
             break
@@ -508,9 +529,10 @@ def _clip_halfplane(ring: np.ndarray, a, b) -> np.ndarray:
         if inside[j] != inside[k]:
             t = d[j] / (d[j] - d[k])
             new_pts.append(out[j] + t * (out[k] - out[j]))
-    if len(new_pts) < 3:
+    out2 = _dedupe_ring(np.array(new_pts))
+    if out2.shape[0] < 3:
         return np.empty((0, 2))
-    return _close_ring(np.array(new_pts))
+    return _close_ring(out2)
 
 
 def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:

@@ -191,3 +191,35 @@ class TestDiamondOverlay:
         # diamonds s=10 at (0,0) and (5,0): u/v overlap 15 -> inter 112.5
         assert inter == pytest.approx(112.5)
         assert total == pytest.approx(200 + 50 + 200 - 112.5)
+
+
+class TestDissolve:
+    def test_dissolve_union_area(self, spark):
+        """Dissolved area = |union|: overlapping rects counted once,
+        disjoint rects summed, concave members handled."""
+        from gdal_spark.operators.layer_algebra import dissolve
+
+        L = np.array([(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10),
+                      (0, 0)], float)
+        rows = [
+            # group 0: two overlapping unit-1e5 squares (50% overlap)
+            (0, _rect_wkb(0, 0, 10, 10)),
+            (0, _rect_wkb(5, 0, 15, 10)),
+            # group 1: disjoint squares
+            (1, _rect_wkb(0, 0, 10, 10)),
+            (1, _rect_wkb(20, 0, 30, 10)),
+            # group 2: L-shape + square filling its notch
+            (2, G.to_wkb("polygon", [L])),
+            (2, _rect_wkb(4, 4, 10, 10)),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["gid", "wkb"])
+        )
+        got = dissolve(df, "gid").toPandas().set_index("gid")
+        assert got.loc[0, "area"] == pytest.approx(150.0)
+        assert got.loc[1, "area"] == pytest.approx(200.0)
+        assert got.loc[2, "area"] == pytest.approx(100.0)  # L + notch = full
+        # emitted geometry's own area agrees with the reported area
+        for gid in (0, 1, 2):
+            g = G.parse_wkb(bytes(got.loc[gid, "wkb"]))
+            assert G.area(g) == pytest.approx(got.loc[gid, "area"], rel=1e-9)
