@@ -115,8 +115,6 @@ class _IFD:
 
     def n_entries(self):
         base = 12  # fixed tags incl. sampleformat
-        if self.bands > 1:
-            pass
         if self.geo is not None:
             base += 3
         return base
@@ -129,8 +127,11 @@ class _IFD:
         ntiles = len(self.tiles)
         if ntiles > 1:
             sz += 4 * ntiles * 2  # offsets + bytecounts arrays
-        if self.bands > 1:
-            sz += 2 * self.bands  # out-of-line bits-per-sample shorts
+        if self.bands > 2:
+            # BitsPerSample goes out-of-line only when its payload exceeds
+            # the 4-byte inline value slot (2 shorts fit inline, so a
+            # 2-band gray+alpha image stays inline — matching _arr_value).
+            sz += 2 * self.bands
         if self.geo is not None:
             sz += 8 * 3 + 8 * 6 + 2 * 4 * len(_GEOKEYS_3857)
         return sz

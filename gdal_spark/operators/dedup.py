@@ -259,21 +259,56 @@ def _band_layout(max_hamming: int) -> list[tuple[int, int]]:
     return layout
 
 
+def _band_combos(max_hamming: int) -> list[list[tuple[int, int]]]:
+    """Band keys for exact-recall Hamming LSH; each entry is the list of
+    (shift, width) block slices concatenated into one key.
+
+    radius <= 4: one block per key, (r + 1) contiguous slices (keys >= 12
+    bits — the round-2 scheme, fine at these radii).
+
+    radius > 4: Manku-style combinatorial blocks (Detecting Near-Duplicates
+    for Web Crawling, WWW'07 §3): split 64 bits into B = r + m blocks and
+    emit one key per m-subset (all C(B, m)).  <= r differing bits touch
+    <= r blocks, leaving >= m blocks intact, so some m-subset agrees —
+    exact recall by pigeonhole.  m = 2 keeps keys ~2*(64/B) bits wide
+    (~10-11 bits at r=10) instead of 64/(r+1) (~6 bits): ~2^5 x more
+    distinct buckets per key for C(12,2)=66 vs 11 candidate rows — the
+    r=10 self-join stops being quadratic in corpus size."""
+    if max_hamming <= 4:
+        return [[sw] for sw in _band_layout(max_hamming)]
+    from itertools import combinations
+
+    m = 2
+    nblocks = min(max_hamming + m, 64)
+    base, extra = divmod(64, nblocks)
+    blocks, shift = [], 0
+    for b in range(nblocks):
+        width = base + (1 if b < extra else 0)
+        blocks.append((shift, width))
+        shift += width
+    return [list(c) for c in combinations(blocks, m)]
+
+
 def _hamming_banded(sigs: DataFrame, id_col: str, max_hamming: int,
                     bucket_cap: int | None = 100_000) -> DataFrame:
+    def _combo_key(combo):
+        key = None
+        for shift, width in combo:
+            piece = (
+                F.col("simhash") if width == 64
+                else F.shiftrightunsigned("simhash", shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            )
+            key = piece if key is None else \
+                F.shiftleft(key, width).bitwiseOR(piece)
+        return key
+
     banded = sigs.select(
         F.col(id_col), "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    (
-                        F.col("simhash") if width == 64
-                        else F.shiftrightunsigned("simhash", shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                    ).alias("bh"),
-                )
-                for b, (shift, width) in enumerate(_band_layout(max_hamming))
+                F.struct(F.lit(b).alias("band"), _combo_key(combo).alias("bh"))
+                for b, combo in enumerate(_band_combos(max_hamming))
             ])
         ).alias("bk"),
     ).select(F.col(id_col), "simhash", "bk.band", "bk.bh")
@@ -298,25 +333,36 @@ def _hamming_banded(sigs: DataFrame, id_col: str, max_hamming: int,
 
 def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", threshold: float = 0.95,
-                         planes: int = 8, tables: int = 6, seed: int = 42
-                         ) -> DataFrame:
+                         planes: int = 8, tables: int = 6, seed: int = 42,
+                         bucket_cap: int | None = 100_000) -> DataFrame:
     """Near-duplicate embedding pairs (cosine >= threshold): multi-table
     random-hyperplane LSH candidates + exact cosine refine (JVM array math).
 
     L independent tables of p planes: a cosine-0.95 pair (angle ~0.32 rad)
     collides in >=1 of 6 8-plane tables w.p. ~0.96; a single 16-plane table
-    would recall only ~0.18 — the standard (L, p) trade."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
-    rng = np.random.default_rng(seed)
-    hp = rng.normal(size=(tables, planes, dim))
+    would recall only ~0.18 — the standard (L, p) trade.
+
+    Hyperplane components are derived JVM-side per element index via
+    Box-Muller over two xxhash64 streams — dimension-agnostic (no driver
+    probe of the vector size) and no planes*tables*dim literal arrays in
+    the plan (24k literals at dim 512).  ``bucket_cap`` drops (table,
+    bucket) groups larger than the cap before the self-join — the same
+    guard the MinHash/SimHash paths have; without it a degenerate bucket
+    (e.g. all-zero embeddings) makes the join quadratic at corpus scale."""
+
+    def _gauss(i, t, p, salt):
+        # uniform in (0,1] from the top 52 bits of xxhash64(i, stream)
+        def u(s):
+            h = F.xxhash64(i, F.lit(t * 131071 + p), F.lit(seed * 2 + s))
+            return (F.shiftrightunsigned(h, 12).cast("double") + 1.0) / float(1 << 52)
+        return F.sqrt(-2.0 * F.log(u(salt))) * F.cos(
+            F.lit(2.0 * float(np.pi)) * u(salt + 2))
 
     def _bucket(c, t):
         bits = [
             F.when(
                 F.aggregate(
-                    F.zip_with(c, F.array(*[F.lit(float(v)) for v in hp[t, p]]),
-                               lambda x, y: x * y),
+                    F.transform(c, lambda x, i: x * _gauss(i, t, p, 0)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ) >= 0, F.lit(1 << p)
@@ -341,6 +387,7 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
             ])
         ).alias("tb"),
     ).select(F.col(id_col), F.col(vec_col), "nrm", "tb.tbl", "tb.bk")
+    sigs = _cap_buckets(sigs, ["tbl", "bk"], bucket_cap)
     l, r = sigs.alias("l"), sigs.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y),

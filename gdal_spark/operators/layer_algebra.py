@@ -466,7 +466,10 @@ def dissolve(df: DataFrame, key: str, wkb_col: str = "wkb",
     gathered = df.groupBy(key).agg(
         F.sort_array(F.collect_list(wkb_col)).alias("wkbs")
     )
-    schema = f"{key} long, wkb binary, area double, n_pieces int"
+    # Key column keeps its incoming type (string attribute keys are the
+    # common case in `gdal vector dissolve`); hardcoding long broke them.
+    key_type = df.schema[key].dataType.simpleString()
+    schema = f"{key} {key_type}, wkb binary, area double, n_pieces int"
 
     def kernel(batches):
         for pdf in batches:

@@ -48,12 +48,23 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
                     )
                     xo = int(np.floor((ulx - gt[0]) / gt[1] + 0.001))
                     yo = int(np.floor((uly - gt[3]) / gt[5] + 0.001))
-                    xs = int(np.ceil((lrx - ulx) / gt[1] - 0.001))
-                    ys = int(np.ceil((lry - uly) / gt[5] - 0.001))
-                    xo, yo = max(0, xo), max(0, yo)
-                    a = a[yo : yo + max(ys, 0), xo : xo + max(xs, 0)]
-                    if a.size == 0:
+                    # Size from the SNAPPED ULX/ULY, not the requested one
+                    # (gdal_translate_lib.cpp:981-1000: ceil((lrx - adfGeoTransform
+                    # [0] - xo*xres)/xres - 0.001)); keeping the raw ulx here
+                    # gave a possible off-by-one.
+                    xs = int(np.ceil((lrx - (gt[0] + xo * gt[1])) / gt[1] - 0.001))
+                    ys = int(np.ceil((lry - (gt[3] + yo * gt[5])) / gt[5] - 0.001))
+                    # Out-of-bounds: intersect the computed window with the
+                    # raster extent explicitly (w2/h2 reflect the clipped
+                    # window) instead of silently shifting the origin; skip
+                    # rows whose window falls completely outside
+                    # (gdal_translate_lib.cpp "falls completely outside").
+                    x0, y0 = max(0, xo), max(0, yo)
+                    x1 = min(xo + max(xs, 0), a.shape[1])
+                    y1 = min(yo + max(ys, 0), a.shape[0])
+                    if x1 <= x0 or y1 <= y0:
                         continue
+                    a = a[y0:y1, x0:x1]
                 if srcwin is not None:
                     x, y, ww, hh = srcwin
                     a = a[y : y + hh, x : x + ww]

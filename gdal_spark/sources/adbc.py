@@ -69,6 +69,11 @@ def read_sql_partitioned(spark: SparkSession, sql: str, partition_column: str,
                 if not pd.isna(r.hi):
                     conds.append(f"{partition_column} < {int(r.hi)}")
                 where = " AND ".join(conds) or "TRUE"
+                if pd.isna(r.lo):
+                    # NULL keys fail every range predicate; route them to the
+                    # first partition so "no rows are lost" holds (the JDBC
+                    # partitionColumn NULL caveat, solved not documented).
+                    where = f"({where}) OR {partition_column} IS NULL"
                 con = duckdb.connect(db or ":memory:")
                 try:
                     out = con.execute(

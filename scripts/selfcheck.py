@@ -75,7 +75,20 @@ def main():
             continue
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         ok_rows = len(sdf) == len(ddf)
+        # Dtype-kind parity: the external driver's hash is dtype-faithful,
+        # so a DuckDB HUGEINT->float64 vs Spark int64 renders "499.0" vs
+        # "499" there even when %.9g masks it here. Treat kind drift as FAIL.
+        kind_drift = [
+            c for c in sdf.columns
+            if c in ddf.columns and sdf[c].dtype.kind != ddf[c].dtype.kind
+            and {sdf[c].dtype.kind, ddf[c].dtype.kind} <= {"i", "u", "f"}
+            and "f" in {sdf[c].dtype.kind, ddf[c].dtype.kind}
+        ]
         hs, hd = value_hash(sdf), value_hash(ddf)
+        if kind_drift:
+            print(f"FAIL  {name}: dtype kind drift {[(c, str(sdf[c].dtype), str(ddf[c].dtype)) for c in kind_drift]}")
+            n_fail += 1
+            continue
         if ok_cols and ok_rows and hs == hd:
             print(f"PASS  {name}: {len(sdf)} rows hash={hs} ({dt:.1f}s)")
             n_pass += 1
