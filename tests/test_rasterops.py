@@ -310,6 +310,41 @@ class TestMosaicBandCalc:
         v = (a[:, :, 0] - a[:, :, 1]) / np.maximum(a[:, :, 0] + a[:, :, 1], 1e-9)
         assert got.loc[r["image_id"], "vmean"] == pytest.approx(round(v.mean(), 6), abs=1e-6)
 
+    def test_pixel_function_breadth(self, imgs_pdf):
+        """Every PIXEL_FUNCTIONS entry runs; spot-check numpy semantics of
+        the non-oracled (transcendental / order-statistic) ones."""
+        from gdal_spark.operators.rasterops import PIXEL_FUNCTIONS, _pixel_func
+
+        r = imgs_pdf.iloc[0]
+        a = decode(r["bytes"]).astype(np.float64)
+        for fn in PIXEL_FUNCTIONS:
+            v = _pixel_func(fn, a, 2.0 if fn in ("pow", "inv") else None)
+            assert v.shape == a.shape[:2], fn
+        b1, b2, b3 = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        np.testing.assert_allclose(
+            _pixel_func("log10", a, None),
+            np.log10(np.maximum(b1, 1e-9)))
+        np.testing.assert_allclose(
+            _pixel_func("dB2amp", a, None), np.power(10.0, b1 / 20.0))
+        np.testing.assert_allclose(
+            _pixel_func("pow", a, 3.0), b1 ** 3)
+        np.testing.assert_allclose(
+            _pixel_func("median", a, None),
+            np.median(np.stack([b1, b2, b3], axis=2), axis=2))
+        np.testing.assert_allclose(
+            _pixel_func("interpolate_linear", a, 0.25), b1 + (b2 - b1) * 0.25)
+        # mode: most frequent band value per pixel, uint8 domain
+        m = _pixel_func("mode", a, None)
+        h, w = b1.shape
+        for yy, xx in [(0, 0), (h // 2, w // 3), (h - 1, w - 1)]:
+            vals = [b1[yy, xx], b2[yy, xx], b3[yy, xx]]
+            counts = {x: vals.count(x) for x in vals}
+            best = max(counts.values())
+            assert m[yy, xx] == min(x for x, c in counts.items() if c == best)
+        # replace_nodata turns matching pixels into NaN
+        rn = _pixel_func("replace_nodata", a, float(b1[0, 0]))
+        assert np.isnan(rn[0, 0])
+
     def test_mosaic_merges_overlaps(self, spark):
         from gdal_spark.operators.rasterops import mosaic_tiles
 
