@@ -138,6 +138,98 @@ def proximity_map(images: DataFrame, target_value: int = 0,
     )
 
 
+def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
+                    nx: int, ny: int, wkb_col: str = "wkb",
+                    fid_col: str = "fid", burn: float = 1.0,
+                    attribute: str | None = None, add: bool = False,
+                    all_touched: bool = False, z_col: str | None = None,
+                    tile_px: int = 128) -> DataFrame:
+    """gdal_rasterize for polygon layers with the full option surface
+    (alg/gdalrasterize.cpp:796-811, 999): even-odd scanline fill with
+    holes, ``attribute`` burn (-a), ``add`` vs replace (-add / GRIO_ADD),
+    ``all_touched`` (-at, GDALdllImageLineAllTouched boundary traversal),
+    and BURN_VALUE_FROM=Z via ``z_col`` (-3d; array<double> of per-vertex
+    Z aligned with the concatenated ring vertices incl. closing points).
+
+    Distributed shape: each feature's bbox explodes to the output TILES it
+    covers (tile_px x tile_px pixel blocks), one shuffle groups features
+    per tile, and the scanline kernel burns each tile independently in
+    FEATURE-ID ORDER (replace mode is deterministic last-fid-wins, the
+    reference's feature iteration order).  No per-feature global raster is
+    ever materialized — at 10^12 scale the output is the sparse non-zero
+    pixel set, partitioned by tile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from ..oracle import geom as G
+    from ..oracle.rasterize import rasterize_rings
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def wkb_bbox(wkbs: pd.Series) -> pd.Series:
+        return wkbs.map(lambda b: list(G.bbox(G.parse_wkb(bytes(b)))))
+
+    bv = (F.col(attribute).cast("double") if attribute is not None
+          else F.lit(float(burn)))
+    zs = (F.col(z_col) if z_col is not None
+          else F.lit(None).cast("array<double>"))
+    ntx = (nx + tile_px - 1) // tile_px
+    nty = (ny + tile_px - 1) // tile_px
+    span = float(cell) * tile_px
+    feats = polys.select(
+        F.col(fid_col).alias("fid"), F.col(wkb_col).alias("wkb"),
+        bv.alias("bv"), zs.alias("zs"), wkb_bbox(F.col(wkb_col)).alias("bb"),
+    ).select(
+        "fid", "wkb", "bv", "zs",
+        F.explode(F.sequence(
+            F.greatest(F.floor((F.element_at("bb", 1) - F.lit(minx))
+                               / F.lit(span)), F.lit(0)),
+            F.least(F.floor((F.element_at("bb", 3) - F.lit(minx))
+                            / F.lit(span)), F.lit(ntx - 1)),
+        )).alias("tx"),
+        F.element_at("bb", 2).alias("by0"), F.element_at("bb", 4).alias("by1"),
+    ).select(
+        "fid", "wkb", "bv", "zs", "tx",
+        F.explode(F.sequence(
+            F.greatest(F.floor((F.lit(maxy) - F.col("by1")) / F.lit(span)),
+                       F.lit(0)),
+            F.least(F.floor((F.lit(maxy) - F.col("by0")) / F.lit(span)),
+                    F.lit(nty - 1)),
+        )).alias("ty"),
+    ).where(F.col("tx").isNotNull() & F.col("ty").isNotNull())
+
+    def burn_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        gx = minx + tx * span
+        gy = maxy - ty * span
+        gt = [gx, cell, 0.0, gy, 0.0, -cell]
+        tw = min(tile_px, nx - tx * tile_px)
+        th = min(tile_px, ny - ty * tile_px)
+        out = np.zeros((th, tw), dtype=np.float64)
+        for r in pdf.sort_values("fid").itertuples(index=False):
+            kind, d = G.parse_wkb(bytes(r.wkb))
+            rings = (d if kind == "polygon"
+                     else [ring for part in d for ring in part])
+            rz = None
+            if r.zs is not None:
+                flat = np.asarray(r.zs, dtype=np.float64)
+                rz, off = [], 0
+                for ring in rings:
+                    n = len(ring)
+                    rz.append(flat[off : off + n])
+                    off += n
+            rasterize_rings(rings, gt, tw, th, burn=float(r.bv), out=out,
+                            add=add, all_touched=all_touched, rings_z=rz)
+        py, px = np.nonzero(out)
+        return pd.DataFrame({
+            "px": px + tx * tile_px, "py": py + ty * tile_px,
+            "v": out[py, px],
+        })
+
+    return feats.groupBy("tx", "ty").applyInPandas(
+        burn_tile, schema="px long, py long, v double"
+    )
+
+
 def rasterize_point_counts(points: DataFrame, minx: float, maxy: float,
                            cell: float, nx: int, ny: int,
                            x: str = "x", y: str = "y") -> DataFrame:

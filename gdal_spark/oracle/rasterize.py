@@ -50,6 +50,103 @@ def rasterize_polygon(ring_xy, gt, w: int, h: int, burn: float = 1.0,
     return out
 
 
+def rasterize_rings(rings_xy, gt, w: int, h: int, burn: float = 1.0,
+                    out=None, add: bool = False, all_touched: bool = False,
+                    rings_z=None):
+    """Burn one (multi-ring) polygon with the gdal_rasterize option set
+    (alg/gdalrasterize.cpp:796-811, 999):
+
+    * even-odd fill across ALL rings together (holes un-burned, exactly
+      GDALdllImageFilledPolygon's combined crossing list);
+    * ``all_touched``: additionally burn every pixel the ring boundary
+      passes through (GDALdllImageLineAllTouched) via Amanatides-Woo
+      cell traversal;
+    * ``rings_z``: BURN_VALUE_FROM=Z — per-span burn value interpolated
+      from vertex Z at the span's left crossing (the dfVariant passed to
+      gvBurnScanlineBasic, llrasterize.cpp);
+    * ``add``: accumulate instead of replace (GRIO_ADD)."""
+    if out is None:
+        out = np.zeros((h, w), dtype=np.float64)
+    segs = []  # (x1, y1, x2, y2, z1, z2) in pixel space
+    for ri, ring in enumerate(rings_xy):
+        r = np.asarray(ring, dtype=np.float64)
+        px = (r[:, 0] - gt[0]) / gt[1]
+        py = (r[:, 1] - gt[3]) / gt[5]
+        if rings_z is not None:
+            z = np.asarray(rings_z[ri], dtype=np.float64)
+        else:
+            z = np.full(len(px), burn)
+        segs.append(np.stack(
+            [px[:-1], py[:-1], px[1:], py[1:], z[:-1], z[1:]], axis=1))
+    S = np.concatenate(segs, axis=0)
+    x1, y1, x2, y2, z1, z2 = S.T
+
+    for r_i in range(h):
+        yc = r_i + 0.5
+        m = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
+        if not m.any():
+            continue
+        t = (yc - y1[m]) / (y2[m] - y1[m])
+        xi = x1[m] + t * (x2[m] - x1[m])
+        zi = z1[m] + t * (z2[m] - z1[m])
+        order = np.argsort(xi, kind="stable")
+        xi, zi = xi[order], zi[order]
+        for i in range(0, len(xi) - 1, 2):
+            c0 = max(int(np.ceil(xi[i] - 0.5)), 0)
+            c1 = min(int(np.floor(xi[i + 1] - 0.5)), w - 1)
+            if c1 >= c0:
+                v = zi[i] if rings_z is not None else burn
+                if add:
+                    out[r_i, c0 : c1 + 1] += v
+                else:
+                    out[r_i, c0 : c1 + 1] = v
+
+    if all_touched:
+        for k in range(S.shape[0]):
+            sx1, sy1, sx2, sy2, sz1, _sz2 = S[k]
+            v = sz1 if rings_z is not None else burn
+            for cy, cx in _traverse_cells(sx1, sy1, sx2, sy2):
+                if 0 <= cy < h and 0 <= cx < w:
+                    if add:
+                        out[cy, cx] += v
+                    else:
+                        out[cy, cx] = v
+    return out
+
+
+def _traverse_cells(x1, y1, x2, y2):
+    """Amanatides-Woo: every grid cell a segment passes through (pixel
+    space, cell (r, c) spans [c, c+1) x [r, r+1)) — the ALL_TOUCHED line
+    semantics of GDALdllImageLineAllTouched (alg/llrasterize.cpp)."""
+    cx, cy = int(np.floor(x1)), int(np.floor(y1))
+    ex, ey = int(np.floor(x2)), int(np.floor(y2))
+    cells = [(cy, cx)]
+    dx, dy = x2 - x1, y2 - y1
+    sx = 1 if dx > 0 else -1
+    sy = 1 if dy > 0 else -1
+    tdx = abs(1.0 / dx) if dx != 0 else np.inf
+    tdy = abs(1.0 / dy) if dy != 0 else np.inf
+    if dx > 0:
+        tmx = (np.floor(x1) + 1 - x1) * tdx
+    else:
+        tmx = (x1 - np.floor(x1)) * tdx
+    if dy > 0:
+        tmy = (np.floor(y1) + 1 - y1) * tdy
+    else:
+        tmy = (y1 - np.floor(y1)) * tdy
+    guard = 0
+    while (cx != ex or cy != ey) and guard < 100000:
+        guard += 1
+        if tmx < tmy:
+            tmx += tdx
+            cx += sx
+        else:
+            tmy += tdy
+            cy += sy
+        cells.append((cy, cx))
+    return cells
+
+
 def rasterize_points(xs, ys, gt, w: int, h: int, burn: float = 1.0,
                      add: bool = True):
     """Burn points (pixel containing each point; add mode accumulates —

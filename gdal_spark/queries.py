@@ -16,6 +16,7 @@ Queries cover SURVEY.md §2 operator rows; reference files cited per entry.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .sql import templates as T
@@ -1618,6 +1619,112 @@ def rasterize_point_counts_q(spark, sf_dir):
     )
     return rasterize_point_counts(
         pts, minx=-_RZ_OS, maxy=_RZ_OS, cell=2.0 * _RZ_OS / 32.0, nx=32, ny=32
+    )
+
+
+# Polygon rasterize grid: world-mercator 268x268 at 150 km cells.  The
+# customer rects are axis-aligned, so the even-odd scanline pixel range is
+# closed-form: centers inside <=> px in [ceil(x0-0.5), floor(x1-0.5)] in
+# pixel space — replayable exactly in SQL (all doubles bit-identical).
+_RZ_GX = -20100000.0
+_RZ_CELL = 150000.0
+_RZ_N = 268
+
+_RASTERIZE_ATTR_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{{RECTS}},
+pxr AS (
+  SELECT aid, CAST(aid % 7 + 1 AS DOUBLE) AS bv,
+         CAST(ceil((minx - ({_RZ_GX:.1f})) / {_RZ_CELL:.1f} - 0.5) AS BIGINT) AS px0,
+         CAST(floor((maxx - ({_RZ_GX:.1f})) / {_RZ_CELL:.1f} - 0.5) AS BIGINT) AS px1,
+         CAST(ceil((({-_RZ_GX:.1f}) - maxy) / {_RZ_CELL:.1f} - 0.5) AS BIGINT) AS py0,
+         CAST(floor((({-_RZ_GX:.1f}) - miny) / {_RZ_CELL:.1f} - 0.5) AS BIGINT) AS py1
+  FROM customer_rects
+)
+SELECT x.a AS px, y.a AS py, CAST(SUM(bv) AS DOUBLE) AS v
+FROM pxr,
+     LATERAL (SELECT unnest(generate_series(px0, px1)) AS a) x,
+     LATERAL (SELECT unnest(generate_series(py0, py1)) AS a) y
+WHERE px0 <= px1 AND py0 <= py1
+  AND x.a >= 0 AND x.a < {_RZ_N} AND y.a >= 0 AND y.a < {_RZ_N}
+GROUP BY x.a, y.a
+"""
+
+_RASTERIZE_AT_SQL = f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+{{RECTS}},
+pxr AS (
+  SELECT aid, CAST(aid % 7 + 1 AS DOUBLE) AS bv,
+         CAST(floor((minx - ({_RZ_GX:.1f})) / {_RZ_CELL:.1f}) AS BIGINT) AS px0,
+         CAST(floor((maxx - ({_RZ_GX:.1f})) / {_RZ_CELL:.1f}) AS BIGINT) AS px1,
+         CAST(floor((({-_RZ_GX:.1f}) - maxy) / {_RZ_CELL:.1f}) AS BIGINT) AS py0,
+         CAST(floor((({-_RZ_GX:.1f}) - miny) / {_RZ_CELL:.1f}) AS BIGINT) AS py1
+  FROM customer_rects
+)
+SELECT x.a AS px, y.a AS py, arg_max(bv, aid) AS v
+FROM pxr,
+     LATERAL (SELECT unnest(generate_series(px0, px1)) AS a) x,
+     LATERAL (SELECT unnest(generate_series(py0, py1)) AS a) y
+WHERE x.a >= 0 AND x.a < {_RZ_N} AND y.a >= 0 AND y.a < {_RZ_N}
+GROUP BY x.a, y.a
+"""
+
+
+def _rect_wkb_layer(spark):
+    """customer_rects as (fid, wkb, bv) polygon rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+
+    @F.pandas_udf(BinaryType())
+    def rect_wkb(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                 maxy: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                             [x0, y0]])
+            out.append(G.to_wkb("polygon", [ring]))
+        return pd.Series(out)
+
+    a = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()}, {_CUSTOMER_RECTS.strip()} "
+        "SELECT * FROM customer_rects"
+    )
+    return a.select(
+        F.col("aid").alias("fid"),
+        rect_wkb("minx", "miny", "maxx", "maxy").alias("wkb"),
+        ((F.col("aid") % 7 + 1).cast("double")).alias("bv"),
+    )
+
+
+@q("rasterize_attr_add", _RASTERIZE_ATTR_SQL.format(RECTS=_CUSTOMER_RECTS.strip()))
+def rasterize_attr_add_q(spark, sf_dir):
+    """gdal_rasterize -a <attr> -add over a polygon layer: per-tile
+    even-odd scanline burn, attribute values accumulated (GRIO_ADD,
+    alg/gdalrasterize.cpp:796-811) — DuckDB replays the closed-form
+    rect pixel ranges."""
+    from .operators.vectorize import rasterize_layer
+
+    register_tpch_views(spark, sf_dir)
+    return rasterize_layer(
+        _rect_wkb_layer(spark), minx=_RZ_GX, maxy=-_RZ_GX, cell=_RZ_CELL,
+        nx=_RZ_N, ny=_RZ_N, attribute="bv", add=True,
+    )
+
+
+@q("rasterize_all_touched", _RASTERIZE_AT_SQL.format(RECTS=_CUSTOMER_RECTS.strip()))
+def rasterize_all_touched_q(spark, sf_dir):
+    """gdal_rasterize -at (ALL_TOUCHED): Amanatides-Woo boundary traversal
+    + interior fill, replace mode — deterministic last-feature-wins
+    replayed as arg_max(bv, fid) over each rect's touched bbox."""
+    from .operators.vectorize import rasterize_layer
+
+    register_tpch_views(spark, sf_dir)
+    return rasterize_layer(
+        _rect_wkb_layer(spark), minx=_RZ_GX, maxy=-_RZ_GX, cell=_RZ_CELL,
+        nx=_RZ_N, ny=_RZ_N, attribute="bv", add=False, all_touched=True,
     )
 
 

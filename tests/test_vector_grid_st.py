@@ -17,6 +17,62 @@ class TestRasterizeKernels:
         assert out.sum() == 36
         assert out[2:8, 2:8].all()  # rows 2..7 (y from 8 down to 2)
 
+    def test_rasterize_rings_hole(self):
+        """Even-odd across rings: the hole stays un-burned
+        (GDALdllImageFilledPolygon combined crossing list)."""
+        gt = [0.0, 1.0, 0.0, 10.0, 0.0, -1.0]
+        outer = [(1, 1), (9, 1), (9, 9), (1, 9), (1, 1)]
+        hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+        out = RZ.rasterize_rings([outer, hole], gt, 10, 10)
+        assert out[2, 2] == 1
+        assert out[5, 5] == 0  # inside the hole
+        assert out.sum() == 64 - 4
+
+    def test_rasterize_all_touched_diagonal(self):
+        """ALL_TOUCHED burns every cell a thin triangle's boundary passes
+        through — strictly more than the center-inside fill."""
+        gt = [0.0, 1.0, 0.0, 10.0, 0.0, -1.0]
+        # thin diagonal sliver: almost no pixel centers inside, but the
+        # boundary passes through every diagonal cell
+        tri = [(0.2, 9.8), (9.8, 0.2), (9.6, 0.2), (0.2, 9.6), (0.2, 9.8)]
+        plain = RZ.rasterize_rings([tri], gt, 10, 10)
+        at = RZ.rasterize_rings([tri], gt, 10, 10, all_touched=True)
+        assert at.sum() > plain.sum()
+        # every diagonal cell is touched
+        for i in range(10):
+            assert at[i, i] == 1, i
+        assert plain[0, 9] == 0 and plain[9, 0] == 0
+
+    def test_rasterize_burn_value_from_z(self):
+        """BURN_VALUE_FROM=Z: span value = Z interpolated at the left
+        crossing (llrasterize.cpp dfVariant).  A rect whose left edge runs
+        z=0..8 burns each row with its left-edge z."""
+        gt = [0.0, 1.0, 0.0, 8.0, 0.0, -1.0]
+        # counter-clockwise in world y (top-left start), z varies along
+        # the left edge only
+        ring = [(1.0, 8.0), (1.0, 0.0), (7.0, 0.0), (7.0, 8.0), (1.0, 8.0)]
+        zs = [8.0, 0.0, 0.0, 8.0, 8.0]
+        out = RZ.rasterize_rings([ring], gt, 8, 8, rings_z=[zs])
+        for r in range(8):
+            yc_world = 8.0 - (r + 0.5)
+            # left crossing lies on the (1,8,z=8)->(1,0,z=0) edge
+            exp = yc_world
+            got = out[r, 2]
+            assert got == pytest.approx(exp), (r, got, exp)
+
+    def test_rasterize_add_vs_replace(self):
+        gt = [0.0, 1.0, 0.0, 6.0, 0.0, -1.0]
+        a = [(0.6, 5.4), (3.4, 5.4), (3.4, 2.6), (0.6, 2.6), (0.6, 5.4)]
+        b = [(2.6, 3.4), (5.4, 3.4), (5.4, 0.6), (2.6, 0.6), (2.6, 3.4)]
+        out = np.zeros((6, 6))
+        RZ.rasterize_rings([a], gt, 6, 6, burn=2.0, out=out, add=True)
+        RZ.rasterize_rings([b], gt, 6, 6, burn=3.0, out=out, add=True)
+        assert out[2, 2] == 5.0  # overlap accumulates
+        out2 = np.zeros((6, 6))
+        RZ.rasterize_rings([a], gt, 6, 6, burn=2.0, out=out2)
+        RZ.rasterize_rings([b], gt, 6, 6, burn=3.0, out=out2)
+        assert out2[2, 2] == 3.0  # later feature replaces
+
     def test_rasterize_points_add(self):
         gt = [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
         out = RZ.rasterize_points([0.5, 0.7, 3.2], [3.5, 3.5, 0.5], gt, 4, 4)
