@@ -62,16 +62,17 @@ class TestRasterizeKernels:
 
     def test_rasterize_add_vs_replace(self):
         gt = [0.0, 1.0, 0.0, 6.0, 0.0, -1.0]
-        a = [(0.6, 5.4), (3.4, 5.4), (3.4, 2.6), (0.6, 2.6), (0.6, 5.4)]
-        b = [(2.6, 3.4), (5.4, 3.4), (5.4, 0.6), (2.6, 0.6), (2.6, 3.4)]
+        a = [(0.6, 5.4), (4.4, 5.4), (4.4, 1.6), (0.6, 1.6), (0.6, 5.4)]
+        b = [(1.6, 4.4), (5.4, 4.4), (5.4, 0.6), (1.6, 0.6), (1.6, 4.4)]
+        # pixel (row 3, col 2) center = world (2.5, 2.5), inside both
         out = np.zeros((6, 6))
         RZ.rasterize_rings([a], gt, 6, 6, burn=2.0, out=out, add=True)
         RZ.rasterize_rings([b], gt, 6, 6, burn=3.0, out=out, add=True)
-        assert out[2, 2] == 5.0  # overlap accumulates
+        assert out[3, 2] == 5.0  # overlap accumulates
         out2 = np.zeros((6, 6))
         RZ.rasterize_rings([a], gt, 6, 6, burn=2.0, out=out2)
         RZ.rasterize_rings([b], gt, 6, 6, burn=3.0, out=out2)
-        assert out2[2, 2] == 3.0  # later feature replaces
+        assert out2[3, 2] == 3.0  # later feature replaces
 
     def test_rasterize_points_add(self):
         gt = [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
