@@ -65,33 +65,139 @@ KIND_OF = {
 CODE_OF = {v: k for k, v in KIND_OF.items()}
 
 
-def _read_points(data: bytes, off: int) -> tuple[np.ndarray, int]:
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+WKB_POLYHEDRALSURFACE = 15
+WKB_TIN = 16
+WKB_TRIANGLE = 17
+
+# OGRGeometryFactory::curveToLineString default arc step
+# (ogr/ogrgeometryfactory.cpp, MAX_ANGLE_STEP_SIZE_DEGREES / OGR_ARC_STEPSIZE)
+ARC_STEP_DEG = 4.0
+
+
+def _read_points(data: bytes, off: int, ndim: int = 2) -> tuple[np.ndarray, int]:
     (n,) = struct.unpack_from("<I", data, off)
-    pts = np.frombuffer(data, dtype="<f8", count=n * 2, offset=off + 4)
-    return pts.reshape(n, 2).astype(np.float64), off + 4 + 16 * n
+    pts = np.frombuffer(data, dtype="<f8", count=n * ndim, offset=off + 4)
+    return (pts.reshape(n, ndim)[:, :2].astype(np.float64),
+            off + 4 + 8 * ndim * n)
+
+
+def _stroke_arc(p0, p1, p2, step_deg: float = ARC_STEP_DEG) -> np.ndarray:
+    """Stroke one circular arc through three points into line segments —
+    OGRGeometryFactory::approximateArcAngles semantics
+    (ogr/ogrgeometryfactory.cpp): ≤ ``step_deg`` per segment, endpoints
+    exact.  Collinear triplets degrade to the two straight segments."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if abs(d) < 1e-12 * max(1.0, abs(ax), abs(ay), abs(bx), abs(by)):
+        return np.array([p0, p1, p2], dtype=np.float64)
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    th0 = np.arctan2(ay - uy, ax - ux)
+    th1 = np.arctan2(by - uy, bx - ux)
+    th2 = np.arctan2(cy - uy, cx - ux)
+    two_pi = 2.0 * np.pi
+    ccw1 = (th1 - th0) % two_pi
+    ccw2 = (th2 - th0) % two_pi
+    if ccw1 <= ccw2:   # midpoint reached going CCW -> CCW sweep
+        sweep = ccw2 if ccw2 > 0 else two_pi
+    else:              # CW sweep
+        sweep = -(((th0 - th2) % two_pi) or two_pi)
+    nseg = max(int(np.ceil(abs(sweep) / np.deg2rad(step_deg))), 2)
+    th = th0 + sweep * np.arange(nseg + 1) / nseg
+    r = np.hypot(ax - ux, ay - uy)
+    out = np.stack([ux + r * np.cos(th), uy + r * np.sin(th)], axis=1)
+    out[0] = p0
+    out[-1] = p2
+    return out
+
+
+def _stroke_circularstring(pts: np.ndarray) -> np.ndarray:
+    """CircularString point list (arc triplets sharing endpoints) -> stroked
+    linestring."""
+    if len(pts) < 3:
+        return pts
+    segs = [pts[:1]]
+    for i in range(0, len(pts) - 2, 2):
+        arc = _stroke_arc(pts[i], pts[i + 1], pts[i + 2])
+        segs.append(arc[1:])
+    return np.vstack(segs)
+
+
+def _as_path(g) -> np.ndarray:
+    """Parsed curve component -> point path (for CompoundCurve chaining)."""
+    kind, d = g
+    if kind == "linestring":
+        return d
+    raise ValueError(f"curve component of kind {kind!r}")
 
 
 def _parse_at(data: bytes, off: int):
-    byte_order, gtype = struct.unpack_from("<BI", data, off)
+    byte_order, raw = struct.unpack_from("<BI", data, off)
     if byte_order != 1:
         raise ValueError("big-endian WKB unsupported")
-    gtype &= 0xFF  # strip 2.5D/SRID flag bits conservatively
+    # ISO (base + 1000z + 2000m) and PostGIS EWKB (flag bits) variants both
+    # accepted; Z/M ordinates parsed and DROPPED (2-D engine) — the
+    # ogr_core.h:426-512 type table.
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    has_srid = bool(raw & 0x20000000)
+    gtype = raw & 0x1FFFFFFF
+    if gtype >= 1000:
+        iso = gtype // 1000
+        has_z = has_z or iso in (1, 3)
+        has_m = has_m or iso in (2, 3)
+        gtype = gtype % 1000
+    ndim = 2 + int(has_z) + int(has_m)
     off += 5
+    if has_srid:
+        off += 4
     if gtype == WKB_POINT:
-        x, y = struct.unpack_from("<dd", data, off)
-        return ("point", np.array([x, y])), off + 16
+        vals = struct.unpack_from(f"<{ndim}d", data, off)
+        return ("point", np.array(vals[:2])), off + 8 * ndim
     if gtype == WKB_LINESTRING:
-        pts, off = _read_points(data, off)
+        pts, off = _read_points(data, off, ndim)
         return ("linestring", pts), off
-    if gtype == WKB_POLYGON:
+    if gtype == WKB_CIRCULARSTRING:
+        pts, off = _read_points(data, off, ndim)
+        return ("linestring", _stroke_circularstring(pts)), off
+    if gtype == WKB_COMPOUNDCURVE:
+        (n,) = struct.unpack_from("<I", data, off)
+        off += 4
+        path = []
+        for i in range(n):
+            g, off = _parse_at(data, off)
+            p = _as_path(g)
+            path.append(p if i == 0 else p[1:])
+        return ("linestring",
+                np.vstack(path) if path else np.empty((0, 2))), off
+    if gtype in (WKB_POLYGON, WKB_TRIANGLE):
         (nrings,) = struct.unpack_from("<I", data, off)
         off += 4
         rings = []
         for _ in range(nrings):
-            ring, off = _read_points(data, off)
+            ring, off = _read_points(data, off, ndim)
             rings.append(ring)
         return ("polygon", rings), off
-    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
+    if gtype == WKB_CURVEPOLYGON:
+        (nrings,) = struct.unpack_from("<I", data, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            g, off = _parse_at(data, off)
+            rings.append(_as_path(g))
+        return ("polygon", rings), off
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                 WKB_MULTICURVE, WKB_MULTISURFACE, WKB_POLYHEDRALSURFACE,
+                 WKB_TIN):
         (n,) = struct.unpack_from("<I", data, off)
         off += 4
         parts = []
@@ -102,8 +208,9 @@ def _parse_at(data: bytes, off: int):
             arr = (np.vstack([p.reshape(1, 2) for p in parts])
                    if parts else np.empty((0, 2)))
             return ("multipoint", arr), off
-        kind = KIND_OF[gtype]
-        return (kind, parts), off
+        if gtype in (WKB_MULTILINESTRING, WKB_MULTICURVE):
+            return ("multilinestring", parts), off
+        return ("multipolygon", parts), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 

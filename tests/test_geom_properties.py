@@ -66,6 +66,92 @@ class TestWkbRoundTrip:
             np.testing.assert_array_equal(a, b)
 
 
+class TestWkbZMAndCurves:
+    """ISO/EWKB Z/M variants parse with ordinates dropped; curved types
+    stroke to linear geometry (ogr_core.h:426-512 type table,
+    ogrgeometryfactory.cpp curveToLineString)."""
+
+    @staticmethod
+    def _wkb(gtype, payload):
+        import struct
+        return struct.pack("<BI", 1, gtype) + payload
+
+    def test_point_z_m_zm(self):
+        import struct
+        for gtype, vals in [(1001, (3.0, 4.0, 9.0)),
+                            (2001, (3.0, 4.0, 7.0)),
+                            (3001, (3.0, 4.0, 9.0, 7.0))]:
+            b = self._wkb(gtype, struct.pack(f"<{len(vals)}d", *vals))
+            kind, d = G.parse_wkb(b)
+            assert kind == "point" and tuple(d) == (3.0, 4.0)
+
+    def test_ewkb_flags_with_srid(self):
+        import struct
+        raw = 1 | 0x80000000 | 0x20000000   # EWKB point + Z + SRID
+        b = struct.pack("<BII", 1, raw, 4326) + struct.pack("<3d", 1, 2, 5)
+        kind, d = G.parse_wkb(b)
+        assert kind == "point" and tuple(d) == (1.0, 2.0)
+
+    def test_linestring_z_length(self):
+        import struct
+        pts = [(0, 0, 10), (3, 4, 20), (3, 8, 30)]
+        payload = struct.pack("<I", len(pts)) + b"".join(
+            struct.pack("<3d", *p) for p in pts)
+        kind, d = G.parse_wkb(self._wkb(1002, payload))
+        assert kind == "linestring"
+        assert G.length((kind, d)) == pytest.approx(9.0)  # 2-D length
+
+    def test_circularstring_semicircle(self):
+        import struct
+        pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]
+        payload = struct.pack("<I", 3) + b"".join(
+            struct.pack("<2d", *p) for p in pts)
+        kind, d = G.parse_wkb(self._wkb(8, payload))
+        assert kind == "linestring" and len(d) > 20
+        assert G.length((kind, d)) == pytest.approx(np.pi, rel=1e-3)
+        np.testing.assert_allclose(d[0], [0, 0])
+        np.testing.assert_allclose(d[-1], [2, 0])
+        # all stroked points on the unit circle centered (1, 0)
+        r = np.hypot(d[:, 0] - 1.0, d[:, 1])
+        np.testing.assert_allclose(r, 1.0, atol=1e-9)
+
+    def test_curvepolygon_circle_area(self):
+        import struct
+        pts = [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, -1.0), (1.0, 0.0)]
+        cs = self._wkb(8, struct.pack("<I", 5) + b"".join(
+            struct.pack("<2d", *p) for p in pts))
+        cp = self._wkb(10, struct.pack("<I", 1) + cs)
+        kind, d = G.parse_wkb(cp)
+        assert kind == "polygon"
+        assert G.area((kind, d)) == pytest.approx(np.pi, rel=1e-3)
+
+    def test_compoundcurve_chains(self):
+        import struct
+        seg = self._wkb(2, struct.pack("<I", 2) + struct.pack("<4d", 0, 0, 1, 0))
+        arc = self._wkb(8, struct.pack("<I", 3)
+                        + struct.pack("<6d", 1, 0, 2, 1, 3, 0))
+        cc = self._wkb(9, struct.pack("<I", 2) + seg + arc)
+        kind, d = G.parse_wkb(cc)
+        assert kind == "linestring"
+        np.testing.assert_allclose(d[0], [0, 0])
+        np.testing.assert_allclose(d[-1], [3, 0])
+        assert G.length((kind, d)) == pytest.approx(1.0 + np.pi, rel=1e-3)
+
+    def test_tin_z_as_multipolygon(self):
+        import struct
+        def tri(p0, p1, p2):
+            ring = [p0, p1, p2, p0]
+            return self._wkb(1017, struct.pack("<I", 1)
+                             + struct.pack("<I", 4)
+                             + b"".join(struct.pack("<3d", *p) for p in ring))
+        t = self._wkb(1016, struct.pack("<I", 2)
+                      + tri((0, 0, 1), (1, 0, 2), (0, 1, 3))
+                      + tri((1, 0, 1), (1, 1, 2), (0, 1, 3)))
+        kind, d = G.parse_wkb(t)
+        assert kind == "multipolygon" and len(d) == 2
+        assert G.area((kind, d)) == pytest.approx(1.0)
+
+
 class TestConvexOverlayProperties:
     @settings(max_examples=50, deadline=None)
     @given(st.integers(0, 10_000), st.integers(0, 10_000),
