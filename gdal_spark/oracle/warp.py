@@ -57,25 +57,40 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
     """Warp a north-up UTM image (EPSG:326xx/327xx) to EPSG:4326 — the
     reference's benchmark workload (autotest/benchmark/test_gdalwarp.py:24,
     EPSG:32631 -> 4326), powered by the closed-form Krüger transform
-    (oracle/utm.py; PROJ-free).
+    (oracle/utm.py; PROJ-free).  Thin wrapper over the generic
+    projected-CRS warp below."""
+    from . import utm as U
 
-    Unlike 3857->4326 this mapping is NOT separable, so every destination
-    pixel center is inverse-projected individually (vectorized meshgrid) —
-    the full GDALWarpKernel shape (transform dst centers, sample src).
-    ``method``: nearest, bilinear, or the 2-D convolution kernels
-    cubic / cubicspline / lanczos.
+    return warp_proj_to_4326(
+        arr, src_gt,
+        to_lonlat=lambda E, N: U.utm_to_lonlat(E, N, zone, south),
+        from_lonlat=lambda lo, la: U.lonlat_to_utm(lo, la, zone, south),
+        method=method, fill=fill,
+    )
+
+
+def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
+                      method: str = "nearest", fill=0):
+    """Warp a north-up image in ANY projected CRS (given its closed-form
+    transform pair) to EPSG:4326 — UTM (oracle/utm.py), Lambert conformal
+    conic and polar stereographic (oracle/conic.py), or any other
+    callable pair ``to_lonlat(E, N) -> (lon, lat)`` /
+    ``from_lonlat(lon, lat) -> (E, N)``.
+
+    These mappings are NOT separable, so every destination pixel center is
+    inverse-projected individually (vectorized meshgrid) — the full
+    GDALWarpKernel shape (transform dst centers, sample src).  ``method``:
+    all 14 warp kernels (point kernels + box statistics).
     Output sizing samples the source boundary at 21 points per edge, the
     GDALSuggestedWarpOutput2 grid density (alg/gdaltransformer.cpp:342).
     """
-    from . import utm as U
-
     h, w = arr.shape[0], arr.shape[1]
     ts = np.linspace(0.0, 1.0, 21)
     bx = np.concatenate([ts * w, ts * w, np.zeros(21), np.full(21, float(w))])
     by = np.concatenate([np.zeros(21), np.full(21, float(h)), ts * h, ts * h])
     be = src_gt[0] + bx * src_gt[1]
     bn = src_gt[3] + by * src_gt[5]
-    lon_b, lat_b = U.utm_to_lonlat(be, bn, zone, south)
+    lon_b, lat_b = to_lonlat(be, bn)
     minlon, maxlon = lon_b.min(), lon_b.max()
     minlat, maxlat = lat_b.min(), lat_b.max()
     out_w, out_h = w, h
@@ -85,7 +100,7 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
     lon_c = dst_gt[0] + (np.arange(out_w) + 0.5) * dst_gt[1]
     lat_c = dst_gt[3] + (np.arange(out_h) + 0.5) * dst_gt[5]
     lon_g, lat_g = np.meshgrid(lon_c, lat_c)
-    E, N = U.lonlat_to_utm(lon_g, lat_g, zone, south)
+    E, N = from_lonlat(lon_g, lat_g)
     fx = (E - src_gt[0]) / src_gt[1]
     fy = (N - src_gt[3]) / src_gt[5]
 
@@ -148,7 +163,7 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
         lon_e = dst_gt[0] + np.arange(out_w + 1) * dst_gt[1]
         lat_e = dst_gt[3] + np.arange(out_h + 1) * dst_gt[5]
         lon_cg, lat_cg = np.meshgrid(lon_e, lat_e)
-        Ec, Nc = U.lonlat_to_utm(lon_cg, lat_cg, zone, south)
+        Ec, Nc = from_lonlat(lon_cg, lat_cg)
         cfx = (Ec - src_gt[0]) / src_gt[1]
         cfy = (Nc - src_gt[3]) / src_gt[5]
         fx_min = np.minimum.reduce(

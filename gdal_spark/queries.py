@@ -2056,6 +2056,135 @@ FROM seq WHERE pp IS NOT NULL
     )
 
 
+# Conic CRS forward-transform value oracle: LCC 2SP and south polar
+# stereographic are closed-form (Snyder PP 1395 eqs 15-1..15-11 /
+# 21-33..21-41), so DuckDB can replay the exact double algebra (projection
+# constants embedded at 17 significant digits; both sides evaluate in C
+# libm with the same operation order).
+def _conic_sql() -> str:
+    from .oracle import conic as CC
+
+    lcc = CC.lcc_europe()
+    st = CC.epsg_3031()
+    d = T._d
+    e, eh, A = d(CC._E), d(CC._E / 2.0), d(CC._A)
+    t_lat = (f"tan(pi() / 4 - radians(lat) / 2) / "
+             f"pow((1 - {e} * sin(radians(lat))) / "
+             f"(1 + {e} * sin(radians(lat))), {eh})")
+    t_neg = (f"tan(pi() / 4 - (-radians(lat)) / 2) / "
+             f"pow((1 - {e} * sin(-radians(lat))) / "
+             f"(1 + {e} * sin(-radians(lat))), {eh})")
+    lcc_rho = f"{A} * {d(lcc.F)} * pow({t_lat}, {d(lcc.n)})"
+    lcc_th = f"{d(lcc.n)} * (radians(lon) - {d(lcc.lon0)})"
+    st_rho = f"{A} * {d(st.mc)} * ({t_neg}) / {d(st.tc)}"
+    return f"""
+WITH {CUSTOMER_POINTS_CTE.strip()},
+pts AS (SELECT pid, lon, lat FROM customer_points WHERE pid <= 120)
+SELECT pid, 'lcc' AS proj,
+       ROUND({d(lcc.fe)} + ({lcc_rho}) * sin({lcc_th}), 3) AS e3,
+       ROUND({d(lcc.fn)} + {d(lcc.rho0)} - ({lcc_rho}) * cos({lcc_th}), 3)
+         AS n3
+FROM pts
+UNION ALL
+SELECT pid, 'stereo_3031' AS proj,
+       ROUND(({st_rho}) * sin(radians(lon)), 3) AS e3,
+       ROUND(({st_rho}) * cos(radians(lon)), 3) AS n3
+FROM pts
+"""
+
+
+@q("conic_forward", _conic_sql())
+def conic_forward_q(spark, sf_dir):
+    """Coordinate transform beyond UTM/mercator: Lambert conformal conic
+    2SP and EPSG:3031 polar stereographic forwards (oracle/conic.py,
+    the OGRCoordinateTransformation role, ogr/ogrct.cpp:2359) —
+    value-gated against DuckDB replaying Snyder's closed forms."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from .oracle import conic as CC
+
+    lcc = CC.lcc_europe()
+    st = CC.epsg_3031()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def fwd(lon: pd.Series, lat: pd.Series, which: pd.Series) -> pd.Series:
+        lo = lon.to_numpy()
+        la = lat.to_numpy()
+        out = np.empty((len(lo), 2))
+        m = which.to_numpy() == "lcc"
+        if m.any():
+            out[m, 0], out[m, 1] = lcc.forward(lo[m], la[m])
+        if (~m).any():
+            out[~m, 0], out[~m, 1] = st.forward(lo[~m], la[~m])
+        # round numpy-side: np.round(x, 3) == DuckDB ROUND on the same
+        # bit-identical double (JVM BigDecimal rounding pairs differently)
+        out = np.round(out, 3)
+        return pd.Series([list(r) for r in out])
+
+    register_tpch_views(spark, sf_dir)
+    pts = spark.sql(
+        f"WITH {CUSTOMER_POINTS_CTE.strip()} "
+        "SELECT pid, lon, lat FROM customer_points WHERE pid <= 120"
+    )
+    both = pts.select(
+        "pid", "lon", "lat",
+        F.explode(F.array(F.lit("lcc"), F.lit("stereo_3031"))).alias("proj"),
+    ).select("pid", "proj", fwd("lon", "lat", "proj").alias("en"))
+    return both.select(
+        "pid", "proj",
+        F.element_at("en", 1).alias("e3"),
+        F.element_at("en", 2).alias("n3"),
+    )
+
+
+@q("warp_lcc_stereo", None)
+def warp_lcc_stereo_q(spark, sf_dir):
+    """gdalwarp from LCC / polar-stereographic source grids to EPSG:4326
+    through the generic non-separable projected-CRS warp
+    (oracle/warp.warp_proj_to_4326) — widens the warp surface beyond
+    UTM/mercator per the round-2 gap list."""
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+    from .oracle import conic as CC
+    from .oracle.checksum import checksum_image
+    from .oracle.warp import warp_proj_to_4326
+
+    lcc = CC.lcc_europe()
+    st = CC.epsg_3031()
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _dec(r.bytes)
+                h, w = a.shape[0], a.shape[1]
+                # georeference in-range per projection
+                if r.i % 2 == 0:
+                    proj, (cx, cy) = "lcc", lcc.forward(10.0 + (r.i % 7),
+                                                        48.0 + (r.i % 9))
+                    fwd, inv = lcc.forward, lcc.inverse
+                else:
+                    proj, (cx, cy) = "stereo", st.forward(
+                        -170.0 + (r.i % 340), -75.0 - (r.i % 12))
+                    fwd, inv = st.forward, st.inverse
+                gt = [float(cx) - w / 2.0 * r.gsd_m, float(r.gsd_m), 0.0,
+                      float(cy) + h / 2.0 * r.gsd_m, 0.0, -float(r.gsd_m)]
+                warped, dst_gt = warp_proj_to_4326(
+                    a, gt, to_lonlat=inv, from_lonlat=fwd, method="bilinear")
+                cs = checksum_image(warped)
+                out.append(dict(image_id=r.image_id, proj=proj,
+                                cs1=cs[0], cs2=cs[1], cs3=cs[2]))
+            yield pd.DataFrame(
+                out, columns=["image_id", "proj", "cs1", "cs2", "cs3"])
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    imgs = imgs.withColumn(
+        "i", F.expr("CAST(substring(image_id, 4) AS BIGINT)"))
+    return imgs.select("image_id", "i", "bytes", "gsd_m").mapInPandas(
+        gen, schema="image_id string, proj string, cs1 long, cs2 long, cs3 long"
+    )
+
+
 # Multidim value oracle: the cube is the closed form v = t*1e4 + y*1e2 + x,
 # so the time-mean over the hyperslab [3:9, 5:25, 7:32] is
 # mean(t in 3..8)*1e4 + y*1e2 + x = 55000 + y*100 + x, enumerable in SQL.
