@@ -802,16 +802,34 @@ def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
 
 
 def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
-                     downsample_to: int = 64) -> DataFrame:
+                     downsample_to: int = 64,
+                     mode: str = "marching_squares") -> DataFrame:
     """Contour POLYGON output (the reference's `gdal_contour -p` mode,
-    alg/contour.cpp polygon writer): one row per (image, band) where band
-    [lo, hi) collects the pixels with lo <= value < hi, polygonized with
-    the component/ring tracer (holes included) and georeferenced to
-    EPSG:3857. Emits MultiPolygon WKB + pixel count + area."""
+    alg/contour.cpp polygon writer): one row per (image, band) [lo, hi).
+
+    ``mode='marching_squares'`` (reference parity): band polygons bounded
+    by the linearly INTERPOLATED lo/hi iso-lines with containment-nested
+    rings (alg/marching_squares/polygon_ring_appender.h) — the round-2
+    pixel-boundary deviation closed; the boundary is truncated at the
+    pixel-center box (documented half-pixel inset vs GDAL's outer edge).
+    ``mode='pixel'`` keeps the round-2 pixel-class tracer.  Georeferenced
+    to EPSG:3857; emits MultiPolygon WKB + pixel count + area."""
     from ..oracle import geom as G
+    from ..oracle.contour import contour_band_polygons
     from ..oracle.rasterize import label_components, trace_rings
 
     lv = [-np.inf] + sorted(float(x) for x in levels) + [np.inf]
+
+    def _band_to_geom_ms(a, lo, hi, gt):
+        polys = []
+        for rings_px in contour_band_polygons(a, lo, hi):
+            rings = []
+            for rg in rings_px:
+                xs = gt[0] + rg[:, 0] * gt[1]
+                ys = gt[3] + rg[:, 1] * gt[5]
+                rings.append(np.column_stack([xs, ys]))
+            polys.append(rings)
+        return polys
 
     def _mask_to_geom(mask, gt):
         labels, ncomp = label_components(mask.astype(np.uint8))
@@ -852,7 +870,9 @@ def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
                     n = int(mask.sum())
                     if n == 0:
                         continue
-                    polys = _mask_to_geom(mask, gt)
+                    polys = (_band_to_geom_ms(a, lo, hi, gt)
+                             if mode == "marching_squares"
+                             else _mask_to_geom(mask, gt))
                     if not polys:
                         continue
                     g = ("multipolygon", polys)

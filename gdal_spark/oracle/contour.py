@@ -113,6 +113,121 @@ def contour_polylines(band, levels):
     return out
 
 
+def _interior_point(ring: np.ndarray):
+    """A point strictly inside a simple ring (GEOS PointOnSurface shape):
+    crossings of the scanline through the bbox-center y, midpoint of the
+    widest span."""
+    ys = ring[:, 1]
+    yc = (ys.min() + ys.max()) / 2.0
+    y1, y2 = ring[:-1, 1], ring[1:, 1]
+    m = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
+    if not m.any():
+        yc = np.nextafter(yc, ys.max())
+        m = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
+        if not m.any():
+            return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    t = (yc - y1[m]) / (y2[m] - y1[m])
+    xi = np.sort(ring[:-1, 0][m] + t * (ring[1:, 0][m] - ring[:-1, 0][m]))
+    spans = xi[1::2] - xi[0:-1:2] if len(xi) >= 2 else np.array([0.0])
+    k = int(np.argmax(spans))
+    return float((xi[2 * k] + xi[2 * k + 1]) / 2.0), float(yc)
+
+
+def _ring_contains(ring: np.ndarray, pt) -> bool:
+    x, y = pt
+    y1, y2 = ring[:-1, 1], ring[1:, 1]
+    x1, x2 = ring[:-1, 0], ring[1:, 0]
+    m = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+    if not m.any():
+        return False
+    xi = x1[m] + (y - y1[m]) / (y2[m] - y1[m]) * (x2[m] - x1[m])
+    return bool((xi > x).sum() % 2 == 1)
+
+
+def _closed_iso_rings(band, level):
+    """Closed iso-rings of {v >= level} over the grid padded with a
+    below-level ring, coordinates CLAMPED to the pixel-center box — the
+    reference's border closure for `gdal_contour -p`
+    (alg/marching_squares/polygon_ring_appender.h), with the boundary
+    truncated at the pixel-center extent (documented half-pixel inset)."""
+    a = np.asarray(band, dtype=np.float64)
+    h, w = a.shape
+    pad = min(float(level) - 1.0, float(a.min()) - 1.0)
+    ap = np.full((h + 2, w + 2), pad)
+    ap[1:-1, 1:-1] = a
+    rings = []
+    for line in contour_polylines(ap, [float(level)])[float(level)]:
+        pts = line - 1.0  # un-pad
+        if len(pts) < 4:
+            continue
+        if abs(pts[0, 0] - pts[-1, 0]) > 1e-9 or \
+                abs(pts[0, 1] - pts[-1, 1]) > 1e-9:
+            pts = np.vstack([pts, pts[:1]])
+        pts[:, 0] = np.clip(pts[:, 0], 0.0, w - 1.0)
+        pts[:, 1] = np.clip(pts[:, 1], 0.0, h - 1.0)
+        # drop rings collapsed by the clamp
+        area = 0.5 * abs(np.sum(
+            pts[:-1, 0] * pts[1:, 1] - pts[1:, 0] * pts[:-1, 1]))
+        if area > 1e-12:
+            rings.append(pts)
+    return rings
+
+
+def contour_band_polygons(band, lo, hi):
+    """`gdal_contour -p` interval polygons from MARCHING-SQUARES iso-lines
+    (alg/contour.cpp polygon mode): the band {lo <= v < hi} is bounded by
+    the interpolated lo-contour, the interpolated hi-contour, and the
+    raster border.  Rings from both levels are NESTED by containment depth
+    (even depth -> polygon outer, odd -> hole), the
+    polygon_ring_appender.h assembly.  Returns list of polygons
+    [outer, hole, ...] in pixel-center (x, y) coordinates."""
+    a = np.asarray(band, dtype=np.float64)
+    h, w = a.shape
+    if np.isneginf(lo):
+        box = np.array([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0],
+                        [0.0, h - 1.0], [0.0, 0.0]])
+        rings = [] if (h < 2 or w < 2) else [box]
+    else:
+        rings = _closed_iso_rings(a, lo)
+    if not np.isposinf(hi):
+        rings += _closed_iso_rings(a, hi)
+
+    if not rings:
+        return []
+    areas = [0.5 * abs(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+             for r in rings]
+    order = np.argsort(areas)[::-1]
+    depth = {}
+    for idx_pos, i in enumerate(order):
+        pt = _interior_point(rings[i])
+        d = 0
+        # smallest enclosing ring among larger ones determines depth
+        best = None
+        for j in order[:idx_pos]:
+            if _ring_contains(rings[j], pt):
+                if best is None or areas[j] < areas[best]:
+                    best = j
+        d = 0 if best is None else depth[best] + 1
+        depth[i] = d
+    polys = []
+    outer_slot = {}
+    for i in order:
+        if depth[i] % 2 == 0:
+            outer_slot[i] = len(polys)
+            polys.append([rings[i]])
+    for idx_pos, i in enumerate(order):
+        if depth[i] % 2 == 1:
+            pt = _interior_point(rings[i])
+            best = None
+            for j in order[:idx_pos]:
+                if depth[j] == depth[i] - 1 and _ring_contains(rings[j], pt):
+                    if best is None or areas[j] < areas[best]:
+                        best = j
+            if best is not None:
+                polys[outer_slot[best]].append(rings[i])
+    return polys
+
+
 def contour_summary(band, levels):
     """Per-level (n_segments, total_length) — the tabular contour output."""
     segs = contour_segments(band, levels)

@@ -291,6 +291,48 @@ class TestContourFill:
     def test_contour_no_crossing(self):
         assert contour_segments(np.zeros((4, 4)), [5.0]) == []
 
+    def test_contour_band_polygons_cone_partition(self):
+        """Marching-squares interval polygons: interpolated circle areas
+        within 0.5% of exact, rings nested (hole = next level's circle),
+        and the bands PARTITION the pixel-center box exactly."""
+        from gdal_spark.oracle.contour import contour_band_polygons
+
+        y, x = np.mgrid[0:21, 0:21]
+        v = 200.0 - 10.0 * np.hypot(x - 10, y - 10)
+
+        def ring_area(r):
+            return 0.5 * abs(np.sum(r[:-1, 0] * r[1:, 1]
+                                    - r[1:, 0] * r[:-1, 1]))
+
+        def poly_area(polys):
+            return sum(ring_area(p[0]) - sum(ring_area(h) for h in p[1:])
+                       for p in polys)
+
+        mid = contour_band_polygons(v, 100.0, 150.0)
+        assert len(mid) == 1 and len(mid[0]) == 2  # outer + hole
+        assert ring_area(mid[0][0]) == pytest.approx(np.pi * 100, rel=5e-3)
+        assert ring_area(mid[0][1]) == pytest.approx(np.pi * 25, rel=0.01)
+        low = contour_band_polygons(v, -np.inf, 100.0)
+        top = contour_band_polygons(v, 150.0, np.inf)
+        total = poly_area(low) + poly_area(mid) + poly_area(top)
+        assert total == pytest.approx(400.0, abs=1e-6)
+
+    def test_contour_band_polygons_nested_depth(self):
+        """A crater profile (ring mountain) yields an annulus polygon at
+        the high band and a nested island in the low band."""
+        from gdal_spark.oracle.contour import contour_band_polygons
+
+        y, x = np.mgrid[0:31, 0:31]
+        d = np.hypot(x - 15, y - 15)
+        v = 100.0 * np.exp(-((d - 8.0) ** 2) / 8.0)  # high ring at r=8
+        high = contour_band_polygons(v, 50.0, np.inf)
+        assert len(high) == 1 and len(high[0]) == 2  # annulus: outer+hole
+        low = contour_band_polygons(v, -np.inf, 50.0)
+        # low band: box-with-hole plus the crater-floor island inside
+        assert sum(1 for p in low) == 2
+        areas = sorted((len(p), ) for p in low)
+        assert any(len(p) >= 2 for p in low)
+
     def test_fill_nodata(self):
         a = np.full((9, 9), 100.0)
         mask = np.zeros((9, 9), dtype=bool)
