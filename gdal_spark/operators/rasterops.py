@@ -685,7 +685,7 @@ def sample_at_points(images: DataFrame, points: DataFrame,
 
 
 def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
-            downsample_to: int = 64) -> DataFrame:
+            downsample_to: int | None = 64) -> DataFrame:
     """Marching-squares contours of band 1 (alg/contour.cpp +
     alg/marching_squares): per-image per-level segment count + total
     length in pixel units."""
@@ -699,7 +699,8 @@ def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0].astype(np.float64)
-                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 for level, (n, ln) in sorted(contour_summary(a, lv).items()):
                     out.append(
@@ -717,7 +718,7 @@ def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
 
 
 def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
-                   target_height: float = 0.0, downsample_to: int = 64
+                   target_height: float = 0.0, downsample_to: int | None = 64
                    ) -> DataFrame:
     """Viewshed from each image's center over band 1 as the DEM — the Wang
     reference-plane algorithm (alg/viewshed/viewshed_executor.cpp
@@ -731,7 +732,8 @@ def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0].astype(np.float64)
-                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 oy, ox = a.shape[0] // 2, a.shape[1] // 2
                 vis = viewshed(a, oy, ox, observer_height, target_height)
@@ -760,7 +762,7 @@ def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
 
 
 def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
-                  downsample_to: int = 64) -> DataFrame:
+                  downsample_to: int | None = 64) -> DataFrame:
     """Contour with GEOMETRY output: marching-squares segments chained into
     iso-polylines (alg/contour.cpp SegmentMerger semantics) and emitted as
     one MultiLineString WKB per (image, level), plus line count and total
@@ -777,7 +779,8 @@ def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0].astype(np.float64)
-                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 for level, lines in sorted(contour_polylines(a, lv).items()):
                     if not lines:
@@ -802,7 +805,7 @@ def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
 
 
 def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
-                     downsample_to: int = 64,
+                     downsample_to: int | None = 64,
                      mode: str = "marching_squares") -> DataFrame:
     """Contour POLYGON output (the reference's `gdal_contour -p` mode,
     alg/contour.cpp polygon writer): one row per (image, band) [lo, hi).
@@ -859,7 +862,7 @@ def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
                 a = decode(r.bytes)[:, :, 0].astype(np.float64)
                 h, w = a.shape
                 gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
-                if h > downsample_to or w > downsample_to:
+                if downsample_to and (h > downsample_to or w > downsample_to):
                     dh, dw = min(h, downsample_to), min(w, downsample_to)
                     a = resample_nearest(a, dh, dw)
                     gt = [gt[0], gt[1] * w / dw, 0.0, gt[3], 0.0,
@@ -942,7 +945,7 @@ def overview_downsample(images: DataFrame, method: str = "average"
 
 
 def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
-                      max_distance: int = 8, downsample_to: int = 64
+                      max_distance: int = 8, downsample_to: int | None = 64
                       ) -> DataFrame:
     """GDALFillNodata (alg/rasterfill.cpp): IDW-fill band-1 pixels below a
     threshold (treated as nodata); emits filled-count + checksum."""
@@ -954,7 +957,8 @@ def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0]
-                if a.shape[0] > downsample_to or a.shape[1] > downsample_to:
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 mask = a < nodata_below
                 filled = fill_nodata(a.astype(np.float64), mask, max_distance)

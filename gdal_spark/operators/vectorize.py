@@ -82,7 +82,7 @@ def polygonize(images: DataFrame, quantize: int = 64,
 
 
 def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
-                 downsample_to: int = 32) -> DataFrame:
+                 downsample_to: int | None = 32) -> DataFrame:
     """GDALSieveFilter: drop components below ``threshold`` px (merged into
     the largest neighbor); emits before/after component counts + checksum."""
     from ..oracle.rasterize import label_components
@@ -93,7 +93,8 @@ def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0]
-                a = resample_nearest(a, downsample_to, downsample_to)
+                if downsample_to:
+                    a = resample_nearest(a, downsample_to, downsample_to)
                 q = (a // quantize).astype(np.uint8)
                 _, n_before = label_components(q)
                 s = _sieve(q, threshold)
@@ -110,7 +111,7 @@ def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
 
 
 def proximity_map(images: DataFrame, target_value: int = 0,
-                  downsample_to: int = 64) -> DataFrame:
+                  downsample_to: int | None = 64) -> DataFrame:
     """GDALComputeProximity: chamfer distance (pixels) to the nearest
     band-1 pixel equal to ``target_value``; summary stats per image."""
     from ..oracle.resample import resample_nearest
@@ -120,7 +121,8 @@ def proximity_map(images: DataFrame, target_value: int = 0,
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)[:, :, 0]
-                a = resample_nearest(a, downsample_to, downsample_to)
+                if downsample_to:
+                    a = resample_nearest(a, downsample_to, downsample_to)
                 mask = a == target_value
                 if not mask.any():
                     out.append(dict(image_id=r.image_id, dmax=-1.0, dmean=-1.0))

@@ -333,6 +333,49 @@ class TestContourFill:
         areas = sorted((len(p), ) for p in low)
         assert any(len(p) >= 2 for p in low)
 
+    def test_ancillary_ops_native_resolution(self, spark):
+        """downsample_to=None runs proximity/sieve/viewshed/contour/
+        fill_nodata at NATIVE resolution (the reference never decimates);
+        native-res goldens pinned against the oracle kernels on the
+        64x64 fixture image."""
+        from gdal_spark.codecs.registry import decode
+        from gdal_spark.fixtures.images import generate_images_pdf
+        from gdal_spark.operators.rasterops import (
+            contour, fill_nodata_stats, viewshed_stats)
+        from gdal_spark.operators.vectorize import proximity_map, sieve_filter
+        from gdal_spark.oracle.contour import contour_summary
+        from gdal_spark.oracle.rasterize import proximity as prox_kernel
+        from gdal_spark.oracle.viewshed import viewshed as vs_kernel
+
+        pdf = generate_images_pdf(4).iloc[[3]]   # img 3: 257x300 png
+        df = spark.createDataFrame(pdf)
+        a = decode(pdf["bytes"].iloc[0])[:, :, 0]
+        h, w = a.shape
+        tv = int(a[0, 0])
+
+        got = proximity_map(df, target_value=tv,
+                            downsample_to=None).toPandas().iloc[0]
+        d = prox_kernel(a == tv)
+        assert got["dmax"] == pytest.approx(round(float(d.max()), 4))
+        assert got["dmean"] == pytest.approx(round(float(d.mean()), 4))
+
+        got = viewshed_stats(df, downsample_to=None).toPandas().iloc[0]
+        vis = vs_kernel(a.astype(np.float64), h // 2, w // 2, 2.0, 0.0)
+        assert got["n_visible"] == int(vis.sum())
+
+        got = contour(df, downsample_to=None).toPandas()
+        exp = contour_summary(a.astype(np.float64), [64.0, 128.0, 192.0])
+        assert len(got) == len(exp)
+        for _, row in got.iterrows():
+            n, ln = exp[row["level"]]
+            assert row["n_segments"] == n
+
+        got = sieve_filter(df, downsample_to=None).toPandas().iloc[0]
+        assert got["n_before"] >= got["n_after"] > 0
+
+        got = fill_nodata_stats(df, downsample_to=None).toPandas()
+        assert len(got) == 1
+
     def test_fill_nodata(self):
         a = np.full((9, 9), 100.0)
         mask = np.zeros((9, 9), dtype=bool)
