@@ -87,7 +87,14 @@ def hyperslab(df: DataFrame, meta: MDMeta, starts, counts) -> DataFrame:
         hi = (ends[d] - 1) // c
         cd = F.element_at("chunk", d + 1)
         cond = cond & (cd >= lo) & (cd <= hi)
+        if d == 0 and "c0" in df.columns:
+            # partitioned store: the same range on the c0 PARTITION column
+            # becomes a PartitionFilter — pruned chunk directories are
+            # never even listed, the multidim scale path
+            cond = cond & (F.col("c0") >= lo) & (F.col("c0") <= hi)
     pruned = df.where(F.col("var") == meta.var).where(cond)
+    if "c0" in pruned.columns:
+        pruned = pruned.drop("c0")
 
     chunks = list(meta.chunks)
 
@@ -228,3 +235,91 @@ def reduce_dim(df: DataFrame, meta: MDMeta, dim: int, op: str = "mean"
         F.collect_list("cnt").alias("cnts"),
     )
     return gathered.mapInPandas(merge, schema=MD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned store + group hierarchy (gcore/multidim GDALGroup /
+# GDALMDArray persistence analogue)
+# ---------------------------------------------------------------------------
+
+def write_md_store(df: DataFrame, metas, path: str,
+                   attrs: dict | None = None) -> None:
+    """Persist chunked variables as a PARTITIONED parquet store — the
+    multidim write path (gcore/multidim/gdalmultidim_array.cpp CreateCopy
+    / Zarr chunk layout):
+
+    * layout ``path/var=<name>/c0=<first-chunk-index>/part-*.parquet`` —
+      hyperslab reads prune whole directories on (var, c0) with plain
+      partition predicates before any file is opened;
+    * group hierarchy + dimension metadata in a ``_md_meta.json`` sidecar:
+      variable names are slash paths (``/model/era5/t2m``) and every
+      prefix is a GDALGroup (GetGroupNames/OpenGroup semantics), with
+      per-group and root attributes (GDALAttribute analogue).
+
+    ``metas``: list of MDMeta (or one).  One shuffle-free write: c0 is
+    derived column math and partitionBy drives the layout."""
+    import json
+    import os
+
+    if isinstance(metas, MDMeta):
+        metas = [metas]
+    out = df.withColumn("c0", F.element_at("chunk", 1))
+    out.write.mode("overwrite").partitionBy("var", "c0").parquet(path)
+    side = {
+        "attrs": attrs or {},
+        "vars": {
+            m.var: {"dims": [[n, int(s)] for n, s in m.dims],
+                    "chunks": [int(c) for c in m.chunks]}
+            for m in metas
+        },
+    }
+    groups: dict = {}
+    for m in metas:
+        parts = [p for p in m.var.split("/") if p]
+        for i in range(len(parts)):
+            g = "/" + "/".join(parts[:i])
+            entry = groups.setdefault(g.rstrip("/") or "/",
+                                      {"groups": [], "vars": []})
+            child = parts[i]
+            if i == len(parts) - 1:
+                entry["vars"].append(child)
+            elif child not in entry["groups"]:
+                entry["groups"].append(child)
+    side["groups"] = groups
+    with open(os.path.join(path, "_md_meta.json"), "w") as f:
+        json.dump(side, f, indent=1, sort_keys=True)
+
+
+def open_md_store(spark: SparkSession, path: str):
+    """-> (DataFrame over every chunk row, {var: MDMeta}, sidecar dict).
+    The returned frame keeps var/c0 as partition columns, so
+    ``hyperslab`` predicates on them become partition filters
+    (PartitionFilters in the scan, zero I/O for pruned chunks)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_md_meta.json")) as f:
+        side = json.load(f)
+    metas = {
+        v: MDMeta(var=v, dims=[(n, s) for n, s in spec["dims"]],
+                  chunks=list(spec["chunks"]))
+        for v, spec in side["vars"].items()
+    }
+    df = spark.read.parquet(path)
+    return df, metas, side
+
+
+def md_group_tree(side: dict) -> dict:
+    """Sidecar -> nested {name: {"groups": {...}, "vars": [...]}} tree
+    (GDALGroup::GetGroupNames / GetMDArrayNames walk)."""
+    groups = side.get("groups", {})
+
+    def build(g):
+        entry = groups.get(g, {"groups": [], "vars": []})
+        base = g.rstrip("/")
+        return {
+            "vars": sorted(entry["vars"]),
+            "groups": {c: build(f"{base}/{c}") for c in sorted(entry["groups"])},
+        }
+
+    return build("/")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark.operators.multidim import (
     MDMeta, array_to_chunks, chunks_to_array, hyperslab, reduce_dim,
@@ -53,3 +54,35 @@ class TestMultidim:
         got = chunks_to_array(red, 2)
         exp = getattr(arr, op if op != "mean" else "mean")(axis=dim)
         np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+    def test_partitioned_store_roundtrip_and_pruning(self, spark, cube,
+                                                     tmp_path):
+        """write_md_store lays out var=<name>/c0=<idx> parquet partitions;
+        open_md_store + hyperslab turn the slab range into PARTITION
+        filters (zero I/O for pruned chunk directories); the group
+        sidecar exposes the GDALGroup hierarchy."""
+        import io
+        import contextlib
+        import re
+
+        from gdal_spark.operators.multidim import (
+            md_group_tree, open_md_store, write_md_store)
+
+        arr, meta, df = cube
+        meta2 = MDMeta(var="/model/era5/t2m", dims=meta.dims,
+                       chunks=meta.chunks)
+        df2 = df.withColumn("var", F.lit(meta2.var))
+        path = str(tmp_path / "store")
+        write_md_store(df2, meta2, path, attrs={"title": "demo"})
+        back, metas, side = open_md_store(spark, path)
+        assert metas[meta2.var].sizes == meta.sizes
+        tree = md_group_tree(side)
+        assert tree["groups"]["model"]["groups"]["era5"]["vars"] == ["t2m"]
+        sub = hyperslab(back, metas[meta2.var], (3, 5, 7), (6, 20, 25))
+        got = chunks_to_array(sub, 3)
+        np.testing.assert_array_equal(got, arr[3:9, 5:25, 7:32])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sub.explain()
+        pf = re.search(r"PartitionFilters: \[[^\]]*\]", buf.getvalue())
+        assert pf and "c0" in pf.group(0) and "/model/era5/t2m" in pf.group(0)
