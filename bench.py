@@ -168,7 +168,10 @@ def main():
         # aggregation as the headline metric; min = least hypervisor steal).
         small, big = max(2, CPUS // 8), max(8, CPUS // 2)
 
-        def best_of_n(cores, n=3):
+        # best-of-5: the min estimator needs enough samples to land in a
+        # steal-free window at BOTH levels (round-2 recorded 0.744 from a
+        # stolen big-level sample while clean reruns gave 0.82-0.85)
+        def best_of_n(cores, n=5):
             sp = fresh_spark(cores)
             run_pipeline(sp, warm_path)  # JVM/codegen warm-up
             return min(run_pipeline(sp, images_path)[0] for _ in range(n))
@@ -182,7 +185,7 @@ def main():
             f"images_per_sec_{small}": round(N_IMAGES / t_small, 1),
             f"images_per_sec_{big}": round(N_IMAGES / t_big, 1),
             "efficiency": round(eff, 3),
-            "aggregation": "best_of_3_per_level",
+            "aggregation": "best_of_5_per_level",
         }
 
     print(json.dumps(result))

@@ -2372,6 +2372,83 @@ def translate_projwin_q(spark, sf_dir):
     ).select("image_id", "w2", "h2", "cs1")
 
 
+# -projwin window arithmetic is pure double math (mercator center, cycle
+# sizes, the floor(+0.001)/ceil(-0.001) snap, extent intersection) — the
+# whole chain replays exactly in SQL, value-gating the round-3 snapped-size
+# + out-of-bounds-intersection fix.
+_TPW = (250000.0, 7000000.0, 20000000.0, 5500000.0)  # cuts the hot cluster
+_TPW_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 119)) AS a)
+),
+meta AS (
+  SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
+  FROM idx
+),
+pts AS (
+  SELECT i, w, h, gsd,
+    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
+         ELSE u * 360.0 - 180.0 END AS lon,
+    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
+         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
+  FROM meta
+),
+gt AS (
+  SELECT i, w, h, gsd,
+         {T.sql_mx('lon')} - w * gsd / 2.0 AS gt0,
+         {T.sql_my('lat')} + h * gsd / 2.0 AS gt3
+  FROM pts
+),
+snap AS (
+  SELECT i, w, h, gsd, gt0, gt3,
+         CAST(floor(({_TPW[0]:.1f} - gt0) / gsd + 0.001) AS BIGINT) AS xo,
+         CAST(floor(({_TPW[1]:.1f} - gt3) / (-gsd) + 0.001) AS BIGINT) AS yo
+  FROM gt
+),
+win AS (
+  SELECT i, w, h, xo, yo,
+         CAST(ceil(({_TPW[2]:.1f} - (gt0 + xo * gsd)) / gsd - 0.001)
+              AS BIGINT) AS xs,
+         CAST(ceil(({_TPW[3]:.1f} - (gt3 + yo * (-gsd))) / (-gsd) - 0.001)
+              AS BIGINT) AS ys
+  FROM snap
+),
+clipped AS (
+  SELECT i,
+         greatest(0, xo) AS x0, least(xo + greatest(xs, 0), w) AS x1,
+         greatest(0, yo) AS y0, least(yo + greatest(ys, 0), h) AS y1
+  FROM win
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(x1 - x0 AS INTEGER) AS w2,
+       CAST(y1 - y0 AS INTEGER) AS h2
+FROM clipped
+WHERE x1 > x0 AND y1 > y0
+"""
+
+
+@q("translate_projwin_window", _TPW_SQL)
+def translate_projwin_window_q(spark, sf_dir):
+    """gdal_translate -projwin window geometry VALUE-gated: the snapped,
+    extent-intersected window (gdal_translate_lib.cpp:981-1060 — size
+    from the snapped ULX/ULY, out-of-bounds intersected, fully-outside
+    dropped) replayed per image in DuckDB."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import translate
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 120))
+    return translate(imgs, projwin=_TPW).select("image_id", "w2", "h2")
+
+
 @q("point_sample_cubic", None)
 def point_sample_cubic_q(spark, sf_dir):
     """InterpolateAtPoint with the cubic kernel
