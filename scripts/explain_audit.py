@@ -115,6 +115,19 @@ def main():
           "BroadcastHashJoin" in p)
     check("polygon overlay not sort-merge", "SortMergeJoin" not in p)
 
+    # 8. distributed rasterize: exactly ONE shuffle (the per-tile groupBy);
+    # bbox->tile fan-out stays map-side
+    from gdal_spark.queries import _rect_wkb_layer
+    from gdal_spark.operators.vectorize import rasterize_layer
+
+    rz = rasterize_layer(_rect_wkb_layer(spark), minx=-20100000.0,
+                         maxy=20100000.0, cell=150000.0, nx=268, ny=268,
+                         attribute="bv", add=True)
+    p = plan_of(rz)
+    check("rasterize_layer has exactly one shuffle",
+          p.count("Exchange") - p.count("ReusedExchange") == 1,
+          f"{p.count('Exchange')} Exchange nodes")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
