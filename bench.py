@@ -132,17 +132,18 @@ def main():
     warm_path = ensure_images(spark, 800)
     run_pipeline(spark, warm_path)
 
-    # best of 3 — the host VM has long CPU-steal bursts (observed 3x
-    # swings at 32 threads between identical runs); min = what the engine
-    # achieves when the hypervisor cooperates
-    runs = [run_pipeline(spark, images_path) for _ in range(3)]
+    # best of 5 — the host VM has long CPU-steal bursts (observed 3x
+    # swings at 32 threads between identical runs; one recorded round saw
+    # local[16] beat local[32] 2x); min = what the engine achieves when
+    # the hypervisor cooperates
+    runs = [run_pipeline(spark, images_path) for _ in range(5)]
     t_full = min(t for t, _ in runs)
     n_tiles = runs[0][1]
     result["metric"] = "e2e_tile_pipeline_sec"
     result["value"] = round(t_full, 3)
     result["tiles"] = n_tiles
     result["images_per_sec"] = round(N_IMAGES / t_full, 1)
-    result["aggregation"] = "best_of_3"
+    result["aggregation"] = "best_of_5"
     result["pyramid_sec"] = round(
         min(run_pyramid(spark, images_path) for _ in range(2)), 3
     )

@@ -27,12 +27,79 @@ from ..functions import cells as C
 from ..oracle import mercator as M
 
 
+def _knn_broadcast(pts: DataFrame, candidates: DataFrame, k: int,
+                   point_id: str, cand_id: str, clon: str, clat: str
+                   ) -> DataFrame:
+    """Map-only kNN against a driver-collected (bounded) candidate array:
+    numpy distance matrix per Arrow batch, argpartition top-k, ties broken
+    by candidate id exactly like the ring search / brute-force oracle."""
+    import numpy as np
+    import pandas as pd
+
+    cpdf = candidates.select(
+        F.col(cand_id).alias("_cid"),
+        C.mercator_x(clon).alias("_cx"),
+        C.mercator_y(clat).alias("_cy"),
+    ).toPandas().sort_values("_cid", ignore_index=True)
+    cx = cpdf["_cx"].to_numpy()
+    cy = cpdf["_cy"].to_numpy()
+    cid = cpdf["_cid"].to_numpy()
+    kk = min(k, len(cid))
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            # chunk so the distance matrix stays ~5e7 doubles
+            step = max(1, int(5e7 // max(len(cid), 1)))
+            for lo in range(0, len(b), step):
+                sub = b.iloc[lo : lo + step]
+                qx = sub["_qx"].to_numpy()[:, None]
+                qy = sub["_qy"].to_numpy()[:, None]
+                d2 = (qx - cx[None, :]) ** 2 + (qy - cy[None, :]) ** 2
+                if kk < len(cid):
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(len(cid)),
+                                           (len(sub), len(cid))).copy()
+                rows = np.arange(len(sub))[:, None]
+                dd = np.sqrt(d2[rows, part])
+                # candidates were id-sorted on collect, so sorting the
+                # (dist, index) pair reproduces the (dist, cid) tie-break
+                pairkeys = np.rec.fromarrays([dd, part], names="d,i")
+                ord_ = np.argsort(pairkeys, axis=1, order=("d", "i"))
+                sel = part[rows, ord_]
+                dsel = dd[rows, ord_]
+                out = pd.DataFrame({
+                    "_qid": np.repeat(sub["_qid"].to_numpy(), kk),
+                    "_cid": cid[sel].ravel(),
+                    "_dist": dsel.ravel(),
+                    "_rank": np.tile(np.arange(1, kk + 1), len(sub)),
+                })
+                yield out
+
+    schema_id = pts.schema["_qid"].dataType.simpleString()
+    cid_t = cpdf["_cid"].dtype
+    cid_ddl = "string" if cid_t == object else "bigint"
+    res = pts.mapInPandas(
+        gen,
+        schema=f"_qid {schema_id}, _cid {cid_ddl}, _dist double, _rank int",
+    )
+    return res.select(
+        F.col("_qid").alias(point_id),
+        F.col("_cid").alias(cand_id),
+        F.col("_dist").alias("dist_m"),
+        F.col("_rank").alias("rank"),
+    )
+
+
 def knn_join(points: DataFrame, candidates: DataFrame, k: int,
              zoom: int | None = None,
              point_id: str = "pid", cand_id: str = "sid",
              plon: str = "lon", plat: str = "lat",
              clon: str = "lon", clat: str = "lat",
-             max_rounds: int = 8) -> DataFrame:
+             max_rounds: int = 8,
+             broadcast_cap: int | None = 100_000) -> DataFrame:
     """For each point, its k nearest candidates by planar mercator distance.
 
     Returns (point_id, cand_id, dist_m, rank) with rank in [1, k]; ties
@@ -43,18 +110,21 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int,
     over-gather — the same density trade the reference's quadtree leaf
     size makes (alg/gdalgrid.cpp quadtree bucket sizing).
     """
-    if zoom is None:
-        import math
-
+    n_cand = None
+    if zoom is None or broadcast_cap:
         # approximate count with a bounded time budget: the exact row count
-        # only tunes the grid density heuristic, and a full count() of the
-        # candidate table is a wasted scan at corpus scale (an underestimate
-        # just coarsens the grid -> more candidates per cell, still correct)
+        # only tunes the grid density heuristic / fast-path choice, and a
+        # full count() of the candidate table is a wasted scan at corpus
+        # scale (an underestimate just coarsens the grid -> more candidates
+        # per cell, still correct)
         n_cand = int(
             candidates.select(cand_id).rdd.countApprox(
                 timeout=2000, confidence=0.90
             )
         )
+    if zoom is None:
+        import math
+
         target = max(4, 2 * k)
         zoom = max(0, min(12, int(math.log(max(n_cand, 1) / target, 4))))
     cell_m = float(M.resolution(zoom)) * M.TILE_SIZE
@@ -68,6 +138,18 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int,
         C.tile_x(plon, z).alias("_qtx"),
         C.tile_y_tms(plat, z).alias("_qty"),
     )
+    if broadcast_cap and n_cand is not None and n_cand <= broadcast_cap:
+        # Dimension-table fast path: the candidate set fits in one task's
+        # memory, so broadcast it into a MAP-ONLY Arrow kernel — zero
+        # shuffles, every point resolved in one pass (the small-dataset
+        # branch the reference takes before building a quadtree;
+        # alg/gdalgrid.cpp GDALGridNearestNeighbor direct scan).  At
+        # 10^12 points this is the right plan whenever candidates are a
+        # dimension table; the ring search below remains the
+        # both-sides-large path.
+        return _knn_broadcast(
+            pts.drop("_qtx", "_qty"), candidates, k, point_id, cand_id,
+            clon, clat)
     cand = candidates.select(
         F.col(cand_id).alias("_cid"),
         C.mercator_x(clon).alias("_cx"),

@@ -143,3 +143,73 @@ def embedding_pca(df: DataFrame, k: int = 8, vec_col: str = "embedding",
 
     out = df.select(F.col(id_col), project(F.col(vec_col)).alias("components"))
     return out, explained
+
+
+def ivf_build(df: DataFrame, nlist: int = 16, sample: int = 2048,
+              iters: int = 10, seed: int = 7, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """IVF coarse quantizer (the FAISS IndexIVFFlat shape): k-means
+    centroids trained on a bounded driver-side SAMPLE (nlist x dim floats
+    — tiny), then ONE map-side Arrow pass assigns every vector to its
+    nearest centroid by cosine.  Returns (assigned_df with ``list_id``,
+    centroids).  At store scale the assigned table is written
+    ``partitionBy('list_id')`` so probes prune whole partitions — the
+    companion of the LSH path for recall-critical workloads."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy())
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = (Xn @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    C = cent.copy()
+
+    def assign_lists(batches):
+        for b in batches:
+            V = np.stack(b[vec_col].to_numpy())
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            lid = (Vn @ C.T).argmax(axis=1)
+            out = b[[id_col, vec_col]].copy()
+            out["list_id"] = lid.astype(np.int32)
+            yield out
+
+    from pyspark.sql.types import IntegerType, StructField
+
+    schema = df.select(id_col, vec_col).schema.add(
+        StructField("list_id", IntegerType()))
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_lists, schema=schema)
+    return assigned, C
+
+
+def ivf_topk(assigned: DataFrame, centroids: np.ndarray, query: np.ndarray,
+             k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, restrict the
+    exact rescore to the ``nprobe`` nearest inverted lists (a partition
+    filter on a list_id-partitioned store), TakeOrdered the survivors.
+    Recall dial = nprobe/nlist; nprobe = nlist degenerates to exact."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = (centroids @ qn).argsort()[::-1][:nprobe]
+    probe = [int(x) for x in order]
+    qnorm = float(np.linalg.norm(query))
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select(
+            F.col(id_col),
+            (
+                _dot_with_literal(F.col(vec_col), query)
+                / (_norm(F.col(vec_col)) * qnorm)
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )

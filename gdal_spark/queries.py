@@ -615,6 +615,29 @@ def similarity_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, qv, k=10)
 
 
+@q("similarity_ann_ivf", None)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (FAISS IndexIVFFlat shape): k-means coarse
+    quantizer trained on a bounded sample, map-side list assignment,
+    nprobe-list exact rescore — the partition-prunable companion to the
+    LSH scale path."""
+    from .operators.similarity import ivf_build, ivf_topk
+
+    register_tpch_views(spark, sf_dir)
+    qv = np.asarray(
+        spark.table("embeddings").where(F.col("vec_id") == 3)
+        .first()["embedding"],
+        dtype=np.float64,
+    )
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    assigned, cent = ivf_build(emb, nlist=16)
+    return ivf_topk(assigned, cent, qv, k=10, nprobe=6)
+
+
 # ---------------------------------------------------------------------------
 # Raster pipeline (synthetic image table per input_hint; rows-only checks —
 # pixel correctness is pinned by the pytest oracles)

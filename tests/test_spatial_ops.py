@@ -148,6 +148,7 @@ class TestKNN:
                 spark.createDataFrame(cand_pdf),
                 k=3,
                 zoom=4,
+                broadcast_cap=None,  # exercise the ring path
             )
             .orderBy("pid", "rank")
             .toPandas()
@@ -174,7 +175,7 @@ class TestKNN:
         )
         got = (
             knn_join(spark.createDataFrame(q), spark.createDataFrame(c), k=1, zoom=6,
-                     max_rounds=10)
+                     max_rounds=10, broadcast_cap=None)  # force the ring path
             .orderBy("pid")
             .toPandas()
         )
@@ -184,3 +185,42 @@ class TestKNN:
         np.testing.assert_array_equal(
             got["sid"].to_numpy(), c["sid"].to_numpy()[idx[:, 0]]
         )
+
+
+class TestKNNBroadcastPath:
+    def test_broadcast_fast_path_matches_ring(self, spark):
+        """The dimension-table fast path (map-only Arrow kernel) returns
+        EXACTLY the ring search's rows, ties included."""
+        from gdal_spark.operators.knn import knn_join
+
+        rng = np.random.default_rng(9)
+        q = pd.DataFrame({
+            "pid": np.arange(200, dtype=np.int64),
+            "lon": rng.uniform(-179.0, 179.0, 200),
+            "lat": rng.uniform(-84.0, 84.0, 200),
+        })
+        c = pd.DataFrame({
+            "sid": np.arange(80, dtype=np.int64),
+            "lon": rng.uniform(-179.0, 179.0, 80),
+            "lat": rng.uniform(-84.0, 84.0, 80),
+        })
+        fast = knn_join(spark.createDataFrame(q), spark.createDataFrame(c),
+                        k=3).orderBy("pid", "rank").toPandas()
+        ring = knn_join(spark.createDataFrame(q), spark.createDataFrame(c),
+                        k=3, broadcast_cap=None
+                        ).orderBy("pid", "rank").toPandas()
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True), ring.reset_index(drop=True),
+            check_dtype=False)
+
+    def test_broadcast_plan_is_map_only(self, spark):
+        from gdal_spark.operators.knn import knn_join
+
+        q = pd.DataFrame({"pid": [0, 1], "lon": [0.0, 10.0],
+                          "lat": [0.0, 10.0]})
+        c = pd.DataFrame({"sid": [5, 6], "lon": [1.0, 11.0],
+                          "lat": [1.0, 9.0]})
+        df = knn_join(spark.createDataFrame(q), spark.createDataFrame(c),
+                      k=1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffles

@@ -202,6 +202,39 @@ class TestSimilarity:
         exact = cosine_topk(df, q, k=500).toPandas().set_index("vec_id")["cosine"]
         for r in ann.itertuples(index=False):
             assert abs(exact.loc[r.vec_id] - r.cosine) < 1e-5
+    def test_ivf_topk_recall_and_full_probe_exact(self, spark, emb_pdf):
+        """IVF probe: nprobe=nlist degenerates to the exact top-k; at
+        nprobe=6/16 the query's own list is always probed (its centroid is
+        the nearest by construction) so the self-match and its planted
+        near-duplicates are recovered."""
+        from gdal_spark.operators.similarity import (
+            cosine_topk, ivf_build, ivf_topk)
+
+        rng = np.random.default_rng(11)
+        q = np.asarray(emb_pdf.iloc[5]["embedding"], dtype=np.float64)
+        rows = [
+            {"vec_id": int(v), "embedding": [float(x) for x in e]}
+            for v, e in zip(emb_pdf["vec_id"], emb_pdf["embedding"])
+        ]
+        planted = []
+        for j in range(4):
+            nb = q + rng.normal(0, 0.02 * np.abs(q).mean(), q.shape)
+            planted.append(20_000 + j)
+            rows.append({"vec_id": 20_000 + j,
+                         "embedding": [float(x) for x in nb]})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        assigned, cent = ivf_build(df, nlist=16, sample=10_000)
+        # full probe == exact
+        full = ivf_topk(assigned, cent, q, k=8, nprobe=16).toPandas()
+        exact = cosine_topk(df, q, k=8).toPandas()
+        np.testing.assert_array_equal(full["vec_id"].to_numpy(),
+                                      exact["vec_id"].to_numpy())
+        # partial probe recovers self + planted near-dups
+        ann = ivf_topk(assigned, cent, q, k=5, nprobe=6).toPandas()
+        assert ann["vec_id"].iloc[0] == emb_pdf["vec_id"].iloc[5]
+        found = len(set(ann["vec_id"]) & set(planted))
+        assert found >= 3, f"recovered {found}/4 planted near-duplicates"
+
     def test_lsh_topk_recall_on_planted_neighbors(self, spark, emb_pdf):
         """Recall assertion (round-1 review): the signature prefilter must
         recover PLANTED near-duplicates (cosine ~0.99) — the workload the
