@@ -136,6 +136,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
+    # ids-only banded rows are O(n * bands) longs — persisting them keeps
+    # the shingle+signature subtree from re-running for BOTH sides of the
+    # self-join and the cap window (3x at demo scale; disk-spillable at
+    # corpus scale, unlike the round-1 full-shingle persist)
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -152,6 +159,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # pair_ids feeds three consumers (two cand_ids legs + the refine join)
+    pair_ids = pair_ids.persist(StorageLevel.MEMORY_AND_DISK)
     # shingles for the refine are recomputed on the candidate docs only
     # (candidates << corpus): a semi-join prune beats persisting every
     # shingle set of the corpus across the whole job
