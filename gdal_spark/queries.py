@@ -1286,6 +1286,110 @@ def zonal_stats_q(spark, sf_dir):
     return zonal_stats(imgs, zone_zoom=7)
 
 
+# Zonal-stats value oracle: band-1 pixel values AND the pixel->zone
+# mercator tile assignment are both closed-form, so DuckDB replays the
+# whole aggregation per zone — count/min/max/variety exact ints, the
+# histogram median rule ((lo+hi)/2 over cumulative counts), mode/minority
+# with the smallest-value tie-break.
+_ZONAL_Z = "5"
+_ZONAL_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
+  FROM idx
+),
+pts AS (
+  SELECT i, w, h, gsd,
+    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
+         ELSE u * 360.0 - 180.0 END AS lon,
+    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
+         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
+  FROM meta
+),
+gt AS (
+  SELECT i, w, h, gsd,
+         {T.sql_mx('lon')} - w * gsd / 2.0 AS gt0,
+         {T.sql_my('lat')} + h * gsd / 2.0 AS gt3
+  FROM pts
+),
+px AS (
+  SELECT g.i, g.w,
+         CAST(k.a AS BIGINT) % g.w AS x,
+         CAST(k.a AS BIGINT) // g.w AS y,
+         CAST(k.a AS BIGINT) % 256 AS val,
+         g.gt0 + (CAST(k.a AS BIGINT) % g.w + 0.5) * g.gsd AS mx,
+         g.gt3 + (CAST(k.a AS BIGINT) // g.w + 0.5) * (-g.gsd) AS my
+  FROM gt g, LATERAL (
+    SELECT unnest(generate_series(0, g.w * g.h - 1)) AS a) k
+),
+zones AS (
+  SELECT val,
+    {T._clamped(T.sql_pixels_to_tile(T.sql_px('mx', _ZONAL_Z)), _ZONAL_Z)}
+      * 4294967296
+    + {T._clamped(T.sql_pixels_to_tile(T.sql_px('my', _ZONAL_Z)), _ZONAL_Z)}
+      AS zone
+  FROM px
+),
+hist AS (
+  SELECT zone, val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM zones GROUP BY zone, val
+),
+sel AS (
+  SELECT zone, val, c,
+         CAST(SUM(c) OVER (PARTITION BY zone ORDER BY val) AS BIGINT) AS csum,
+         CAST(SUM(c) OVER (PARTITION BY zone) AS BIGINT) AS total,
+         CAST(MAX(c) OVER (PARTITION BY zone) AS BIGINT) AS maxc,
+         CAST(MIN(c) OVER (PARTITION BY zone) AS BIGINT) AS minc
+  FROM hist
+)
+SELECT zone,
+       CAST(MIN(total) AS BIGINT) AS pixel_count,
+       CAST(MIN(val) AS INTEGER) AS zmin,
+       CAST(MAX(val) AS INTEGER) AS zmax,
+       CAST(MIN(CASE WHEN csum >= (total + 1) // 2 THEN val END)
+            + MIN(CASE WHEN csum >= total // 2 + 1 THEN val END)
+            AS DOUBLE) / 2.0 AS zmedian,
+       CAST(MIN(CASE WHEN c = maxc THEN val END) AS INTEGER) AS zmode,
+       CAST(MIN(CASE WHEN c = minc THEN val END) AS INTEGER) AS zminority,
+       CAST(COUNT(*) AS INTEGER) AS zvariety
+FROM sel
+GROUP BY zone
+"""
+
+
+@q("zonal_stats_png", _ZONAL_SQL)
+def zonal_stats_png_q(spark, sf_dir):
+    """Zonal statistics VALUE-gated end to end (alg/zonal.cpp:361): the
+    real two-phase operator (per-image histogram partials + one zone
+    merge) against DuckDB replaying pixel values, the mercator pixel->
+    zone assignment, and the exact order-statistic rules (histogram
+    median, smallest-value mode/minority tie-break)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import zonal_stats
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    zs = zonal_stats(imgs, zone_zoom=5)
+    return zs.select(
+        "zone", "pixel_count",
+        F.col("zmin").cast("int").alias("zmin"),
+        F.col("zmax").cast("int").alias("zmax"),
+        "zmedian", "zmode", "zminority", "zvariety",
+    )
+
+
 @q("mosaic_mean", None)
 def mosaic_mean_q(spark, sf_dir):
     """gdalbuildvrt-style mosaic: per-image tiles merged across images on
