@@ -714,9 +714,173 @@ def decompose_convex(g) -> list[np.ndarray]:
     return pieces
 
 
+class _GHNode:
+    __slots__ = ("pt", "nxt", "prv", "neighbor", "inter", "entry", "visited")
+
+    def __init__(self, pt, inter=False):
+        self.pt = pt
+        self.nxt = self.prv = self.neighbor = None
+        self.inter = inter
+        self.entry = False
+        self.visited = False
+
+
+def _gh_build_list(ring, inters, key_i, key_t):
+    """Ring vertices + intersection nodes (ordered by edge parameter) ->
+    circular doubly-linked list; returns (head, {inter_idx: node})."""
+    n = len(ring)
+    by_edge: dict[int, list] = {}
+    for idx, rec in enumerate(inters):
+        by_edge.setdefault(rec[key_i], []).append((rec[key_t], idx))
+    nodes = []
+    inter_nodes = {}
+    for i in range(n):
+        nodes.append(_GHNode(ring[i].copy()))
+        for t, idx in sorted(by_edge.get(i, [])):
+            nd = _GHNode(inters[idx][4].copy(), inter=True)
+            inter_nodes[idx] = nd
+            nodes.append(nd)
+    for k, nd in enumerate(nodes):
+        nd.nxt = nodes[(k + 1) % len(nodes)]
+        nd.prv = nodes[k - 1]
+    return nodes[0], inter_nodes, nodes
+
+
+def gh_intersection(a_ring, b_ring):
+    """Greiner-Hormann intersection of two SIMPLE rings (no holes) —
+    the direct O((n+m+k)·k) clip that replaces the O(T_a·T_b) convex
+    decomposition for concave pairs (Greiner & Hormann, ACM TOG 17(2)).
+
+    Returns a list of closed result rings, or ``None`` when a degenerate
+    configuration is met (endpoint-on-edge, collinear overlap, boundary-
+    touching containment) — callers fall back to the exact decomposition
+    path, so degeneracy costs performance, never correctness."""
+    A = _orient_ccw(_close_ring(_dedupe_ring(
+        _close_ring(np.asarray(a_ring, dtype=np.float64)))))
+    B = _orient_ccw(_close_ring(_dedupe_ring(
+        _close_ring(np.asarray(b_ring, dtype=np.float64)))))
+    if A.shape[0] < 4 or B.shape[0] < 4:
+        return []
+    a, b = A[:-1], B[:-1]
+    na, nb = len(a), len(b)
+    scale = max(1.0, float(np.abs(a).max()), float(np.abs(b).max()))
+    teps = 1e-9  # parameter-space degeneracy guard
+
+    inters = []  # (ia, ta, ib, tb, point)
+    for i in range(na):
+        p1 = a[i]
+        p2 = a[(i + 1) % na]
+        dp = p2 - p1
+        for j in range(nb):
+            q1 = b[j]
+            q2 = b[(j + 1) % nb]
+            dq = q2 - q1
+            den = dp[0] * dq[1] - dp[1] * dq[0]
+            w = q1 - p1
+            if abs(den) < 1e-14 * scale * scale:
+                # parallel: collinear overlapping edges are degenerate
+                if abs(w[0] * dp[1] - w[1] * dp[0]) < 1e-9 * scale * scale:
+                    s0 = np.dot(q1 - p1, dp) / max(np.dot(dp, dp), 1e-300)
+                    s1 = np.dot(q2 - p1, dp) / max(np.dot(dp, dp), 1e-300)
+                    lo, hi = min(s0, s1), max(s0, s1)
+                    if hi > teps and lo < 1.0 - teps:
+                        return None
+                continue
+            t = (w[0] * dq[1] - w[1] * dq[0]) / den
+            s = (w[0] * dp[1] - w[1] * dp[0]) / den
+            if -teps < t < 1.0 + teps and -teps < s < 1.0 + teps:
+                if (t < teps or t > 1.0 - teps
+                        or s < teps or s > 1.0 - teps):
+                    return None  # endpoint-touching
+                inters.append((i, float(t), j, float(s), p1 + t * dp))
+
+    def _strict_in(pt, ring):
+        if point_on_boundary(pt[0], pt[1], ("polygon", [ring])):
+            return None
+        return bool(point_in_ring(
+            np.array([pt[0]]), np.array([pt[1]]), ring)[0])
+
+    if not inters:
+        ain = _strict_in(a[0], B)
+        if ain is None:
+            return None
+        if ain:
+            return [A.copy()]
+        bin_ = _strict_in(b[0], A)
+        if bin_ is None:
+            return None
+        if bin_:
+            return [B.copy()]
+        return []
+    if len(inters) % 2:
+        return None  # parity broken -> numerically marginal
+
+    _, ia_nodes, a_nodes = _gh_build_list(a, inters, 0, 1)
+    _, ib_nodes, b_nodes = _gh_build_list(b, inters, 2, 3)
+    for idx in range(len(inters)):
+        ia_nodes[idx].neighbor = ib_nodes[idx]
+        ib_nodes[idx].neighbor = ia_nodes[idx]
+
+    # entry/exit marking by parity walk from each list's first vertex
+    for nodes, other in ((a_nodes, B), (b_nodes, A)):
+        status = _strict_in(nodes[0].pt, other)
+        if status is None:
+            return None
+        cur = nodes[0]
+        first = cur
+        while True:
+            if cur.inter:
+                cur.entry = not status
+                status = not status
+            cur = cur.nxt
+            if cur is first:
+                break
+
+    results = []
+    for idx in range(len(inters)):
+        start = ia_nodes[idx]
+        if start.visited:
+            continue
+        ring_pts = []
+        cur = start
+        guard = 0
+        limit = 4 * (na + nb + len(inters))
+        while guard < limit:
+            guard += 1
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            ring_pts.append(cur.pt)
+            step_fwd = cur.entry
+            nxt = cur.nxt if step_fwd else cur.prv
+            while not nxt.inter:
+                ring_pts.append(nxt.pt)
+                nxt = nxt.nxt if step_fwd else nxt.prv
+            cur = nxt.neighbor
+            if cur is start or cur.neighbor is start:
+                break
+        if guard >= limit:
+            return None
+        if len(ring_pts) >= 3:
+            rr = _close_ring(_dedupe_ring(np.asarray(ring_pts)))
+            if rr.shape[0] >= 4 and abs(_ring_signed_area(rr)) > _EPS:
+                results.append(_orient_ccw(rr))
+    return results
+
+
 def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
     """Intersection of two arbitrary simple polygons (holes allowed) as
-    disjoint convex pieces: pairwise convex clip over both decompositions."""
+    disjoint pieces.  Single-ring pairs go through the direct
+    Greiner-Hormann clip (degenerate configurations fall back); anything
+    with holes/multiparts uses the pairwise convex clip over both
+    ear-clip decompositions."""
+    ka, da = a
+    kb, db = b
+    if (ka == "polygon" and len(da) == 1
+            and kb == "polygon" and len(db) == 1):
+        rings = gh_intersection(da[0], db[0])
+        if rings is not None:
+            return rings
     pa = decompose_convex(a)
     pb = decompose_convex(b)
     out = []

@@ -223,3 +223,89 @@ class TestDissolve:
         for gid in (0, 1, 2):
             g = G.parse_wkb(bytes(got.loc[gid, "wkb"]))
             assert G.area(g) == pytest.approx(got.loc[gid, "area"], rel=1e-9)
+
+
+class TestGreinerHormann:
+    def test_gh_unit_cases(self):
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        r = G.gh_intersection(sq(0, 0, 4, 4), sq(2, 2, 6, 6))
+        assert len(r) == 1
+        assert abs(G._ring_signed_area(r[0])) == pytest.approx(4.0)
+        # containment -> inner polygon, disjoint -> empty
+        assert abs(G._ring_signed_area(
+            G.gh_intersection(sq(0, 0, 10, 10), sq(2, 2, 4, 4))[0]
+        )) == pytest.approx(4.0)
+        assert G.gh_intersection(sq(0, 0, 1, 1), sq(5, 5, 6, 6)) == []
+        # shared edge is degenerate -> None (fallback contract)
+        assert G.gh_intersection(sq(0, 0, 4, 4), sq(4, 0, 8, 4)) is None
+        # concave L vs square: two separate intersection regions
+        L = np.array([[0, 0], [6, 0], [6, 2], [2, 2], [2, 6], [0, 6], [0, 0]],
+                     float)
+        sq2 = np.array([[1, 1], [5, 1], [5, 5], [1, 5], [1, 1]], float)
+        r = G.gh_intersection(L, sq2)
+        assert sum(abs(G._ring_signed_area(p)) for p in r) == pytest.approx(7.0)
+
+    def test_gh_matches_decomposition_on_random_simple(self):
+        """Property: on random SIMPLE polygons the direct Greiner-Hormann
+        clip and the ear-clip decomposition agree to 1e-6 relative (or GH
+        declares degeneracy and falls back)."""
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+
+        def is_simple(R):
+            r = R[:-1]
+            n = len(r)
+            for i in range(n):
+                p1, p2 = r[i], r[(i + 1) % n]
+                dp = p2 - p1
+                for j in range(i + 1, n):
+                    if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                        continue
+                    q1, q2 = r[j], r[(j + 1) % n]
+                    dq = q2 - q1
+                    den = dp[0] * dq[1] - dp[1] * dq[0]
+                    if abs(den) < 1e-14:
+                        continue
+                    w = q1 - p1
+                    t = (w[0] * dq[1] - w[1] * dq[0]) / den
+                    s = (w[0] * dp[1] - w[1] * dp[0]) / den
+                    if 0 < t < 1 and 0 < s < 1:
+                        return False
+            return True
+
+        rng = np.random.default_rng(0)
+
+        def rand_simple():
+            while True:
+                k = rng.integers(3, 10)
+                ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+                rad = rng.uniform(0.5, 3.0, k)
+                c = rng.uniform(-2, 2, 2)
+                pts = np.stack(
+                    [c[0] + rad * np.cos(ang), c[1] + rad * np.sin(ang)], 1)
+                P = np.vstack([pts, pts[:1]])
+                if abs(G._ring_signed_area(P)) > 0.05 and is_simple(P):
+                    return P
+
+        checked = 0
+        for _ in range(120):
+            A, B = rand_simple(), rand_simple()
+            res = G.gh_intersection(A, B)
+            if res is None:
+                continue
+            pa = G.decompose_convex(("polygon", [A]))
+            pb = G.decompose_convex(("polygon", [B]))
+            exp = sum(
+                abs(G._ring_signed_area(G.clip_convex(ta, tb)))
+                if G.clip_convex(ta, tb).shape[0] >= 4 else 0.0
+                for ta in pa for tb in pb)
+            got = sum(abs(G._ring_signed_area(p)) for p in res)
+            assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
+            checked += 1
+        assert checked > 100
