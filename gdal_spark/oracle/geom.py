@@ -746,21 +746,29 @@ def _gh_build_list(ring, inters, key_i, key_t):
     return nodes[0], inter_nodes, nodes
 
 
-def gh_intersection(a_ring, b_ring):
-    """Greiner-Hormann intersection of two SIMPLE rings (no holes) —
-    the direct O((n+m+k)·k) clip that replaces the O(T_a·T_b) convex
+def gh_intersection(a_ring, b_ring, op: str = "intersection"):
+    """Greiner-Hormann clip of two SIMPLE rings (no holes) — the direct
+    O((n+m+k)·k) boolean that replaces the O(T_a·T_b) convex
     decomposition for concave pairs (Greiner & Hormann, ACM TOG 17(2)).
+    ``op='difference'`` computes A minus B by the standard
+    reversed-clip-orientation trick (same tracing rule, B walked CW).
 
     Returns a list of closed result rings, or ``None`` when a degenerate
     configuration is met (endpoint-on-edge, collinear overlap, boundary-
-    touching containment) — callers fall back to the exact decomposition
-    path, so degeneracy costs performance, never correctness."""
+    touching containment, B-inside-A difference whose result needs a
+    hole) — callers fall back to the exact decomposition path, so
+    degeneracy costs performance, never correctness."""
     A = _orient_ccw(_close_ring(_dedupe_ring(
         _close_ring(np.asarray(a_ring, dtype=np.float64)))))
     B = _orient_ccw(_close_ring(_dedupe_ring(
         _close_ring(np.asarray(b_ring, dtype=np.float64)))))
-    if A.shape[0] < 4 or B.shape[0] < 4:
+    diff = op == "difference"
+    if A.shape[0] < 4:
         return []
+    if B.shape[0] < 4:
+        return [A.copy()] if diff else []
+    if diff:
+        B = B[::-1].copy()
     a, b = A[:-1], B[:-1]
     na, nb = len(a), len(b)
     scale = max(1.0, float(np.abs(a).max()), float(np.abs(b).max()))
@@ -804,11 +812,17 @@ def gh_intersection(a_ring, b_ring):
         ain = _strict_in(a[0], B)
         if ain is None:
             return None
-        if ain:
-            return [A.copy()]
         bin_ = _strict_in(b[0], A)
         if bin_ is None:
             return None
+        if diff:
+            if ain:
+                return []          # A wholly inside B -> nothing left
+            if bin_:
+                return None        # result would need a hole -> fallback
+            return [A.copy()]      # disjoint -> A unchanged
+        if ain:
+            return [A.copy()]
         if bin_:
             return [B.copy()]
         return []
@@ -821,11 +835,16 @@ def gh_intersection(a_ring, b_ring):
         ia_nodes[idx].neighbor = ib_nodes[idx]
         ib_nodes[idx].neighbor = ia_nodes[idx]
 
-    # entry/exit marking by parity walk from each list's first vertex
-    for nodes, other in ((a_nodes, B), (b_nodes, A)):
+    # entry/exit marking by parity walk from each list's first vertex;
+    # difference clips against the COMPLEMENT of B, so the A-list's
+    # inside-status flips (the reversed B list already walks the
+    # complement's boundary orientation)
+    for nodes, other, invert in ((a_nodes, B, diff), (b_nodes, A, False)):
         status = _strict_in(nodes[0].pt, other)
         if status is None:
             return None
+        if invert:
+            status = not status
         cur = nodes[0]
         first = cur
         while True:
@@ -868,6 +887,12 @@ def gh_intersection(a_ring, b_ring):
     return results
 
 
+def gh_difference(a_ring, b_ring):
+    """A minus B for SIMPLE rings (see gh_intersection); None on
+    degeneracy -> decomposition fallback."""
+    return gh_intersection(a_ring, b_ring, op="difference")
+
+
 def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
     """Intersection of two arbitrary simple polygons (holes allowed) as
     disjoint pieces.  Single-ring pairs go through the direct
@@ -893,8 +918,17 @@ def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
 
 
 def polygon_difference_pieces(a, b) -> list[np.ndarray]:
-    """a minus b for arbitrary simple polygons: subtract every convex piece
-    of b from every piece of a (sequentially, so pieces stay disjoint)."""
+    """a minus b for arbitrary simple polygons: direct Greiner-Hormann
+    difference for single-ring pairs (degeneracy and hole-producing
+    containment fall back); otherwise subtract every convex piece of b
+    from every piece of a (sequentially, so pieces stay disjoint)."""
+    ka, da = a
+    kb, db = b
+    if (ka == "polygon" and len(da) == 1
+            and kb == "polygon" and len(db) == 1):
+        rings = gh_difference(da[0], db[0])
+        if rings is not None:
+            return rings
     pieces = decompose_convex(a)
     for tb in decompose_convex(b):
         nxt = []

@@ -309,3 +309,71 @@ class TestGreinerHormann:
             assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
             checked += 1
         assert checked > 100
+
+    def test_gh_difference_matches_decomposition(self):
+        """gh_difference == the sequential convex-subtract decomposition
+        on random simple polygons (or falls back via None)."""
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        r = G.gh_difference(sq(0, 0, 4, 4), sq(2, 2, 6, 6))
+        assert sum(abs(G._ring_signed_area(p)) for p in r) == pytest.approx(12.0)
+        assert G.gh_difference(sq(2, 2, 3, 3), sq(0, 0, 10, 10)) == []
+        # hole-producing containment must fall back
+        assert G.gh_difference(sq(0, 0, 10, 10), sq(2, 2, 3, 3)) is None
+
+        rng = np.random.default_rng(3)
+
+        def rand_simple():
+            while True:
+                k = rng.integers(3, 10)
+                ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+                rad = rng.uniform(0.5, 3.0, k)
+                c = rng.uniform(-2, 2, 2)
+                pts = np.stack(
+                    [c[0] + rad * np.cos(ang), c[1] + rad * np.sin(ang)], 1)
+                P = np.vstack([pts, pts[:1]])
+                if abs(G._ring_signed_area(P)) <= 0.05:
+                    continue
+                rr = P[:-1]
+                n = len(rr)
+                ok = True
+                for i in range(n):
+                    p1, p2 = rr[i], rr[(i + 1) % n]
+                    dp = p2 - p1
+                    for j in range(i + 1, n):
+                        if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                            continue
+                        q1, q2 = rr[j], rr[(j + 1) % n]
+                        dq = q2 - q1
+                        den = dp[0] * dq[1] - dp[1] * dq[0]
+                        if abs(den) < 1e-14:
+                            continue
+                        w = q1 - p1
+                        t = (w[0] * dq[1] - w[1] * dq[0]) / den
+                        s = (w[0] * dp[1] - w[1] * dp[0]) / den
+                        if 0 < t < 1 and 0 < s < 1:
+                            ok = False
+                if ok:
+                    return P
+
+        checked = 0
+        for _ in range(100):
+            A, B = rand_simple(), rand_simple()
+            d = G.gh_difference(A, B)
+            if d is None:
+                continue
+            pieces = G.decompose_convex(("polygon", [A]))
+            for tb in G.decompose_convex(("polygon", [B])):
+                nxt = []
+                for p in pieces:
+                    nxt.extend(G.subtract_convex(p, tb))
+                pieces = nxt
+            exp = sum(abs(G._ring_signed_area(p)) for p in pieces)
+            got = sum(abs(G._ring_signed_area(p)) for p in d)
+            assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
+            checked += 1
+        assert checked > 80
