@@ -1425,6 +1425,117 @@ def point_sample_q(spark, sf_dir):
     return sample_at_points(imgs, pts, "bilinear")
 
 
+# InterpolateAtPoint value oracle: one deterministic point per PNG image
+# (golden-ratio offsets, no RNG), bilinear over the closed-form pixel
+# lattice — every op in the chain (mercator forward, fractional pixel
+# coords, 4-corner weights) is IEEE-exact double math both engines execute
+# identically; ROUND(.,4) pairs np.round with DuckDB ROUND like the
+# decode_stats gate.
+_PS_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
+    i * 5.69840290998053223e-01 - floor(i * 5.69840290998053223e-01) AS u3,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
+  FROM idx
+),
+pts AS (
+  SELECT i, w, h, gsd, u, v, u3,
+    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
+         ELSE u * 360.0 - 180.0 END AS lon,
+    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
+         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
+  FROM meta
+),
+probe AS (
+  SELECT i, w, h, gsd, lon, lat,
+    lon + (v - 0.5) * (0.6 * w * gsd / {T.ORIGIN_SHIFT} * 180.0) AS plon,
+    least(greatest(
+      lat + (u3 - 0.5) * (0.6 * h * gsd / {T.ORIGIN_SHIFT} * 180.0)
+            * cos(lat * (pi() / 180.0)),
+      -{T.MAX_LAT}), {T.MAX_LAT}) AS plat
+  FROM pts
+),
+frac AS (
+  SELECT i, w, h,
+    ({T.sql_mx('plon')} - ({T.sql_mx('lon')} - w * gsd / 2.0)) / gsd AS fx,
+    ({T.sql_my('plat')} - ({T.sql_my('lat')} + h * gsd / 2.0)) / (-gsd) AS fy
+  FROM probe
+),
+gxy AS (
+  SELECT i, w, h, fx, fy,
+    least(greatest(fx - 0.5, 0.0e0), w - 1.0) AS gx,
+    least(greatest(fy - 0.5, 0.0e0), h - 1.0) AS gy
+  FROM frac
+  WHERE fx >= 0 AND fx < w AND fy >= 0 AND fy < h
+),
+corners AS (
+  SELECT i, w, gx, gy,
+    CAST(floor(gx) AS BIGINT) AS x0, CAST(floor(gy) AS BIGINT) AS y0,
+    least(CAST(floor(gx) AS BIGINT) + 1, w - 1) AS x1,
+    least(CAST(floor(gy) AS BIGINT) + 1, CAST(h AS BIGINT) - 1) AS y1,
+    gx - CAST(floor(gx) AS BIGINT) AS wx,
+    gy - CAST(floor(gy) AS BIGINT) AS wy
+  FROM gxy
+)
+SELECT printf('img%08d', i) AS image_id, i AS point_id,
+  ROUND(
+    CAST((x0 + y0 * w) % 256 AS DOUBLE) * (1 - wx) * (1 - wy)
+    + CAST((x1 + y0 * w) % 256 AS DOUBLE) * wx * (1 - wy)
+    + CAST((x0 + y1 * w) % 256 AS DOUBLE) * (1 - wx) * wy
+    + CAST((x1 + y1 * w) % 256 AS DOUBLE) * wx * wy, 4) AS value
+FROM corners
+"""
+
+
+@q("point_sample_bilinear", _PS_SQL)
+def point_sample_bilinear_q(spark, sf_dir):
+    """InterpolateAtPoint (gcore/gdalrasterband.cpp:11497) VALUE-gated:
+    the real sample_at_points bilinear kernel at one deterministic
+    golden-ratio probe point per PNG image, DuckDB replaying the mercator
+    forward, the fractional pixel coordinates, and the 4-corner bilinear
+    combination on the closed-form pixel lattice."""
+    from .fixtures.images import images_df, row_meta
+    from .operators.rasterops import sample_at_points
+    from .oracle import mercator as M
+
+    n = min(_images_n(sf_dir), 60)
+    imgs = images_df(spark, n).where(F.col("fmt") == "png")
+    meta = row_meta(np.arange(n, dtype=np.int64))
+    png = meta[np.arange(n) % 3 == 0]
+    i = png.index.to_numpy().astype(np.int64)
+    u2 = i * 0.7548776662466927 - np.floor(i * 0.7548776662466927)
+    u3 = i * 0.5698402909980532 - np.floor(i * 0.5698402909980532)
+    w = png["w"].to_numpy().astype(np.float64)
+    h = png["h"].to_numpy().astype(np.float64)
+    gsd = png["gsd_m"].to_numpy()
+    lon = png["lon"].to_numpy()
+    lat = png["lat"].to_numpy()
+    OS = 20037508.342789244
+    plon = lon + (u2 - 0.5) * (0.6 * w * gsd / OS * 180.0)
+    plat = np.clip(
+        lat + (u3 - 0.5) * (0.6 * h * gsd / OS * 180.0)
+        * np.cos(lat * (np.pi / 180.0)),
+        -M.MAX_LAT, M.MAX_LAT)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": png["image_id"].to_numpy(),
+        "point_id": i,
+        "plon": plon, "plat": plat,
+    }))
+    return sample_at_points(imgs, pts, "bilinear")
+
+
 @q("band_calc_normdiff", None)
 def band_calc_q(spark, sf_dir):
     """VRT pixel-function band algebra (frmts/vrt/pixelfunctions.cpp)."""
