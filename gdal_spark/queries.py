@@ -1425,6 +1425,217 @@ def point_sample_q(spark, sf_dir):
     return sample_at_points(imgs, pts, "bilinear")
 
 
+# GDALChecksumImage value oracle: sum(val % primes[i % 11]) % 65536 over
+# row-major pixels — integer-exact, fully SQL-replayable on the
+# closed-form bands; gates the checksum aggregate + codec jointly.
+_CS_PRIME = ("CASE ({i}) % 11 WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 "
+             "WHEN 3 THEN 17 WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 "
+             "WHEN 7 THEN 31 WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END")
+
+_CHECKSUM_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+px AS (
+  SELECT m.i, m.w, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % 256 AS b1,
+         (3 * (CAST(k.a AS BIGINT) % m.w)) % 256 AS b2,
+         (7 * (CAST(k.a AS BIGINT) // m.w)) % 256 AS b3
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(b1 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+       CAST(SUM(b2 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs2,
+       CAST(SUM(b3 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs3
+FROM px
+GROUP BY i
+"""
+
+
+@q("checksum_png", _CHECKSUM_SQL)
+def checksum_png_q(spark, sf_dir):
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48-260) VALUE-gated: decode
+    each PNG and checksum all three bands; DuckDB replays the position-
+    weighted modular sum over the closed-form pixel lattice."""
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+    from .oracle.checksum import checksum_image
+
+    def cs(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "png":
+                    continue
+                c = checksum_image(_dec(r.bytes))
+                out.append(dict(image_id=r.image_id, cs1=c[0], cs2=c[1],
+                                cs3=c[2]))
+            yield pd.DataFrame(out, columns=["image_id", "cs1", "cs2", "cs3"])
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.select("image_id", "fmt", "bytes").mapInPandas(
+        cs, schema="image_id string, cs1 long, cs2 long, cs3 long")
+
+
+# translate -outsize value oracle: nearest resample picks source pixel
+# sy = clip(floor((oy+0.5)*(h/32)), 0, h-1) (oracle/resample._center_coords)
+# and the checksum of the 32x32 band replays like checksum_png.
+_TRANSLATE_OUT_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+opx AS (
+  SELECT m.i, m.w, m.h, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % 32 AS ox,
+         CAST(k.a AS BIGINT) // 32 AS oy
+  FROM meta m, LATERAL (SELECT unnest(generate_series(0, 1023)) AS a) k
+),
+src AS (
+  SELECT i, flat,
+    least(greatest(CAST(floor((ox + 0.5) * (w / 32.0)) AS BIGINT),
+                   0), w - 1) AS sx,
+    least(greatest(CAST(floor((oy + 0.5) * (h / 32.0)) AS BIGINT),
+                   0), h - 1) AS sy,
+    w
+  FROM opx
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(32 AS INTEGER) AS w2, CAST(32 AS INTEGER) AS h2,
+       CAST(SUM(((sx + sy * w) % 256) % ({_CS_PRIME.format(i='flat')}))
+            % 65536 AS BIGINT) AS cs1
+FROM src
+GROUP BY i
+"""
+
+
+@q("translate_outsize_checksum", _TRANSLATE_OUT_SQL)
+def translate_outsize_checksum_q(spark, sf_dir):
+    """gdal_translate -outsize 32 32 VALUE-gated: the real translate
+    operator (decode -> nearest RasterIO resample -> checksum) against
+    DuckDB replaying the center-coord source-pixel picks and the
+    checksum arithmetic."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import translate
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    return translate(imgs, outsize=(32, 32)).select(
+        "image_id", "w2", "h2", "cs1")
+
+
+# gdalwarp(nearest) value oracle: SuggestedWarpOutput bbox, dst pixel
+# centers, inverse mercator, floor sampling, and the checksum are ALL
+# IEEE-exact double chains both engines execute identically — the
+# flagship warp operator value-gated end to end.
+_WARP_CS_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
+  FROM idx
+),
+geo AS (
+  SELECT i, w, h, gsd,
+    {T.sql_mx("CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0 ELSE u * 360.0 - 180.0 END")}
+      - w * gsd / 2.0 AS gt0,
+    {T.sql_my("CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0 ELSE (v * 2.0 - 1.0) * 85.05 END")}
+      + h * gsd / 2.0 AS gt3
+  FROM meta
+),
+bbox AS (
+  SELECT i, w, h, gsd, gt0, gt3,
+    (gt0 / {T.ORIGIN_SHIFT}) * 180.0 AS minlon,
+    ((gt0 + w * gsd) / {T.ORIGIN_SHIFT}) * 180.0 AS maxlon,
+    180.0 / pi() * (2.0 * atan(exp((((gt3 + h * (-gsd))
+      / {T.ORIGIN_SHIFT}) * 180.0) * pi() / 180.0)) - pi() / 2.0) AS minlat,
+    180.0 / pi() * (2.0 * atan(exp(((gt3 / {T.ORIGIN_SHIFT}) * 180.0)
+      * pi() / 180.0)) - pi() / 2.0) AS maxlat
+  FROM geo
+),
+dst AS (
+  SELECT i, w, h, gsd, gt0, gt3, minlon, maxlat,
+    (maxlon - minlon) / w AS resx,
+    (maxlat - minlat) / h AS resy
+  FROM bbox
+),
+px AS (
+  SELECT d.i, d.w, d.h, d.gsd, d.gt0, d.gt3,
+         CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % d.w AS c,
+         CAST(k.a AS BIGINT) // d.w AS r,
+         d.minlon + (CAST(k.a AS BIGINT) % d.w + 0.5) * d.resx AS lonc,
+         d.maxlat + (CAST(k.a AS BIGINT) // d.w + 0.5) * (-d.resy) AS latc
+  FROM dst d, LATERAL (
+    SELECT unnest(generate_series(0, d.w * d.h - 1)) AS a) k
+),
+smp AS (
+  SELECT i, w, flat,
+    CAST(floor(((lonc * {T.ORIGIN_SHIFT} / 180.0) - gt0) / gsd) AS BIGINT)
+      AS ix,
+    CAST(floor((((ln(tan((90.0 + latc) * pi() / 360.0)) / (pi() / 180.0))
+      * {T.ORIGIN_SHIFT} / 180.0) - gt3) / (-gsd)) AS BIGINT) AS iy,
+    h
+  FROM px
+),
+vals AS (
+  SELECT i, flat,
+    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (ix + iy * w) % 256 ELSE 0 END AS v
+  FROM smp
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(v % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1
+FROM vals
+GROUP BY i
+"""
+
+
+@q("warp_nearest_checksum", _WARP_CS_SQL)
+def warp_nearest_checksum_q(spark, sf_dir):
+    """gdalwarp EPSG:3857 -> 4326 (nearest) VALUE-gated end to end: the
+    real warp operator (decode -> SuggestedWarpOutput -> dst-center
+    inverse mapping -> floor sampling -> checksum) against DuckDB
+    replaying the whole double chain per destination pixel."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    return warp_to_wgs84(imgs, "nearest").select("image_id", "cs1")
+
+
 # InterpolateAtPoint value oracle: one deterministic point per PNG image
 # (golden-ratio offsets, no RNG), bilinear over the closed-form pixel
 # lattice — every op in the chain (mercator forward, fractional pixel
