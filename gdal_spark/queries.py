@@ -1636,6 +1636,69 @@ def warp_nearest_checksum_q(spark, sf_dir):
     return warp_to_wgs84(imgs, "nearest").select("image_id", "cs1")
 
 
+# Overview average value oracle: the uint8 average_2x2 path is exact
+# integer math ((sum + 2) >> 2, gcore/overview.cpp:1980 semantics), so
+# the downsampled band and its checksum replay exactly.
+_OVR_AVG_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+dims AS (
+  SELECT i, w, h, (w - w % 2) // 2 AS w2, (h - h % 2) // 2 AS h2 FROM meta
+),
+opx AS (
+  SELECT d.i, d.w, d.w2, CAST(k.a AS BIGINT) AS flat,
+         2 * (CAST(k.a AS BIGINT) % d.w2) AS x0,
+         2 * (CAST(k.a AS BIGINT) // d.w2) AS y0
+  FROM dims d, LATERAL (
+    SELECT unnest(generate_series(0, d.w2 * d.h2 - 1)) AS a) k
+),
+v AS (
+  SELECT i, flat,
+    ((x0 + y0 * w) % 256 + (x0 + 1 + y0 * w) % 256
+     + (x0 + (y0 + 1) * w) % 256 + (x0 + 1 + (y0 + 1) * w) % 256 + 2) // 4
+      AS b1,
+    ((3 * x0) % 256 + (3 * (x0 + 1)) % 256
+     + (3 * x0) % 256 + (3 * (x0 + 1)) % 256 + 2) // 4 AS b2,
+    ((7 * y0) % 256 + (7 * y0) % 256
+     + (7 * (y0 + 1)) % 256 + (7 * (y0 + 1)) % 256 + 2) // 4 AS b3
+  FROM opx
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(MIN(d.w2) AS INTEGER) AS w2, CAST(MIN(d.h2) AS INTEGER) AS h2,
+       CAST(SUM(b1 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+       CAST(SUM(b2 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs2,
+       CAST(SUM(b3 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs3
+FROM v JOIN dims d USING (i)
+GROUP BY i
+"""
+
+
+@q("overview_average_checksum", _OVR_AVG_SQL)
+def overview_average_checksum_q(spark, sf_dir):
+    """BuildOverviews(average) VALUE-gated: the real overview operator
+    (decode -> exact uint8 2x2 average -> checksum, gcore/overview.cpp
+    :1980 rounding) against DuckDB replaying the integer block means and
+    checksum arithmetic."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import overview_downsample
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    return overview_downsample(imgs, "average").select(
+        "image_id", "w2", "h2", "cs1", "cs2", "cs3")
+
+
 # InterpolateAtPoint value oracle: one deterministic point per PNG image
 # (golden-ratio offsets, no RNG), bilinear over the closed-form pixel
 # lattice — every op in the chain (mercator forward, fractional pixel
