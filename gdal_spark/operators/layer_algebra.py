@@ -520,12 +520,17 @@ def dissolve(df: DataFrame, key: str, wkb_col: str = "wkb",
             for r in pdf.itertuples(index=False):
                 covered: list = []
                 for bw in r.wkbs:
-                    for piece in _parse_pieces(bytes(bw)):
+                    g = _G.parse_wkb(bytes(bw))
+                    feats = ([g[1][0]] if g[0] == "polygon" and len(g[1]) == 1
+                             else _parse_pieces(bytes(bw)))
+                    for piece in feats:
                         frags = [piece]
                         for c in covered:
                             nxt = []
                             for p in frags:
-                                nxt.extend(_G.subtract_convex(p, c))
+                                # Greiner-Hormann with exact decomposition
+                                # fallback (geom.ring_difference)
+                                nxt.extend(_G.ring_difference(p, c))
                             frags = nxt
                             if not frags:
                                 break

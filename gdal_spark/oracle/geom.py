@@ -751,7 +751,10 @@ def gh_intersection(a_ring, b_ring, op: str = "intersection"):
     O((n+m+k)·k) boolean that replaces the O(T_a·T_b) convex
     decomposition for concave pairs (Greiner & Hormann, ACM TOG 17(2)).
     ``op='difference'`` computes A minus B by the standard
-    reversed-clip-orientation trick (same tracing rule, B walked CW).
+    reversed-clip-orientation trick (same tracing rule, B walked CW);
+    ``op='union'`` traverses with the flipped direction rule (entry ->
+    backward) and declares degeneracy when the union needs a hole
+    (interlocking shapes trace a CW ring).
 
     Returns a list of closed result rings, or ``None`` when a degenerate
     configuration is met (endpoint-on-edge, collinear overlap, boundary-
@@ -763,10 +766,11 @@ def gh_intersection(a_ring, b_ring, op: str = "intersection"):
     B = _orient_ccw(_close_ring(_dedupe_ring(
         _close_ring(np.asarray(b_ring, dtype=np.float64)))))
     diff = op == "difference"
+    union = op == "union"
     if A.shape[0] < 4:
-        return []
+        return [B.copy()] if union and B.shape[0] >= 4 else []
     if B.shape[0] < 4:
-        return [A.copy()] if diff else []
+        return [A.copy()] if (diff or union) else []
     if diff:
         B = B[::-1].copy()
     a, b = A[:-1], B[:-1]
@@ -821,6 +825,12 @@ def gh_intersection(a_ring, b_ring, op: str = "intersection"):
             if bin_:
                 return None        # result would need a hole -> fallback
             return [A.copy()]      # disjoint -> A unchanged
+        if union:
+            if ain:
+                return [B.copy()]
+            if bin_:
+                return [A.copy()]
+            return [A.copy(), B.copy()]   # disjoint multi-part union
         if ain:
             return [A.copy()]
         if bin_:
@@ -870,7 +880,7 @@ def gh_intersection(a_ring, b_ring, op: str = "intersection"):
             if cur.neighbor is not None:
                 cur.neighbor.visited = True
             ring_pts.append(cur.pt)
-            step_fwd = cur.entry
+            step_fwd = (not cur.entry) if union else cur.entry
             nxt = cur.nxt if step_fwd else cur.prv
             while not nxt.inter:
                 ring_pts.append(nxt.pt)
@@ -884,13 +894,54 @@ def gh_intersection(a_ring, b_ring, op: str = "intersection"):
             rr = _close_ring(_dedupe_ring(np.asarray(ring_pts)))
             if rr.shape[0] >= 4 and abs(_ring_signed_area(rr)) > _EPS:
                 results.append(_orient_ccw(rr))
+    if union and len(results) > 1:
+        # a ring nested inside another is an enclosed hole (interlocking
+        # shapes); the simple-ring result model can't express it -> fallback
+        for i2 in range(len(results)):
+            for j2 in range(len(results)):
+                if i2 == j2:
+                    continue
+                v = results[i2][0]
+                if point_in_ring(np.array([v[0]]), np.array([v[1]]),
+                                 results[j2])[0]:
+                    return None
     return results
+
+
+def gh_union(a_ring, b_ring):
+    """A union B for SIMPLE rings (see gh_intersection); None on
+    degeneracy or hole-producing interlock -> decomposition fallback."""
+    return gh_intersection(a_ring, b_ring, op="union")
 
 
 def gh_difference(a_ring, b_ring):
     """A minus B for SIMPLE rings (see gh_intersection); None on
     degeneracy -> decomposition fallback."""
     return gh_intersection(a_ring, b_ring, op="difference")
+
+
+def ring_difference(p_ring, c_ring) -> list[np.ndarray]:
+    """Robust p minus c for simple rings: Greiner-Hormann first, exact
+    convex-decomposition fallback on degeneracy (both rings triangulated
+    as needed) — always returns disjoint pieces."""
+    d = gh_difference(p_ring, c_ring)
+    if d is not None:
+        return d
+    if _is_simple_convex(("polygon", [np.asarray(p_ring, np.float64)])):
+        pieces = [np.asarray(p_ring, np.float64)]
+    else:
+        pieces = triangulate_ring(p_ring)
+    clips = ([np.asarray(c_ring, np.float64)]
+             if _is_simple_convex(("polygon", [np.asarray(c_ring, np.float64)]))
+             else triangulate_ring(c_ring))
+    for tc in clips:
+        nxt = []
+        for pp in pieces:
+            nxt.extend(subtract_convex(pp, tc))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
 
 
 def polygon_intersection_pieces(a, b) -> list[np.ndarray]:

@@ -377,3 +377,69 @@ class TestGreinerHormann:
             assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
             checked += 1
         assert checked > 80
+
+    def test_gh_union_property(self):
+        """gh_union area == |A| + |B| - |A∩B| on random simple polygons;
+        hole-producing interlocks fall back (None)."""
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        u = G.gh_union(sq(0, 0, 4, 4), sq(2, 2, 6, 6))
+        assert sum(abs(G._ring_signed_area(p)) for p in u) == pytest.approx(28.0)
+        assert len(G.gh_union(sq(0, 0, 1, 1), sq(5, 5, 6, 6))) == 2
+        U = np.array([[0, 0], [10, 0], [10, 6], [7, 6], [7, 2], [3, 2],
+                      [3, 6], [0, 6], [0, 0]], float)
+        cap = np.array([[1, 4], [9, 4], [9, 8], [1, 8], [1, 4]], float)
+        assert G.gh_union(U, cap) is None  # enclosed hole -> fallback
+
+        rng = np.random.default_rng(4)
+
+        def rand_simple():
+            while True:
+                k = rng.integers(3, 10)
+                ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+                rad = rng.uniform(0.5, 3.0, k)
+                c = rng.uniform(-2, 2, 2)
+                pts = np.stack(
+                    [c[0] + rad * np.cos(ang), c[1] + rad * np.sin(ang)], 1)
+                P = np.vstack([pts, pts[:1]])
+                if abs(G._ring_signed_area(P)) <= 0.05:
+                    continue
+                rr = P[:-1]
+                n = len(rr)
+                simple = True
+                for i in range(n):
+                    p1, p2 = rr[i], rr[(i + 1) % n]
+                    dp = p2 - p1
+                    for j in range(i + 1, n):
+                        if (j + 1) % n == i or (i + 1) % n == j:
+                            continue
+                        q1, q2 = rr[j], rr[(j + 1) % n]
+                        dq = q2 - q1
+                        den = dp[0] * dq[1] - dp[1] * dq[0]
+                        if abs(den) < 1e-14:
+                            continue
+                        w = q1 - p1
+                        t = (w[0] * dq[1] - w[1] * dq[0]) / den
+                        sp = (w[0] * dp[1] - w[1] * dp[0]) / den
+                        if 0 < t < 1 and 0 < sp < 1:
+                            simple = False
+                if simple:
+                    return P
+
+        checked = 0
+        for _ in range(60):
+            A, B = rand_simple(), rand_simple()
+            u = G.gh_union(A, B)
+            inter = G.gh_intersection(A, B)
+            if u is None or inter is None:
+                continue
+            got = sum(abs(G._ring_signed_area(p)) for p in u)
+            exp = (abs(G._ring_signed_area(A)) + abs(G._ring_signed_area(B))
+                   - sum(abs(G._ring_signed_area(p)) for p in inter))
+            assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
+            checked += 1
+        assert checked > 40
