@@ -420,6 +420,43 @@ GROUP BY 1
     )
 
 
+@q(
+    "sessionize_batch",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_batch_q(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator): LAG + running-sum window math, fully tie-broken
+    (ts, event_id) — the driver oracle replays microsecond-exact gap
+    flags and exact integer cent sums."""
+    from .streaming.incremental import sessionize_batch
+
+    register_tpch_views(spark, sf_dir)
+    return sessionize_batch(spark.table("events"), gap_minutes=10)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------

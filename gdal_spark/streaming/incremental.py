@@ -207,3 +207,35 @@ def windowed_event_counts(spark: SparkSession, source_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def sessionize_batch(events, gap_minutes: int = 10):
+    """Batch twin of the streaming sessionizer: gap-based session windows
+    per user via LAG + running sum (all-JVM window functions, one shuffle
+    on user_id) — the classic sessionization shape, byte-replayable in
+    SQL.  Emits one row per session with start/end/count/value sum (exact
+    integer cents)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(mic).over(w)
+    flagged = events.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(prev.isNull() | ((mic - prev) > gap_us), 1)
+        .otherwise(0).alias("new_s"),
+    )
+    sid = F.sum("new_s").over(w)
+    return (
+        flagged.select("user_id", "ts", "event_id", "value",
+                       sid.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+            .alias("value_cents"),
+        )
+    )
