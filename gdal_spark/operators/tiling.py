@@ -306,7 +306,7 @@ def write_tiles(tiles: DataFrame, path: str, mode: str = "append") -> None:
 
 
 def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
-                         ext: str = "png") -> int:
+                         ext: str = "png", lineage: bool = True) -> int:
     """gdal2tiles-compatible ``{root}/{z}/{x}/{y}.png`` directory sink
     (gdal2tiles.py:1278-1434 base-tile writer; XYZ vs TMS y per
     getYTile/gdal2tiles.py:512-515). Executor-side foreachPartition writes —
@@ -318,7 +318,16 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
     want blended tiles should mosaic first (operators.rasterops.mosaic_tiles)
     and pass the result here. The file count comes from a LongAccumulator
     inside the write pass, not a separate count() job (the round-1 version
-    re-executed the whole render to count)."""
+    re-executed the whole render to count).
+
+    ``lineage=True`` (default) additionally writes one atomic JSON
+    manifest per TASK PARTITION under ``{root}/_lineage/`` (partition id,
+    tile count, byte total, z range) plus a driver-side ``_summary.json``
+    — the per-partition lineage + metrics the resumable-pipeline contract
+    asks for: a restarted job can read the manifests to see exactly which
+    partitions completed, and ``resume_tiles`` anti-joins the keys
+    already on disk."""
+    import json
     import os
 
     if "image_id" in tiles.columns:
@@ -329,17 +338,61 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
     else:
         one_per_key = tiles.dropDuplicates(["z", "x", "y"])
     acc = tiles.sparkSession.sparkContext.accumulator(0)
+    bytes_acc = tiles.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
+        from pyspark import TaskContext
+
+        n = 0
+        total = 0
+        zmin, zmax = None, None
         for r in rows:
             z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
             if scheme == "xyz":
                 y = (1 << z) - 1 - y  # TMS -> XYZ
             d = os.path.join(root, str(z), str(x))
             os.makedirs(d, exist_ok=True)
+            blob = bytes(r["tile"])
             with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
-                f.write(bytes(r["tile"]))
+                f.write(blob)
             acc.add(1)
+            bytes_acc.add(len(blob))
+            n += 1
+            total += len(blob)
+            zmin = z if zmin is None else min(zmin, z)
+            zmax = z if zmax is None else max(zmax, z)
+        if lineage and n:
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else -1
+            ldir = os.path.join(root, "_lineage")
+            os.makedirs(ldir, exist_ok=True)
+            tmp = os.path.join(ldir, f".part-{pid:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"partition": pid, "n_tiles": n,
+                           "bytes": total, "zmin": zmin, "zmax": zmax}, f)
+            os.replace(tmp, os.path.join(ldir, f"part-{pid:05d}.json"))
 
     one_per_key.select("z", "x", "y", "tile").foreachPartition(write_part)
+    if lineage:
+        os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+        with open(os.path.join(root, "_lineage", "_summary.json"), "w") as f:
+            json.dump({"n_tiles": acc.value, "bytes": bytes_acc.value,
+                       "scheme": scheme, "ext": ext}, f)
     return acc.value
+
+
+def read_tile_lineage(root: str) -> list[dict]:
+    """Per-partition manifests of a ``write_tile_directory`` run (sorted
+    by partition id) — the resume/verification read side."""
+    import json
+    import os
+
+    ldir = os.path.join(root, "_lineage")
+    out = []
+    if not os.path.isdir(ldir):
+        return out
+    for name in sorted(os.listdir(ldir)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(ldir, name)) as f:
+                out.append(json.load(f))
+    return out

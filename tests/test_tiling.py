@@ -149,3 +149,14 @@ def test_write_tile_directory(spark, images_sdf, tmp_path):
     assert len(files) == n > 0
     arr = decode_png(open(files[0], "rb").read())
     assert arr.shape == (256, 256, 3)
+    # per-partition lineage manifests + driver summary cover every tile
+    import json
+
+    from gdal_spark.operators.tiling import read_tile_lineage
+
+    manifests = read_tile_lineage(root)
+    assert sum(m["n_tiles"] for m in manifests) == n
+    assert all(m["bytes"] > 0 and m["partition"] >= 0 for m in manifests)
+    summary = json.load(open(f"{root}/_lineage/_summary.json"))
+    assert summary["n_tiles"] == n
+    assert summary["bytes"] == sum(m["bytes"] for m in manifests)
