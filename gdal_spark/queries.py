@@ -29,6 +29,12 @@ from .sql.geoviews import (
 
 QUERIES: dict = {}
 
+# GDALChecksumImage prime table as a SQL CASE over a flat pixel index
+_CS_PRIME = ("CASE ({i}) % 11 WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 "
+             "WHEN 3 THEN 17 WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 "
+             "WHEN 7 THEN 31 WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END")
+
+
 
 def q(name: str, oracle: str | None):
     def deco(fn):
@@ -1243,6 +1249,96 @@ def dem_hillshade_q(spark, sf_dir):
     return dem_metrics(imgs, "hillshade")
 
 
+# gdaldem hillshade value oracle: Horn gradients are exact rationals of
+# the closed-form pixels, the transcendental shade chain (atan/sqrt/
+# sin/cos/atan2) runs in the same libm on both sides, and the uint8
+# quantize + checksum are integer-exact.
+def _hillshade_sql() -> str:
+    az = float(np.radians(360.0 - 315.0 + 90.0))
+    sin_alt = float(np.sin(np.radians(45.0)))
+    cos_alt = float(np.cos(np.radians(45.0)))
+    d = T._d
+
+    def V(dx, dy):
+        return (f"CAST((least(greatest(x + ({dx}), 0), w - 1)"
+                f" + least(greatest(y + ({dy}), 0), h - 1) * w) % 256"
+                f" AS DOUBLE)")
+
+    return f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0 AND a % 5 IN (0, 1, 2)
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 ELSE 256 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 ELSE 256 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
+  FROM idx
+),
+px AS (
+  SELECT m.i, m.w, m.h, m.gsd, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % m.w AS x,
+         CAST(k.a AS BIGINT) // m.w AS y
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+),
+grad AS (
+  SELECT i, flat,
+    ((({V(1, -1)} + 2 * {V(1, 0)}) + {V(1, 1)})
+     - (({V(-1, -1)} + 2 * {V(-1, 0)}) + {V(-1, 1)})) / (8.0 * gsd) AS dzdx,
+    ((({V(-1, 1)} + 2 * {V(0, 1)}) + {V(1, 1)})
+     - (({V(-1, -1)} + 2 * {V(0, -1)}) + {V(1, -1)})) / (8.0 * gsd) AS dzdy
+  FROM px
+),
+shade AS (
+  SELECT i, flat,
+    {d(sin_alt)} * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+    + {d(cos_alt)} * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+      * cos({d(az)} - atan2(dzdy, -dzdx)) AS s
+  FROM grad
+),
+v AS (
+  SELECT i, flat,
+    CAST(floor(least(greatest(1.0 + 254.0 * greatest(s, 0.0e0), 1.0),
+               255.0)) AS BIGINT) AS hv
+  FROM shade
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(hv % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1
+FROM v
+GROUP BY i
+"""
+
+
+@q("hillshade_checksum", _hillshade_sql())
+def hillshade_checksum_q(spark, sf_dir):
+    """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328)
+    VALUE-gated: decode -> Horn gradients -> shade -> uint8 quantize ->
+    checksum, with DuckDB replaying the whole per-pixel chain."""
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import images_df
+    from .oracle import dem as DEM_
+    from .oracle.checksum import checksum
+
+    def cs(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "png" or r.w > 256:
+                    continue
+                a = _dec(r.bytes)[:, :, 0].astype(np.float64)
+                hv = DEM_.hillshade(a, float(r.gsd_m), float(r.gsd_m))
+                out.append(dict(image_id=r.image_id, cs1=checksum(hv)))
+            yield pd.DataFrame(out, columns=["image_id", "cs1"])
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    return imgs.select("image_id", "fmt", "w", "bytes", "gsd_m").mapInPandas(
+        cs, schema="image_id string, cs1 long")
+
+
 @q("raster_translate", None)
 def raster_translate_q(spark, sf_dir):
     """gdal_translate -srcwin -outsize -scale -b pipeline
@@ -1465,10 +1561,6 @@ def point_sample_q(spark, sf_dir):
 # GDALChecksumImage value oracle: sum(val % primes[i % 11]) % 65536 over
 # row-major pixels — integer-exact, fully SQL-replayable on the
 # closed-form bands; gates the checksum aggregate + codec jointly.
-_CS_PRIME = ("CASE ({i}) % 11 WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 "
-             "WHEN 3 THEN 17 WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 "
-             "WHEN 7 THEN 31 WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END")
-
 _CHECKSUM_SQL = f"""
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
