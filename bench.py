@@ -155,10 +155,16 @@ def main():
     qtimes = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        qtimes[name] = round(time.time() - t0, 3)
+        # best of 2: single-shot numbers swing up to 8x under host steal
+        # (one recorded image_decode_stats went 2.6s -> 20.8s on identical
+        # code); the second run also strips Python-worker startup
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
     result["queries"] = qtimes
 
     if DO_SCALING:
