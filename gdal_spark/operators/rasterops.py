@@ -812,9 +812,9 @@ def contour_polygons(images: DataFrame, levels=(64.0, 128.0, 192.0),
 
     ``mode='marching_squares'`` (reference parity): band polygons bounded
     by the linearly INTERPOLATED lo/hi iso-lines with containment-nested
-    rings (alg/marching_squares/polygon_ring_appender.h) — the round-2
-    pixel-boundary deviation closed; the boundary is truncated at the
-    pixel-center box (documented half-pixel inset vs GDAL's outer edge).
+    rings (alg/marching_squares/polygon_ring_appender.h), closed at the
+    raster's pixel-edge extent — band areas partition the full footprint
+    exactly like the reference's polygon writer.
     ``mode='pixel'`` keeps the round-2 pixel-class tracer.  Georeferenced
     to EPSG:3857; emits MultiPolygon WKB + pixel count + area."""
     from ..oracle import geom as G

@@ -146,10 +146,10 @@ def _ring_contains(ring: np.ndarray, pt) -> bool:
 
 def _closed_iso_rings(band, level):
     """Closed iso-rings of {v >= level} over the grid padded with a
-    below-level ring, coordinates CLAMPED to the pixel-center box — the
-    reference's border closure for `gdal_contour -p`
-    (alg/marching_squares/polygon_ring_appender.h), with the boundary
-    truncated at the pixel-center extent (documented half-pixel inset)."""
+    below-level ring, coordinates CLAMPED to the pixel-edge box
+    [-0.5, n-0.5] — the reference's border closure for `gdal_contour -p`
+    (alg/marching_squares/polygon_ring_appender.h): interval polygons
+    extend to the raster's full georeferenced extent."""
     a = np.asarray(band, dtype=np.float64)
     h, w = a.shape
     pad = min(float(level) - 1.0, float(a.min()) - 1.0)
@@ -163,8 +163,11 @@ def _closed_iso_rings(band, level):
         if abs(pts[0, 0] - pts[-1, 0]) > 1e-9 or \
                 abs(pts[0, 1] - pts[-1, 1]) > 1e-9:
             pts = np.vstack([pts, pts[:1]])
-        pts[:, 0] = np.clip(pts[:, 0], 0.0, w - 1.0)
-        pts[:, 1] = np.clip(pts[:, 1], 0.0, h - 1.0)
+        # clamp to the pixel-EDGE box [-0.5, n-0.5] — the raster's full
+        # georeferenced extent, matching gdal_contour's border closure
+        # (the round-3a pixel-center inset removed)
+        pts[:, 0] = np.clip(pts[:, 0], -0.5, w - 0.5)
+        pts[:, 1] = np.clip(pts[:, 1], -0.5, h - 0.5)
         # drop rings collapsed by the clamp
         area = 0.5 * abs(np.sum(
             pts[:-1, 0] * pts[1:, 1] - pts[1:, 0] * pts[:-1, 1]))
@@ -184,8 +187,8 @@ def contour_band_polygons(band, lo, hi):
     a = np.asarray(band, dtype=np.float64)
     h, w = a.shape
     if np.isneginf(lo):
-        box = np.array([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0],
-                        [0.0, h - 1.0], [0.0, 0.0]])
+        box = np.array([[-0.5, -0.5], [w - 0.5, -0.5], [w - 0.5, h - 0.5],
+                        [-0.5, h - 0.5], [-0.5, -0.5]])
         rings = [] if (h < 2 or w < 2) else [box]
     else:
         rings = _closed_iso_rings(a, lo)

@@ -315,7 +315,8 @@ class TestContourFill:
         low = contour_band_polygons(v, -np.inf, 100.0)
         top = contour_band_polygons(v, 150.0, np.inf)
         total = poly_area(low) + poly_area(mid) + poly_area(top)
-        assert total == pytest.approx(400.0, abs=1e-6)
+        # pixel-edge extent: the bands tile the FULL 21x21 footprint
+        assert total == pytest.approx(441.0, abs=1e-6)
 
     def test_contour_band_polygons_nested_depth(self):
         """A crater profile (ring mountain) yields an annulus polygon at

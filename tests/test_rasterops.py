@@ -433,12 +433,9 @@ class TestRound2Extras:
             sub = got[got.image_id == r.image_id]
             dh, dw = min(r.h, 64), min(r.w, 64)
             assert sub["n_pixels"].sum() == dh * dw
-            # marching-squares bands tile the pixel-CENTER box exactly:
-            # (dw-1) x (dh-1) cells at the (downsample-scaled) cell size
-            cx = r.gsd_m * r.w / dw
-            cy = r.gsd_m * r.h / dh
+            # marching-squares bands tile the full pixel-edge footprint
             assert sub["area_m2"].sum() == pytest.approx(
-                ((dw - 1) * cx) * ((dh - 1) * cy), rel=1e-9
+                (r.w * r.gsd_m) * (r.h * r.gsd_m), rel=1e-9
             )
         # pixel mode keeps the full-footprint partition
         got_px = contour_polygons(imgs, mode="pixel").toPandas()
