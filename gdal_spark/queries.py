@@ -1339,6 +1339,75 @@ def hillshade_checksum_q(spark, sf_dir):
         cs, schema="image_id string, cs1 long")
 
 
+# Contour interval membership oracle: the operator's band pixel counts
+# (after its nearest 64-decimation) are exact integer counts over the
+# closed-form (possibly subsampled) pixel lattice.
+_CONTOUR_PX_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+dims AS (
+  SELECT i, w, h, least(w, 64) AS dw, least(h, 64) AS dh,
+         (w > 64 OR h > 64) AS dec
+  FROM meta
+),
+px AS (
+  SELECT d.i,
+    CASE WHEN d.dec THEN
+      (least(greatest(CAST(floor((CAST(k.a AS BIGINT) % d.dw + 0.5)
+                                 * (d.w / CAST(d.dw AS DOUBLE))) AS BIGINT),
+                      0), d.w - 1)
+       + least(greatest(CAST(floor((CAST(k.a AS BIGINT) // d.dw + 0.5)
+                                   * (d.h / CAST(d.dh AS DOUBLE))) AS BIGINT),
+                        0), d.h - 1) * d.w) % 256
+    ELSE CAST(k.a AS BIGINT) % 256 END AS v
+  FROM dims d, LATERAL (
+    SELECT unnest(generate_series(0, d.dw * d.dh - 1)) AS a) k
+),
+banded AS (
+  SELECT i,
+    CASE WHEN v < 64 THEN 0 WHEN v < 128 THEN 1
+         WHEN v < 192 THEN 2 ELSE 3 END AS band,
+    v
+  FROM px
+)
+SELECT printf('img%08d', i) AS image_id,
+       CASE band WHEN 0 THEN NULL ELSE CAST(band * 64 AS DOUBLE) END
+         AS level_min,
+       CASE band WHEN 3 THEN NULL ELSE CAST((band + 1) * 64 AS DOUBLE) END
+         AS level_max,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM banded
+GROUP BY i, band
+"""
+
+
+@q("contour_band_pixels", _CONTOUR_PX_SQL)
+def contour_band_pixels_q(spark, sf_dir):
+    """gdal_contour -p interval membership VALUE-gated: the operator's
+    per-band pixel counts (with its nearest 64-decimation) replayed
+    exactly over the closed-form lattice — gates band boundaries and the
+    decimation picks; the interpolated polygon geometry itself is pinned
+    by the partition tests."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import contour_polygons
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    return contour_polygons(imgs).select(
+        "image_id", "level_min", "level_max", "n_pixels")
+
+
 @q("raster_translate", None)
 def raster_translate_q(spark, sf_dir):
     """gdal_translate -srcwin -outsize -scale -b pipeline
