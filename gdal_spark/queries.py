@@ -1408,6 +1408,131 @@ def contour_band_pixels_q(spark, sf_dir):
         "image_id", "level_min", "level_max", "n_pixels")
 
 
+# Weighted-Brovey pansharpen value oracle: on ratio-divisible fixture
+# sizes every step is exact or correctly-rounded double math — 4x4 block
+# means (integer sums / 16), bilinear upsample (rational weights, half-up
+# round to uint8), pseudo-pan weighted sum, pan/pseudo division, half-up
+# quantize, checksum.
+def _pansharpen_sql() -> str:
+    w3 = T._d(1.0 / 3.0)
+    return f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0 AND a % 5 IN (0, 1)
+),
+meta AS (
+  SELECT i, CASE i % 5 WHEN 0 THEN 20 ELSE 64 END AS w FROM idx
+),
+lo AS (
+  SELECT m.i, m.w, CAST(c.a AS BIGINT) % (m.w // 4) AS lx,
+         CAST(c.a AS BIGINT) // (m.w // 4) AS ly,
+         CAST(floor(SUM(((4 * (CAST(c.a AS BIGINT) % (m.w // 4))
+                          + CAST(k.a AS BIGINT) % 4)
+                         + (4 * (CAST(c.a AS BIGINT) // (m.w // 4))
+                            + CAST(k.a AS BIGINT) // 4) * m.w) % 256)
+                    / 16.0 + 0.5) AS BIGINT) AS s1,
+         CAST(floor(SUM((3 * (4 * (CAST(c.a AS BIGINT) % (m.w // 4))
+                              + CAST(k.a AS BIGINT) % 4)) % 256)
+                    / 16.0 + 0.5) AS BIGINT) AS s2,
+         CAST(floor(SUM((7 * (4 * (CAST(c.a AS BIGINT) // (m.w // 4))
+                              + CAST(k.a AS BIGINT) // 4)) % 256)
+                    / 16.0 + 0.5) AS BIGINT) AS s3
+  FROM meta m,
+       LATERAL (SELECT unnest(generate_series(0, (m.w // 4) * (m.w // 4) - 1))
+                AS a) c,
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS a) k
+  GROUP BY m.i, m.w, c.a
+),
+px AS (
+  SELECT m.i, m.w, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % m.w AS x, CAST(k.a AS BIGINT) // m.w AS y,
+         (CAST(k.a AS BIGINT) % m.w + 0.5)
+           * ((m.w // 4) / CAST(m.w AS DOUBLE)) - 0.5 AS fx,
+         (CAST(k.a AS BIGINT) // m.w + 0.5)
+           * ((m.w // 4) / CAST(m.w AS DOUBLE)) - 0.5 AS fy
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.w - 1)) AS a) k
+),
+crd AS (
+  SELECT i, w, flat, x, y, fx, fy,
+         least(greatest(CAST(floor(fx) AS BIGINT), 0), w // 4 - 1) AS x0,
+         least(greatest(CAST(floor(fy) AS BIGINT), 0), w // 4 - 1) AS y0
+  FROM px
+),
+crd2 AS (
+  SELECT i, w, flat, x, y,
+         x0, least(x0 + 1, w // 4 - 1) AS x1,
+         y0, least(y0 + 1, w // 4 - 1) AS y1,
+         least(greatest(fx - x0, 0.0e0), 1.0) AS wx,
+         least(greatest(fy - y0, 0.0e0), 1.0) AS wy
+  FROM crd
+),
+up AS (
+  SELECT c.i, c.w, c.flat, c.x, c.y,
+    least(greatest(CAST(floor(
+      (CAST(l00.s1 AS DOUBLE) * (1 - c.wx) + l01.s1 * c.wx) * (1 - c.wy)
+      + (CAST(l10.s1 AS DOUBLE) * (1 - c.wx) + l11.s1 * c.wx) * c.wy
+      + 0.5) AS BIGINT), 0), 255) AS u1,
+    least(greatest(CAST(floor(
+      (CAST(l00.s2 AS DOUBLE) * (1 - c.wx) + l01.s2 * c.wx) * (1 - c.wy)
+      + (CAST(l10.s2 AS DOUBLE) * (1 - c.wx) + l11.s2 * c.wx) * c.wy
+      + 0.5) AS BIGINT), 0), 255) AS u2,
+    least(greatest(CAST(floor(
+      (CAST(l00.s3 AS DOUBLE) * (1 - c.wx) + l01.s3 * c.wx) * (1 - c.wy)
+      + (CAST(l10.s3 AS DOUBLE) * (1 - c.wx) + l11.s3 * c.wx) * c.wy
+      + 0.5) AS BIGINT), 0), 255) AS u3
+  FROM crd2 c
+  JOIN lo l00 ON l00.i = c.i AND l00.ly = c.y0 AND l00.lx = c.x0
+  JOIN lo l01 ON l01.i = c.i AND l01.ly = c.y0 AND l01.lx = c.x1
+  JOIN lo l10 ON l10.i = c.i AND l10.ly = c.y1 AND l10.lx = c.x0
+  JOIN lo l11 ON l11.i = c.i AND l11.ly = c.y1 AND l11.lx = c.x1
+),
+fused AS (
+  SELECT i, flat,
+    CASE WHEN pseudo <> 0 THEN
+      least(greatest(CAST(floor(u1 * (pan / pseudo) + 0.5) AS BIGINT),
+                     0), 255)
+    ELSE 0 END AS f1,
+    CASE WHEN pseudo <> 0 THEN
+      least(greatest(CAST(floor(u2 * (pan / pseudo) + 0.5) AS BIGINT),
+                     0), 255)
+    ELSE 0 END AS f2,
+    CASE WHEN pseudo <> 0 THEN
+      least(greatest(CAST(floor(u3 * (pan / pseudo) + 0.5) AS BIGINT),
+                     0), 255)
+    ELSE 0 END AS f3
+  FROM (
+    SELECT i, flat, u1, u2, u3,
+      ((CAST((x + y * w) % 256 AS DOUBLE)
+        + (3 * x) % 256) + (7 * y) % 256) / 3.0 AS pan,
+      ((u1 * {w3} + u2 * {w3}) + u3 * {w3}) AS pseudo
+    FROM up
+  )
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(f1 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+       CAST(SUM(f2 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs2,
+       CAST(SUM(f3 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs3
+FROM fused
+GROUP BY i
+"""
+
+
+@q("pansharpen_checksum", _pansharpen_sql())
+def pansharpen_checksum_q(spark, sf_dir):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp:592-635)
+    VALUE-gated: the real operator's downsample -> bilinear upsample ->
+    pseudo-pan ratio -> fuse -> checksum chain replayed exactly in DuckDB
+    on ratio-divisible fixture sizes."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import pansharpen
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        (F.col("fmt") == "png") & (F.col("w") <= 64))
+    return pansharpen(imgs).select("image_id", "cs1", "cs2", "cs3")
+
+
 @q("raster_translate", None)
 def raster_translate_q(spark, sf_dir):
     """gdal_translate -srcwin -outsize -scale -b pipeline
