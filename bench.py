@@ -144,6 +144,11 @@ def main():
     result["tiles"] = n_tiles
     result["images_per_sec"] = round(N_IMAGES / t_full, 1)
     result["aggregation"] = "best_of_5"
+    # pinned protocol (round 3's, frozen from round 4 on so rounds stay
+    # comparable) + raw samples so host-steal variance is on the record
+    result["protocol"] = {"e2e_n": 5, "pyramid_n": 2, "query_n": 2,
+                          "scaling_n": 5, "estimator": "min"}
+    result["e2e_samples"] = [round(t, 3) for t, _ in runs]
     result["pyramid_sec"] = round(
         min(run_pyramid(spark, images_path) for _ in range(2)), 3
     )
@@ -195,14 +200,14 @@ def main():
             "aggregation": "best_of_5_per_level",
         }
         # The host steals 20-40% of CPU at full 32-thread load, so the
-        # half-width level often beats local[CPUS] outright (observed
-        # local[16] 14.6s vs local[32] 21.2s on identical code).  Report
-        # the best measured level as the headline — labeled, with the
-        # local[CPUS] number kept alongside.
+        # half-width level can beat local[CPUS] outright (observed
+        # local[16] 14.6s vs local[32] 21.2s on identical code).  The
+        # headline 'value' stays PINNED to the canonical local[CPUS]
+        # configuration so runs stay apples-to-apples across rounds and
+        # machines; the faster level is reported under separate keys.
         if t_big < result["value"]:
-            result[f"value_local{CPUS}"] = result["value"]
-            result["value"] = round(t_big, 3)
-            result["images_per_sec"] = round(N_IMAGES / t_big, 1)
+            result["value_best_level"] = round(t_big, 3)
+            result["images_per_sec_best_level"] = round(N_IMAGES / t_big, 1)
             result["best_level"] = f"local[{big}]"
 
     print(json.dumps(result))

@@ -27,20 +27,17 @@ from ..functions import cells as C
 from ..oracle import mercator as M
 
 
-def _knn_broadcast(pts: DataFrame, candidates: DataFrame, k: int,
-                   point_id: str, cand_id: str, clon: str, clat: str
-                   ) -> DataFrame:
-    """Map-only kNN against a driver-collected (bounded) candidate array:
-    numpy distance matrix per Arrow batch, argpartition top-k, ties broken
-    by candidate id exactly like the ring search / brute-force oracle."""
+def _knn_broadcast(pts: DataFrame, candidates, k: int,
+                   point_id: str, cand_id: str) -> DataFrame:
+    """Map-only kNN against a driver-collected (bounded) candidate frame
+    (a pandas DataFrame with _cid/_cx/_cy, already length-verified by the
+    caller): numpy distance matrix per Arrow batch, argpartition top-k,
+    ties broken by candidate id exactly like the ring search / brute-force
+    oracle."""
     import numpy as np
     import pandas as pd
 
-    cpdf = candidates.select(
-        F.col(cand_id).alias("_cid"),
-        C.mercator_x(clon).alias("_cx"),
-        C.mercator_y(clat).alias("_cy"),
-    ).toPandas().sort_values("_cid", ignore_index=True)
+    cpdf = candidates.sort_values("_cid", ignore_index=True)
     cx = cpdf["_cx"].to_numpy()
     cy = cpdf["_cy"].to_numpy()
     cid = cpdf["_cid"].to_numpy()
@@ -110,19 +107,44 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int,
     over-gather — the same density trade the reference's quadtree leaf
     size makes (alg/gdalgrid.cpp quadtree bucket sizing).
     """
-    n_cand = None
-    if zoom is None or broadcast_cap:
+    if broadcast_cap:
+        # Dimension-table fast path probe: collect AT MOST cap+1 candidate
+        # rows (limit pushes down, so an over-cap table terminates the scan
+        # early and the driver never holds more than cap+1 rows).  If the
+        # table fits, the probe IS the broadcast payload — no separate
+        # count scan — and the explicit length check means a count
+        # underestimate can never route an over-cap table into a driver
+        # collect.
+        probe = candidates.select(
+            F.col(cand_id).alias("_cid"),
+            C.mercator_x(clon).alias("_cx"),
+            C.mercator_y(clat).alias("_cy"),
+        ).limit(broadcast_cap + 1).toPandas()
+        if len(probe) <= broadcast_cap:
+            # the candidate set fits in one task's memory, so broadcast it
+            # into a MAP-ONLY Arrow kernel — zero shuffles, every point
+            # resolved in one pass (the small-dataset branch the reference
+            # takes before building a quadtree; alg/gdalgrid.cpp
+            # GDALGridNearestNeighbor direct scan).  At 10^12 points this
+            # is the right plan whenever candidates are a dimension table;
+            # the ring search below remains the both-sides-large path.
+            pts = points.select(
+                F.col(point_id).alias("_qid"),
+                C.mercator_x(plon).alias("_qx"),
+                C.mercator_y(plat).alias("_qy"),
+            )
+            return _knn_broadcast(pts, probe, k, point_id, cand_id)
+    if zoom is None:
         # approximate count with a bounded time budget: the exact row count
-        # only tunes the grid density heuristic / fast-path choice, and a
-        # full count() of the candidate table is a wasted scan at corpus
-        # scale (an underestimate just coarsens the grid -> more candidates
-        # per cell, still correct)
+        # only tunes the grid density heuristic, and a full count() of the
+        # candidate table is a wasted scan at corpus scale (an
+        # underestimate just coarsens the grid -> more candidates per
+        # cell, still correct)
         n_cand = int(
             candidates.select(cand_id).rdd.countApprox(
                 timeout=2000, confidence=0.90
             )
         )
-    if zoom is None:
         import math
 
         target = max(4, 2 * k)
@@ -138,18 +160,6 @@ def knn_join(points: DataFrame, candidates: DataFrame, k: int,
         C.tile_x(plon, z).alias("_qtx"),
         C.tile_y_tms(plat, z).alias("_qty"),
     )
-    if broadcast_cap and n_cand is not None and n_cand <= broadcast_cap:
-        # Dimension-table fast path: the candidate set fits in one task's
-        # memory, so broadcast it into a MAP-ONLY Arrow kernel — zero
-        # shuffles, every point resolved in one pass (the small-dataset
-        # branch the reference takes before building a quadtree;
-        # alg/gdalgrid.cpp GDALGridNearestNeighbor direct scan).  At
-        # 10^12 points this is the right plan whenever candidates are a
-        # dimension table; the ring search below remains the
-        # both-sides-large path.
-        return _knn_broadcast(
-            pts.drop("_qtx", "_qty"), candidates, k, point_id, cand_id,
-            clon, clat)
     cand = candidates.select(
         F.col(cand_id).alias("_cid"),
         C.mercator_x(clon).alias("_cx"),

@@ -374,10 +374,21 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
 
     one_per_key.select("z", "x", "y", "tile").foreachPartition(write_part)
     if lineage:
+        # Totals come from the per-partition manifests (last-attempt-wins
+        # via os.replace), NOT the accumulators: accumulators double-count
+        # on task retries / speculative execution, so they could disagree
+        # with the manifests the resume path trusts.
+        parts = read_tile_lineage(root)
+        n_tiles = sum(p["n_tiles"] for p in parts)
+        n_bytes = sum(p["bytes"] for p in parts)
         os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
-        with open(os.path.join(root, "_lineage", "_summary.json"), "w") as f:
-            json.dump({"n_tiles": acc.value, "bytes": bytes_acc.value,
+        tmp = os.path.join(root, "_lineage", "._summary.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_tiles": n_tiles, "bytes": n_bytes,
+                       "n_partitions": len(parts),
                        "scheme": scheme, "ext": ext}, f)
+        os.replace(tmp, os.path.join(root, "_lineage", "_summary.json"))
+        return n_tiles
     return acc.value
 
 

@@ -180,6 +180,14 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
     feats = polys.select(
         F.col(fid_col).alias("fid"), F.col(wkb_col).alias("wkb"),
         bv.alias("bv"), zs.alias("zs"), wkb_bbox(F.col(wkb_col)).alias("bb"),
+    ).where(
+        # Drop features whose bbox misses the raster extent entirely;
+        # without this, Spark's sequence(start, stop) with start > stop
+        # yields a DESCENDING run of out-of-range tile indices.
+        (F.element_at("bb", 3) >= F.lit(minx))
+        & (F.element_at("bb", 1) <= F.lit(minx + nx * float(cell)))
+        & (F.element_at("bb", 4) >= F.lit(maxy - ny * float(cell)))
+        & (F.element_at("bb", 2) <= F.lit(maxy))
     ).select(
         "fid", "wkb", "bv", "zs",
         F.explode(F.sequence(

@@ -239,7 +239,18 @@ def _warp_box_stat(arr, x0, x1, y0, y1, stat):
     elif stat == "rms":
         out = np.sqrt(np.nanmean(vals * vals, axis=-1))
     elif stat == "mode":
-        # uint8 domain: count occurrences per value, ties -> smallest
+        # uint8 domain: count occurrences per value, ties -> smallest.
+        # Guard the domain explicitly — float / negative / >255 values
+        # would otherwise index the count table out of range (np.add.at
+        # with a negative index silently wraps -> wrong mode, no error).
+        finite = vals[~np.isnan(vals)]
+        if finite.size and (
+            (finite != np.floor(finite)).any()
+            or finite.min() < 0 or finite.max() > 255
+        ):
+            raise ValueError(
+                "mode box-stat requires integer values in [0, 255] "
+                "(uint8 raster domain); got values outside it")
         iv = np.where(np.isnan(vals), 256, vals).astype(np.int64)
         flat = iv.reshape(-1, k)
         counts = np.zeros((flat.shape[0], 257), dtype=np.int32)

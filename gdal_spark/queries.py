@@ -877,10 +877,13 @@ def pyramid_keys_q(spark, sf_dir):
     )
 
 
-# COG container round-trip oracle: overview count is a pure function of the
-# fixture W/H cycles ((257,300) and (512,512) need one 2x reduction to fit a
-# 256 tile; everything else none), and the writer must be lossless + obey
-# the COG layout rules — all derivable in SQL.
+# COG container round-trip + windowed-read oracle (merged per round-3
+# VERDICT #4 so every distinct oracle fits the driver's 50-slot cap):
+# overview count is a pure function of the fixture W/H cycles ((257,300)
+# and (512,512) need one 2x reduction to fit a 256 tile; everything else
+# none), the writer must be lossless + obey the COG layout rules, and the
+# (250,250)+40x16 window touches 4 tiles exactly on the 2x2-tiled sizes —
+# all derivable in SQL.
 _COG_SQL = """
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
@@ -889,7 +892,9 @@ WITH idx AS (
 SELECT printf('img%08d', i) AS image_id,
        CASE WHEN i % 5 IN (3, 4) THEN 2 ELSE 1 END AS n_ifds,
        TRUE AS lossless,
-       TRUE AS cog_layout
+       TRUE AS cog_layout,
+       TRUE AS window_ok,
+       CASE WHEN i % 5 IN (3, 4) THEN 4 ELSE 1 END AS tiles_touched
 FROM idx
 """
 
@@ -897,13 +902,17 @@ FROM idx
 @q("cog_roundtrip", _COG_SQL)
 def cog_roundtrip_q(spark, sf_dir):
     """COG container sink (frmts/gtiff/cogdriver.cpp rules re-derived in
-    codecs/cog.py): encode every image as a tiled GeoTIFF with internal
-    overviews, decode it back, and verify pixel equality + head-IFD/
-    overview-first layout; DuckDB oracles the expected IFD count and the
-    invariants."""
+    codecs/cog.py) + RasterIO WINDOWED read (gcore/rasterio.cpp block
+    intersection): encode every image as a tiled GeoTIFF with internal
+    overviews, decode it back, verify pixel equality + head-IFD/
+    overview-first layout, then decode only the tiles a
+    boundary-straddling window touches and check the slice equals the
+    full decode's; DuckDB oracles the expected IFD count, the touched-
+    tile count per size cycle, and the invariants."""
     import pandas as pd
 
-    from .codecs.cog import decode_cog, encode_cog, is_cog_layout
+    from .codecs.cog import (decode_cog, decode_cog_window, encode_cog,
+                             is_cog_layout)
     from .codecs.registry import decode as _dec
     from .fixtures.images import images_df
     from .oracle.tiling import geotransform_3857
@@ -917,20 +926,31 @@ def cog_roundtrip_q(spark, sf_dir):
                                        r.gsd_m)
                 blob = encode_cog(a, gt)
                 back, nifd, gt2 = decode_cog(blob)
+                h, w = a.shape[0], a.shape[1]
+                # window straddling the first tile boundary when possible
+                x0 = max(0, min(w - 2, 250))
+                y0 = max(0, min(h - 2, 250))
+                ww = min(40, w - x0)
+                hh = min(16, h - y0)
+                win, ntiles = decode_cog_window(blob, x0, y0, ww, hh)
+                exp = a[y0 : y0 + hh, x0 : x0 + ww]
                 out.append(dict(
                     image_id=r.image_id, n_ifds=int(nifd),
                     lossless=bool((back == a).all() and gt2 == gt),
                     cog_layout=bool(is_cog_layout(blob)),
+                    window_ok=bool((win == exp).all()),
+                    tiles_touched=int(ntiles),
                 ))
             yield pd.DataFrame(
-                out, columns=["image_id", "n_ifds", "lossless", "cog_layout"]
+                out, columns=["image_id", "n_ifds", "lossless", "cog_layout",
+                              "window_ok", "tiles_touched"]
             )
 
     imgs = images_df(spark, min(_images_n(sf_dir), 60))
     return imgs.mapInPandas(
         rt,
         schema="image_id string, n_ifds int, lossless boolean, "
-               "cog_layout boolean",
+               "cog_layout boolean, window_ok boolean, tiles_touched int",
     )
 
 
@@ -1811,21 +1831,31 @@ def checksum_png_q(spark, sf_dir):
         cs, schema="image_id string, cs1 long, cs2 long, cs3 long")
 
 
-# translate -outsize value oracle: nearest resample picks source pixel
+# translate -outsize + -projwin value oracle (merged per round-3 VERDICT
+# #4 so every distinct oracle fits the driver's 50-slot cap).
+# outsize part: nearest resample picks source pixel
 # sy = clip(floor((oy+0.5)*(h/32)), 0, h-1) (oracle/resample._center_coords)
 # and the checksum of the 32x32 band replays like checksum_png.
-_TRANSLATE_OUT_SQL = f"""
+# projwin part: the snapped, extent-intersected window
+# (gdal_translate_lib.cpp:981-1060 — size from the snapped ULX/ULY,
+# out-of-bounds intersected, fully-outside dropped) replayed per image;
+# cs1 = -1 sentinel keeps the column BIGINT on both engines.
+_TPW = (250000.0, 7000000.0, 20000000.0, 5500000.0)  # cuts the hot cluster
+_TRANSLATE_OUT_SQL_TMPL = """
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
   FROM (SELECT unnest(generate_series(0, 59)) AS a)
-  WHERE a % 3 = 0
 ),
 meta AS (
   SELECT i,
+    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
+    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
     CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
                WHEN 3 THEN 257 ELSE 512 END AS w,
     CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
-               WHEN 3 THEN 300 ELSE 512 END AS h
+               WHEN 3 THEN 300 ELSE 512 END AS h,
+    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+               ELSE 500.0 END AS gsd
   FROM idx
 ),
 opx AS (
@@ -1833,6 +1863,7 @@ opx AS (
          CAST(k.a AS BIGINT) % 32 AS ox,
          CAST(k.a AS BIGINT) // 32 AS oy
   FROM meta m, LATERAL (SELECT unnest(generate_series(0, 1023)) AS a) k
+  WHERE m.i % 3 = 0
 ),
 src AS (
   SELECT i, flat,
@@ -1842,29 +1873,88 @@ src AS (
                    0), h - 1) AS sy,
     w
   FROM opx
+),
+out_part AS (
+  SELECT printf('img%08d', i) AS image_id, 'outsize' AS part,
+         CAST(32 AS INTEGER) AS w2, CAST(32 AS INTEGER) AS h2,
+         CAST(SUM(((sx + sy * w) % 256) % (@CS_PRIME@))
+              % 65536 AS BIGINT) AS cs1
+  FROM src
+  GROUP BY i
+),
+pts AS (
+  SELECT i, w, h, gsd,
+    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
+         ELSE u * 360.0 - 180.0 END AS lon,
+    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
+         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
+  FROM meta
+),
+gt AS (
+  SELECT i, w, h, gsd,
+         @MX@ - w * gsd / 2.0 AS gt0,
+         @MY@ + h * gsd / 2.0 AS gt3
+  FROM pts
+),
+snap AS (
+  SELECT i, w, h, gsd, gt0, gt3,
+         CAST(floor((@PW0@ - gt0) / gsd + 0.001) AS BIGINT) AS xo,
+         CAST(floor((@PW1@ - gt3) / (-gsd) + 0.001) AS BIGINT) AS yo
+  FROM gt
+),
+win AS (
+  SELECT i, w, h, xo, yo,
+         CAST(ceil((@PW2@ - (gt0 + xo * gsd)) / gsd - 0.001)
+              AS BIGINT) AS xs,
+         CAST(ceil((@PW3@ - (gt3 + yo * (-gsd))) / (-gsd) - 0.001)
+              AS BIGINT) AS ys
+  FROM snap
+),
+clipped AS (
+  SELECT i,
+         greatest(0, xo) AS x0, least(xo + greatest(xs, 0), w) AS x1,
+         greatest(0, yo) AS y0, least(yo + greatest(ys, 0), h) AS y1
+  FROM win
+),
+pw_part AS (
+  SELECT printf('img%08d', i) AS image_id, 'projwin' AS part,
+         CAST(x1 - x0 AS INTEGER) AS w2,
+         CAST(y1 - y0 AS INTEGER) AS h2,
+         CAST(-1 AS BIGINT) AS cs1
+  FROM clipped
+  WHERE x1 > x0 AND y1 > y0
 )
-SELECT printf('img%08d', i) AS image_id,
-       CAST(32 AS INTEGER) AS w2, CAST(32 AS INTEGER) AS h2,
-       CAST(SUM(((sx + sy * w) % 256) % ({_CS_PRIME.format(i='flat')}))
-            % 65536 AS BIGINT) AS cs1
-FROM src
-GROUP BY i
+SELECT * FROM out_part UNION ALL SELECT * FROM pw_part
 """
+_TRANSLATE_OUT_SQL = _TRANSLATE_OUT_SQL_TMPL
+for _k, _v in {
+    "@CS_PRIME@": _CS_PRIME.format(i="flat"),
+    "@MX@": T.sql_mx("lon"), "@MY@": T.sql_my("lat"),
+    "@PW0@": f"{_TPW[0]:.1f}", "@PW1@": f"{_TPW[1]:.1f}",
+    "@PW2@": f"{_TPW[2]:.1f}", "@PW3@": f"{_TPW[3]:.1f}",
+}.items():
+    _TRANSLATE_OUT_SQL = _TRANSLATE_OUT_SQL.replace(_k, _v)
 
 
 @q("translate_outsize_checksum", _TRANSLATE_OUT_SQL)
 def translate_outsize_checksum_q(spark, sf_dir):
-    """gdal_translate -outsize 32 32 VALUE-gated: the real translate
-    operator (decode -> nearest RasterIO resample -> checksum) against
-    DuckDB replaying the center-coord source-pixel picks and the
-    checksum arithmetic."""
+    """gdal_translate VALUE-gated, two option surfaces in one oracle:
+    '-outsize 32 32' (decode -> nearest RasterIO resample -> checksum,
+    DuckDB replaying the center-coord source-pixel picks and the checksum
+    arithmetic, png images) and '-projwin' window geometry (the snapped,
+    extent-intersected window of gdal_translate_lib.cpp:981-1060, all
+    images; cs1 = -1 sentinel)."""
     from .fixtures.images import images_df
     from .operators.rasterops import translate
 
-    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
-        F.col("fmt") == "png")
-    return translate(imgs, outsize=(32, 32)).select(
-        "image_id", "w2", "h2", "cs1")
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    a = translate(imgs.where(F.col("fmt") == "png"),
+                  outsize=(32, 32)).select(
+        "image_id", F.lit("outsize").alias("part"), "w2", "h2", "cs1")
+    b = translate(imgs, projwin=_TPW).select(
+        "image_id", F.lit("projwin").alias("part"), "w2", "h2",
+        F.lit(-1).cast("long").alias("cs1"))
+    return a.unionByName(b)
 
 
 # gdalwarp(nearest) value oracle: SuggestedWarpOutput bbox, dst pixel
@@ -3102,62 +3192,6 @@ def contour_polygons_q(spark, sf_dir):
     )
 
 
-# windowed-read oracle: the (250,250)+40x16 window crosses the 256-pixel
-# tile boundary only on the (257,300) and (512,512) images (i % 5 in 3,4 ->
-# 2x2 tiles); every smaller image clamps inside tile (0,0).
-_COG_WINDOW_SQL = """
-WITH idx AS (
-  SELECT CAST(a AS BIGINT) AS i
-  FROM (SELECT unnest(generate_series(0, 59)) AS a)
-)
-SELECT printf('img%08d', i) AS image_id,
-       TRUE AS window_ok,
-       CASE WHEN i % 5 IN (3, 4) THEN 4 ELSE 1 END AS tiles_touched
-FROM idx
-"""
-
-
-@q("cog_window_read", _COG_WINDOW_SQL)
-def cog_window_read_q(spark, sf_dir):
-    """RasterIO WINDOWED read over the COG container: decode only the
-    tiles a window touches (gcore/rasterio.cpp block intersection). The
-    oracle pins the touched-tile count per image-size cycle, and the
-    window pixels must equal the full decode's slice."""
-    import pandas as pd
-
-    from .codecs.cog import decode_cog_window, encode_cog
-    from .codecs.registry import decode as _dec
-    from .fixtures.images import images_df
-
-    def rt(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                a = _dec(r.bytes)
-                blob = encode_cog(a)
-                h, w = a.shape[0], a.shape[1]
-                # window straddling the first tile boundary when possible
-                x0 = max(0, min(w - 2, 250))
-                y0 = max(0, min(h - 2, 250))
-                ww = min(40, w - x0)
-                hh = min(16, h - y0)
-                win, ntiles = decode_cog_window(blob, x0, y0, ww, hh)
-                exp = a[y0 : y0 + hh, x0 : x0 + ww]
-                out.append(dict(
-                    image_id=r.image_id,
-                    window_ok=bool((win == exp).all()),
-                    tiles_touched=int(ntiles),
-                ))
-            yield pd.DataFrame(
-                out, columns=["image_id", "window_ok", "tiles_touched"]
-            )
-
-    imgs = images_df(spark, min(_images_n(sf_dir), 60))
-    return imgs.mapInPandas(
-        rt, schema="image_id string, window_ok boolean, tiles_touched int"
-    )
-
-
 @q("embedding_pca", None)
 def embedding_pca_q(spark, sf_dir):
     """Distributed PCA over the embeddings table (map-side Gram partials +
@@ -3207,81 +3241,6 @@ def translate_projwin_q(spark, sf_dir):
     ).select("image_id", "w2", "h2", "cs1")
 
 
-# -projwin window arithmetic is pure double math (mercator center, cycle
-# sizes, the floor(+0.001)/ceil(-0.001) snap, extent intersection) — the
-# whole chain replays exactly in SQL, value-gating the round-3 snapped-size
-# + out-of-bounds-intersection fix.
-_TPW = (250000.0, 7000000.0, 20000000.0, 5500000.0)  # cuts the hot cluster
-_TPW_SQL = f"""
-WITH idx AS (
-  SELECT CAST(a AS BIGINT) AS i
-  FROM (SELECT unnest(generate_series(0, 119)) AS a)
-),
-meta AS (
-  SELECT i,
-    i * 6.18033988749894903e-01 - floor(i * 6.18033988749894903e-01) AS u,
-    i * 7.54877666246692725e-01 - floor(i * 7.54877666246692725e-01) AS v,
-    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
-               WHEN 3 THEN 257 ELSE 512 END AS w,
-    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
-               WHEN 3 THEN 300 ELSE 512 END AS h,
-    CASE i % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
-               ELSE 500.0 END AS gsd
-  FROM idx
-),
-pts AS (
-  SELECT i, w, h, gsd,
-    CASE WHEN i % 5 = 0 THEN 2.3 + (u - 0.5) * 1.0
-         ELSE u * 360.0 - 180.0 END AS lon,
-    CASE WHEN i % 5 = 0 THEN 48.8 + (v - 0.5) * 1.0
-         ELSE (v * 2.0 - 1.0) * 85.05 END AS lat
-  FROM meta
-),
-gt AS (
-  SELECT i, w, h, gsd,
-         {T.sql_mx('lon')} - w * gsd / 2.0 AS gt0,
-         {T.sql_my('lat')} + h * gsd / 2.0 AS gt3
-  FROM pts
-),
-snap AS (
-  SELECT i, w, h, gsd, gt0, gt3,
-         CAST(floor(({_TPW[0]:.1f} - gt0) / gsd + 0.001) AS BIGINT) AS xo,
-         CAST(floor(({_TPW[1]:.1f} - gt3) / (-gsd) + 0.001) AS BIGINT) AS yo
-  FROM gt
-),
-win AS (
-  SELECT i, w, h, xo, yo,
-         CAST(ceil(({_TPW[2]:.1f} - (gt0 + xo * gsd)) / gsd - 0.001)
-              AS BIGINT) AS xs,
-         CAST(ceil(({_TPW[3]:.1f} - (gt3 + yo * (-gsd))) / (-gsd) - 0.001)
-              AS BIGINT) AS ys
-  FROM snap
-),
-clipped AS (
-  SELECT i,
-         greatest(0, xo) AS x0, least(xo + greatest(xs, 0), w) AS x1,
-         greatest(0, yo) AS y0, least(yo + greatest(ys, 0), h) AS y1
-  FROM win
-)
-SELECT printf('img%08d', i) AS image_id,
-       CAST(x1 - x0 AS INTEGER) AS w2,
-       CAST(y1 - y0 AS INTEGER) AS h2
-FROM clipped
-WHERE x1 > x0 AND y1 > y0
-"""
-
-
-@q("translate_projwin_window", _TPW_SQL)
-def translate_projwin_window_q(spark, sf_dir):
-    """gdal_translate -projwin window geometry VALUE-gated: the snapped,
-    extent-intersected window (gdal_translate_lib.cpp:981-1060 — size
-    from the snapped ULX/ULY, out-of-bounds intersected, fully-outside
-    dropped) replayed per image in DuckDB."""
-    from .fixtures.images import images_df
-    from .operators.rasterops import translate
-
-    imgs = images_df(spark, min(_images_n(sf_dir), 120))
-    return translate(imgs, projwin=_TPW).select("image_id", "w2", "h2")
 
 
 @q("point_sample_cubic", None)

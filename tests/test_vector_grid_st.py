@@ -508,6 +508,33 @@ class TestVectorizeOperators:
         assert (got["dmax"] >= -1).all()
         assert (got["dmax"] >= 0).any()
 
+    def test_rasterize_layer_out_of_extent_feature(self, spark):
+        """Features whose bbox misses the raster extent are dropped before
+        the tile explode (sequence(start, stop) with start > stop would
+        otherwise emit a descending run of invalid tile indices and crash
+        burn_tile with a negative width)."""
+        from gdal_spark.operators.vectorize import rasterize_layer
+        from gdal_spark.oracle.geom import to_wkb
+
+        inside = [(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5),
+                  (0.5, 0.5)]
+        far_right = [(100.0, 0.5), (102.0, 0.5), (102.0, 2.5),
+                     (100.0, 2.5), (100.0, 0.5)]
+        far_below = [(0.5, -100.0), (2.5, -100.0), (2.5, -98.0),
+                     (0.5, -98.0), (0.5, -100.0)]
+        pdf = pd.DataFrame({
+            "fid": [1, 2, 3],
+            "wkb": [to_wkb("polygon", [r])
+                    for r in (inside, far_right, far_below)],
+        })
+        got = rasterize_layer(
+            spark.createDataFrame(pdf), minx=0.0, maxy=4.0, cell=1.0,
+            nx=4, ny=4, burn=1.0,
+        ).toPandas()
+        # only the in-extent square burns; nothing out of range
+        assert len(got) > 0
+        assert got["px"].between(0, 2).all() and got["py"].between(1, 3).all()
+
     def test_rasterize_point_counts(self, spark):
         from gdal_spark.operators.vectorize import rasterize_point_counts
 
