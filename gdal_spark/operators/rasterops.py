@@ -103,22 +103,50 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
 
 
 def warp_to_wgs84(images: DataFrame, method: str = "nearest",
-                  approx_every: int = 0) -> DataFrame:
+                  approx_every: int = 0, src_nodata=None, dst_nodata=None,
+                  collar_px: int = 0,
+                  cutline_col: str | None = None) -> DataFrame:
     """gdalwarp EPSG:3857 -> EPSG:4326 per image (dst->src inverse mapping,
     apps/gdalwarp_lib.cpp:1210; kernel alg/gdalwarpkernel.cpp). Accepts all
     14 warp kernels (alg/gdalwarper.h:37-67): the 5 point kernels
     near/bilinear/cubic/cubicspline/lanczos plus the box statistics
     average/mode/min/max/med/q1/q3/sum/rms (GWKAverageOrModeThread path).
-    Returns warped image rows + dst geotransform + checksum."""
+    Returns warped image rows + dst geotransform + checksum.
+
+    ``src_nodata``/``dst_nodata`` enable the reference's validity-mask
+    semantics (-srcnodata/-dstnodata, alg/gdalwarpkernel.cpp:614 "Masking
+    Semantics"): invalid pixels never contribute to any kernel and
+    uncovered destinations get dst_nodata.  ``collar_px`` paints an
+    n-pixel src_nodata border after decode — the synthetic nodata-collar
+    fixture shape of the reference's autotest warp nodata cases (real
+    imagery almost always carries such collars).  ``cutline_col`` names a
+    per-row WKB polygon column (source CRS coords): the cutline is
+    rasterized into the source validity mask exactly like
+    gdalwarp -cutline (apps/gdalwarp_lib.cpp:5236)."""
+    from ..oracle import geom as G
 
     def gen(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 a = decode(r.bytes)
+                if collar_px and src_nodata is not None:
+                    c = int(collar_px)
+                    a = a.copy()
+                    a[:c, :] = src_nodata
+                    a[-c:, :] = src_nodata
+                    a[:, :c] = src_nodata
+                    a[:, -c:] = src_nodata
+                cut = None
+                if cutline_col is not None:
+                    kind, data = G.parse_wkb(bytes(getattr(r, cutline_col)))
+                    cut = (data if kind == "polygon"
+                           else [ring for part in data for ring in part])
                 gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
                 warped, dst_gt = warp_3857_to_4326(
-                    a, gt, method=method, approx_every=approx_every
+                    a, gt, method=method, approx_every=approx_every,
+                    src_nodata=src_nodata, dst_nodata=dst_nodata,
+                    cutline=cut,
                 )
                 cs = checksum_image(warped)
                 out.append(
@@ -133,7 +161,10 @@ def warp_to_wgs84(images: DataFrame, method: str = "nearest",
                 out, columns=["image_id", "bytes", "dst_gt", "cs1", "cs2", "cs3"]
             )
 
-    return images.select("image_id", "bytes", "lon", "lat", "gsd_m").mapInPandas(
+    cols = ["image_id", "bytes", "lon", "lat", "gsd_m"]
+    if cutline_col is not None:
+        cols.append(cutline_col)
+    return images.select(*cols).mapInPandas(
         gen,
         schema="image_id string, bytes binary, dst_gt array<double>, "
                "cs1 long, cs2 long, cs3 long",

@@ -24,6 +24,52 @@ import numpy as np
 from . import mercator as M
 
 
+def masked_float(arr, src_nodata):
+    """Float64 working copy with NaN at invalid pixels — the validity-mask
+    entry point of the reference's "Masking Semantics"
+    (alg/gdalwarpkernel.cpp:614).  UNIFIED_SRC_NODATA semantics (the
+    gdalwarp utility default, apps/gdalwarp_lib.cpp): a pixel is invalid
+    only when ALL bands equal the nodata value."""
+    a = np.asarray(arr, dtype=np.float64).copy()
+    if a.ndim == 3:
+        inv = np.all(a == float(src_nodata), axis=2)
+        a[inv] = np.nan
+    else:
+        a[a == float(src_nodata)] = np.nan
+    return a
+
+
+def _build_masked(arr, src_gt, src_nodata, cutline):
+    """Combined validity for the warp kernels: nodata invalidity
+    (UNIFIED_SRC_NODATA) AND-ed with the rasterized cutline interior —
+    the reference transforms the cutline to source pixel coords and burns
+    it into the source validity mask (apps/gdalwarp_lib.cpp:5236
+    CutlineTransformer + GDALWarpCutlineMaskerEx).  ``cutline`` is a list
+    of rings in source georeferenced coords; even-odd fill, so holes are
+    excluded exactly like gdal_rasterize."""
+    if src_nodata is not None:
+        a = masked_float(arr, src_nodata)
+    else:
+        a = np.asarray(arr, dtype=np.float64).copy()
+    if cutline is not None:
+        from .rasterize import rasterize_rings
+
+        h, w = a.shape[0], a.shape[1]
+        inside = rasterize_rings(cutline, src_gt, w, h, burn=1.0) > 0
+        a[~inside] = np.nan
+    return a
+
+
+def _resolve_dst_nodata(src_nodata, dst_nodata, fill):
+    """gdalwarp -dstnodata defaulting: explicit value wins; else the
+    srcnodata value; else the plain fill."""
+    if dst_nodata is not None:
+        return float(dst_nodata)
+    if src_nodata is not None:
+        return float(src_nodata)
+    return float(fill)
+
+
 def mercator_to_lonlat_xy(mx, my):
     return M.meters_to_lonlat(mx, my)
 
@@ -53,7 +99,8 @@ def suggested_output(src_gt, w, h):
 
 
 def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
-                     south: bool = False, fill=0):
+                     south: bool = False, fill=0,
+                     src_nodata=None, dst_nodata=None, cutline=None):
     """Warp a north-up UTM image (EPSG:326xx/327xx) to EPSG:4326 — the
     reference's benchmark workload (autotest/benchmark/test_gdalwarp.py:24,
     EPSG:32631 -> 4326), powered by the closed-form Krüger transform
@@ -66,11 +113,13 @@ def warp_utm_to_4326(arr, src_gt, zone: int, method: str = "nearest",
         to_lonlat=lambda E, N: U.utm_to_lonlat(E, N, zone, south),
         from_lonlat=lambda lo, la: U.lonlat_to_utm(lo, la, zone, south),
         method=method, fill=fill,
+        src_nodata=src_nodata, dst_nodata=dst_nodata, cutline=cutline,
     )
 
 
 def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
-                      method: str = "nearest", fill=0):
+                      method: str = "nearest", fill=0,
+                      src_nodata=None, dst_nodata=None, cutline=None):
     """Warp a north-up image in ANY projected CRS (given its closed-form
     transform pair) to EPSG:4326 — UTM (oracle/utm.py), Lambert conformal
     conic and polar stereographic (oracle/conic.py), or any other
@@ -83,8 +132,19 @@ def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
     all 14 warp kernels (point kernels + box statistics).
     Output sizing samples the source boundary at 21 points per edge, the
     GDALSuggestedWarpOutput2 grid density (alg/gdaltransformer.cpp:342).
+
+    ``src_nodata`` enables the reference's validity-mask semantics
+    (alg/gdalwarpkernel.cpp:614, UNIFIED_SRC_NODATA): invalid source
+    pixels are excluded from every kernel — nearest propagates invalidity,
+    bilinear/cubic/lanczos drop invalid taps and renormalize over the
+    remaining weight (GWKBilinearResample4Sample's accumulator/divisor),
+    box statistics reduce over valid pixels only with the per-pixel valid
+    count — and destination pixels with no valid contributor get
+    ``dst_nodata`` (defaults to ``src_nodata``).
     """
     h, w = arr.shape[0], arr.shape[1]
+    masked = src_nodata is not None or cutline is not None
+    arrf = _build_masked(arr, src_gt, src_nodata, cutline) if masked else None
     ts = np.linspace(0.0, 1.0, 21)
     bx = np.concatenate([ts * w, ts * w, np.zeros(21), np.full(21, float(w))])
     by = np.concatenate([np.zeros(21), np.full(21, float(h)), ts * h, ts * h])
@@ -108,7 +168,8 @@ def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
         ix = np.floor(fx).astype(np.int64)
         iy = np.floor(fy).astype(np.int64)
         mask = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        out = arr[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)].astype(np.float64)
+        src = arrf if masked else arr
+        out = src[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)].astype(np.float64)
     elif method == "bilinear":
         gx = fx - 0.5
         gy = fy - 0.5
@@ -121,12 +182,29 @@ def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
         if arr.ndim == 3:
             wx = wx[:, :, None]
             wy = wy[:, :, None]
-        out = (
-            arr[y0, x0].astype(np.float64) * (1 - wx) * (1 - wy)
-            + arr[y0, x1].astype(np.float64) * wx * (1 - wy)
-            + arr[y1, x0].astype(np.float64) * (1 - wx) * wy
-            + arr[y1, x1].astype(np.float64) * wx * wy
-        )
+        if masked:
+            # drop invalid taps, renormalize over the remaining weight
+            # (GWKBilinearResample4Sample accumulator/divisor)
+            num = 0.0
+            den = 0.0
+            for yy, xx, ww_ in ((y0, x0, (1 - wx) * (1 - wy)),
+                                (y0, x1, wx * (1 - wy)),
+                                (y1, x0, (1 - wx) * wy),
+                                (y1, x1, wx * wy)):
+                t = arrf[yy, xx]
+                v = ~np.isnan(t)
+                num = num + np.where(v, t, 0.0) * ww_
+                den = den + v * ww_
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(den > 0, num / np.where(den == 0, 1.0, den),
+                               np.nan)
+        else:
+            out = (
+                arr[y0, x0].astype(np.float64) * (1 - wx) * (1 - wy)
+                + arr[y0, x1].astype(np.float64) * wx * (1 - wy)
+                + arr[y1, x0].astype(np.float64) * (1 - wx) * wy
+                + arr[y1, x1].astype(np.float64) * wx * wy
+            )
         mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
     elif method in ("cubic", "cubicspline", "lanczos"):
         # full 2-D convolution gather: the UTM mapping is NOT separable,
@@ -140,19 +218,39 @@ def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
         x0 = np.floor(gx).astype(np.int64)
         y0 = np.floor(gy).astype(np.int64)
         shape = arr.shape if arr.ndim == 3 else arr.shape + (1,)
-        a3 = arr.reshape(shape).astype(np.float64)
+        a3 = (arrf.reshape(shape) if masked
+              else arr.reshape(shape).astype(np.float64))
         acc = np.zeros(gx.shape + (shape[2],))
-        wsum = np.zeros(gx.shape)
         offs = np.arange(-radius + 1, radius + 1)
-        for dy in offs:
-            wy = kernel(gy - (y0 + dy))
-            yi = np.clip(y0 + dy, 0, h - 1)
-            for dx in offs:
-                wgt = wy * kernel(gx - (x0 + dx))
-                xi = np.clip(x0 + dx, 0, w - 1)
-                acc += wgt[:, :, None] * a3[yi, xi]
-                wsum += wgt
-        out = acc / np.where(wsum == 0, 1.0, wsum)[:, :, None]
+        if masked:
+            # per-tap validity: invalid taps contribute no weight, the
+            # divisor is the accumulated VALID weight (GWKResample with
+            # masks); all-invalid -> NaN -> dst nodata
+            wsum = np.zeros(gx.shape + (shape[2],))
+            for dy in offs:
+                wy = kernel(gy - (y0 + dy))
+                yi = np.clip(y0 + dy, 0, h - 1)
+                for dx in offs:
+                    wgt = wy * kernel(gx - (x0 + dx))
+                    xi = np.clip(x0 + dx, 0, w - 1)
+                    t = a3[yi, xi]
+                    v = ~np.isnan(t)
+                    acc += wgt[:, :, None] * np.where(v, t, 0.0)
+                    wsum += wgt[:, :, None] * v
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(wsum != 0,
+                               acc / np.where(wsum == 0, 1.0, wsum), np.nan)
+        else:
+            wsum = np.zeros(gx.shape)
+            for dy in offs:
+                wy = kernel(gy - (y0 + dy))
+                yi = np.clip(y0 + dy, 0, h - 1)
+                for dx in offs:
+                    wgt = wy * kernel(gx - (x0 + dx))
+                    xi = np.clip(x0 + dx, 0, w - 1)
+                    acc += wgt[:, :, None] * a3[yi, xi]
+                    wsum += wgt
+            out = acc / np.where(wsum == 0, 1.0, wsum)[:, :, None]
         if arr.ndim == 2:
             out = out[:, :, 0]
         mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
@@ -176,21 +274,32 @@ def warp_proj_to_4326(arr, src_gt, to_lonlat, from_lonlat,
             [cfy[:-1, :-1], cfy[:-1, 1:], cfy[1:, :-1], cfy[1:, 1:]])
         x0, x1 = _box_bounds(fx_min, fx_max, w)
         y0, y1 = _box_bounds(fy_min, fy_max, h)
-        out = _warp_box_stat(arr, x0, x1, y0, y1, method)
+        out = _warp_box_stat(arrf if masked else arr, x0, x1, y0, y1, method)
         mask = (fx >= 0) & (fx <= w) & (fy >= 0) & (fy <= h)
     else:
         raise ValueError(method)
 
-    if arr.ndim == 3:
-        out = np.where(mask[:, :, None], out, float(fill))
-    else:
-        out = np.where(mask, out, float(fill))
-    if np.issubdtype(arr.dtype, np.integer):
-        info = np.iinfo(arr.dtype)
-        out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(arr.dtype)
-    else:
-        out = out.astype(arr.dtype)
+    out = _finalize_warp(out, mask, arr.dtype, arr.ndim, fill,
+                         masked, src_nodata, dst_nodata)
     return out, dst_gt
+
+
+def _finalize_warp(out, mask, dtype, ndim, fill, masked, src_nodata,
+                   dst_nodata):
+    """Fill out-of-bounds and (when masking) no-valid-contributor pixels,
+    then cast back to the source dtype (half-up rounding for integers)."""
+    mm = mask[:, :, None] if ndim == 3 else mask
+    if masked:
+        dnd = _resolve_dst_nodata(src_nodata, dst_nodata, fill)
+        out = np.where(mm & ~np.isnan(out), out, dnd)
+    else:
+        out = np.where(mm, out, float(fill))
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(dtype)
+    else:
+        out = out.astype(dtype)
+    return out
 
 
 BOX_STATS = ("average", "mode", "min", "max", "med", "q1", "q3", "sum", "rms")
@@ -227,7 +336,22 @@ def _warp_box_stat(arr, x0, x1, y0, y1, stat):
             slot = dy * bw + dx
             vals[:, :, :, slot] = np.where(
                 v[:, :, None], a3[yi, xi], np.nan)
-    n = (x1b - x0b) * (y1b - y0b)
+    # per-(pixel, band) VALID count: equals the box size for unmasked
+    # input (padding slots are the only NaNs), and the number of valid
+    # contributors under nodata masking — the reference collects valid
+    # values into a vector and reduces over its length
+    # (GWKAverageOrModeThread); zero valid -> NaN -> dst nodata.
+    n = np.count_nonzero(~np.isnan(vals), axis=-1)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = _box_reduce(vals, n, k, stat)
+    return out if arr.ndim == 3 else out[:, :, 0]
+
+
+def _box_reduce(vals, n, k, stat):
+    H, W, nb = vals.shape[:3]
     if stat == "average":
         out = np.nanmean(vals, axis=-1)
     elif stat == "min":
@@ -235,7 +359,7 @@ def _warp_box_stat(arr, x0, x1, y0, y1, stat):
     elif stat == "max":
         out = np.nanmax(vals, axis=-1)
     elif stat == "sum":
-        out = np.nansum(vals, axis=-1)
+        out = np.where(n > 0, np.nansum(vals, axis=-1), np.nan)
     elif stat == "rms":
         out = np.sqrt(np.nanmean(vals * vals, axis=-1))
     elif stat == "mode":
@@ -258,15 +382,16 @@ def _warp_box_stat(arr, x0, x1, y0, y1, stat):
         for j in range(k):
             np.add.at(counts, (rows, flat[:, j]), 1)
         out = counts[:, :256].argmax(axis=1).astype(np.float64).reshape(H, W, nb)
+        out = np.where(n > 0, out, np.nan)
     elif stat in ("med", "q1", "q3"):
         q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[stat]
         s = np.sort(vals, axis=-1)  # NaNs sort last
         qi = np.maximum(np.ceil(q * n - 1).astype(np.int64), 0)
-        out = np.take_along_axis(
-            s, qi[:, :, None, None].repeat(nb, axis=2), axis=-1)[..., 0]
+        out = np.take_along_axis(s, qi[:, :, :, None], axis=-1)[..., 0]
+        out = np.where(n > 0, out, np.nan)
     else:
         raise ValueError(stat)
-    return out if arr.ndim == 3 else out[:, :, 0]
+    return out
 
 
 def _box_bounds(e0, e1, n):
@@ -308,7 +433,8 @@ def _convolve_irregular(src, centers, axis, kernel, radius):
 
 
 def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
-                      fill=0):
+                      fill=0, src_nodata=None, dst_nodata=None,
+                      cutline=None):
     """Warp a north-up EPSG:3857 image to EPSG:4326.
 
     ``method``: nearest, bilinear, cubic, cubicspline, or lanczos (the
@@ -321,8 +447,16 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
     (per dst row the transform is separable for this CRS pair: lon depends
     only on x, lat only on y — the approximation grid still exercises the
     generic machinery).
+
+    ``src_nodata`` enables the reference's validity-mask semantics
+    (alg/gdalwarpkernel.cpp:614, UNIFIED_SRC_NODATA): invalid pixels are
+    excluded from every kernel (renormalized point kernels, valid-count
+    box statistics) and no-valid-contributor destinations get
+    ``dst_nodata`` (defaults to ``src_nodata``).
     """
     h, w = arr.shape[0], arr.shape[1]
+    masked = src_nodata is not None or cutline is not None
+    arrf = _build_masked(arr, src_gt, src_nodata, cutline) if masked else None
     dst_gt, out_w, out_h = suggested_output(src_gt, w, h)
 
     # dst pixel centers -> lon/lat
@@ -356,7 +490,8 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         ok_y = (iy >= 0) & (iy < h)
         ixc = np.clip(ix, 0, w - 1)
         iyc = np.clip(iy, 0, h - 1)
-        out = arr[np.ix_(iyc, ixc)].astype(np.float64)
+        src = arrf if masked else arr
+        out = src[np.ix_(iyc, ixc)].astype(np.float64)
         mask = np.outer(ok_y, ok_x)
     elif method == "bilinear":
         gx = fx - 0.5
@@ -367,17 +502,33 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         y1 = np.clip(y0 + 1, 0, h - 1)
         wx = np.clip(gx - x0, 0.0, 1.0)
         wy = np.clip(gy - y0, 0.0, 1.0)
-        a = arr[np.ix_(y0, x0)].astype(np.float64)
-        b = arr[np.ix_(y0, x1)].astype(np.float64)
-        c = arr[np.ix_(y1, x0)].astype(np.float64)
-        d = arr[np.ix_(y1, x1)].astype(np.float64)
+        src = arrf if masked else arr
+        a = src[np.ix_(y0, x0)].astype(np.float64)
+        b = src[np.ix_(y0, x1)].astype(np.float64)
+        c = src[np.ix_(y1, x0)].astype(np.float64)
+        d = src[np.ix_(y1, x1)].astype(np.float64)
         if arr.ndim == 3:
             wxx = wx[None, :, None]
             wyy = wy[:, None, None]
         else:
             wxx = wx[None, :]
             wyy = wy[:, None]
-        out = (a * (1 - wxx) + b * wxx) * (1 - wyy) + (c * (1 - wxx) + d * wxx) * wyy
+        if masked:
+            # drop invalid taps, renormalize over the remaining weight
+            # (GWKBilinearResample4Sample accumulator/divisor)
+            num = 0.0
+            den = 0.0
+            for t, ww_ in ((a, (1 - wxx) * (1 - wyy)), (b, wxx * (1 - wyy)),
+                           (c, (1 - wxx) * wyy), (d, wxx * wyy)):
+                v = ~np.isnan(t)
+                num = num + np.where(v, t, 0.0) * ww_
+                den = den + v * ww_
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(den > 0, num / np.where(den == 0, 1.0, den),
+                               np.nan)
+        else:
+            out = ((a * (1 - wxx) + b * wxx) * (1 - wyy)
+                   + (c * (1 - wxx) + d * wxx) * wyy)
         ok_x = (fx >= 0) & (fx <= w)
         ok_y = (fy >= 0) & (fy <= h)
         mask = np.outer(ok_y, ok_x)
@@ -389,9 +540,24 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         from .resample import _KERNELS
 
         kernel, radius = _KERNELS[method]
-        out = _convolve_irregular(np.asarray(arr, np.float64), fy - 0.5, 0,
-                                  kernel, radius)
-        out = _convolve_irregular(out, fx - 0.5, 1, kernel, radius)
+        if masked:
+            # numerator/denominator pair: because the 2-D weight is a
+            # product wx*wy, convolving value*valid and valid separately
+            # then dividing reproduces the exact 2-D masked
+            # renormalization (GWKResample with masks) in two 1-D passes
+            valid = (~np.isnan(arrf)).astype(np.float64)
+            num = _convolve_irregular(np.nan_to_num(arrf), fy - 0.5, 0,
+                                      kernel, radius)
+            num = _convolve_irregular(num, fx - 0.5, 1, kernel, radius)
+            den = _convolve_irregular(valid, fy - 0.5, 0, kernel, radius)
+            den = _convolve_irregular(den, fx - 0.5, 1, kernel, radius)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(den > 1e-10,
+                               num / np.where(den == 0, 1.0, den), np.nan)
+        else:
+            out = _convolve_irregular(np.asarray(arr, np.float64), fy - 0.5,
+                                      0, kernel, radius)
+            out = _convolve_irregular(out, fx - 0.5, 1, kernel, radius)
         ok_x = (fx >= 0) & (fx <= w)
         ok_y = (fy >= 0) & (fy <= h)
         mask = np.outer(ok_y, ok_x)
@@ -405,7 +571,8 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         ey = (my_e - src_gt[3]) / src_gt[5]
         x0, x1 = _box_bounds(ex[:-1], ex[1:], w)
         y0, y1 = _box_bounds(ey[:-1], ey[1:], h)
-        out = _warp_box_stat(arr, x0[None, :], x1[None, :],
+        out = _warp_box_stat(arrf if masked else arr,
+                             x0[None, :], x1[None, :],
                              y0[:, None], y1[:, None], method)
         ok_x = (fx >= 0) & (fx <= w)
         ok_y = (fy >= 0) & (fy <= h)
@@ -413,13 +580,6 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
     else:
         raise ValueError(method)
 
-    if arr.ndim == 3:
-        out = np.where(mask[:, :, None], out, float(fill))
-    else:
-        out = np.where(mask, out, float(fill))
-    if np.issubdtype(arr.dtype, np.integer):
-        info = np.iinfo(arr.dtype)
-        out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(arr.dtype)
-    else:
-        out = out.astype(arr.dtype)
+    out = _finalize_warp(out, mask, arr.dtype, arr.ndim, fill,
+                         masked, src_nodata, dst_nodata)
     return out, dst_gt

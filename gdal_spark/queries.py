@@ -2049,6 +2049,99 @@ def warp_nearest_checksum_q(spark, sf_dir):
     return warp_to_wgs84(imgs, "nearest").select("image_id", "cs1")
 
 
+# gdalwarp -srcnodata value oracle: a 3-px collar painted with 201 (a
+# value the fixture gradient never produces in ALL THREE bands at once,
+# so the collar IS the unified-nodata set exactly) must propagate to
+# dst_nodata under nearest sampling, and out-of-bounds destinations get
+# dst_nodata instead of the unmasked fill — the whole masked chain
+# (alg/gdalwarpkernel.cpp:614) replays per destination pixel in SQL.
+_WARP_ND_SQL = _WARP_CS_SQL.replace(
+    """    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (ix + iy * w) % 256 ELSE 0 END AS v""",
+    """    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (CASE WHEN ix < 3 OR iy < 3 OR ix >= w - 3 OR iy >= h - 3
+                    THEN 201 ELSE (ix + iy * w) % 256 END)
+         ELSE 201 END AS v""",
+)
+assert _WARP_ND_SQL != _WARP_CS_SQL
+
+
+@q("warp_nodata_checksum", _WARP_ND_SQL)
+def warp_nodata_checksum_q(spark, sf_dir):
+    """gdalwarp -srcnodata masking VALUE-gated end to end
+    (alg/gdalwarpkernel.cpp:614 "Masking Semantics",
+    apps/gdalwarp_lib.cpp -srcnodata/-dstnodata): each image gets a 3-px
+    nodata collar, the masked nearest warp must emit dst_nodata wherever
+    the sampled source pixel is invalid or the destination falls outside
+    the source, and DuckDB replays the masked chain per pixel."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    return warp_to_wgs84(imgs, "nearest", src_nodata=201,
+                         collar_px=3).select("image_id", "cs1")
+
+
+# gdalwarp -cutline value oracle: a diamond cutline centered on each
+# image (radius min(w,h)/2 - 3.3 px — fractional so no pixel center ever
+# sits exactly on an edge, making scanline even-odd fill == the
+# |dx|+|dy| <= R center test) masks the source; nearest-warped
+# destinations sampling outside it get dst_nodata 201.  The whole masked
+# chain replays per destination pixel in SQL.
+_WARP_CUT_SQL = _WARP_CS_SQL.replace(
+    """    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (ix + iy * w) % 256 ELSE 0 END AS v""",
+    """    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+          AND abs(ix + 0.5 - w / 2.0) + abs(iy + 0.5 - h / 2.0)
+              <= least(w, h) / 2.0 - 3.3
+         THEN (ix + iy * w) % 256 ELSE 201 END AS v""",
+)
+assert _WARP_CUT_SQL != _WARP_CS_SQL
+
+
+@q("warp_cutline_checksum", _WARP_CUT_SQL)
+def warp_cutline_checksum_q(spark, sf_dir):
+    """gdalwarp -cutline VALUE-gated end to end
+    (apps/gdalwarp_lib.cpp:5236: cutline transformed to source pixel
+    coords and rasterized into the validity mask): a per-image diamond
+    WKB cutline column drives the production operator path
+    (warp_to_wgs84 cutline_col), and DuckDB replays the masked nearest
+    chain with the closed-form diamond interior test."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from .fixtures.images import images_df
+    from .oracle.geom import to_wkb
+    from .oracle.tiling import geotransform_3857
+    from .operators.rasterops import warp_to_wgs84
+
+    @F.pandas_udf(BinaryType())
+    def diamond_wkb(lon: pd.Series, lat: pd.Series, gsd: pd.Series,
+                    w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for lo, la, g, ww, hh in zip(lon, lat, gsd, w, h):
+            gt = geotransform_3857(float(lo), float(la), int(ww), int(hh),
+                                   float(g))
+            cx, cy = ww / 2.0, hh / 2.0
+            R = min(ww, hh) / 2.0 - 3.3
+            ring = [(gt[0] + px * gt[1], gt[3] + py * gt[5])
+                    for px, py in ((cx, cy - R), (cx + R, cy), (cx, cy + R),
+                                   (cx - R, cy), (cx, cy - R))]
+            out.append(to_wkb("polygon", [ring]))
+        return pd.Series(out)
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png"
+    ).withColumn(
+        "cutline_wkb",
+        diamond_wkb(F.col("lon"), F.col("lat"), F.col("gsd_m"),
+                    F.col("w"), F.col("h")),
+    )
+    return warp_to_wgs84(imgs, "nearest", dst_nodata=201,
+                         cutline_col="cutline_wkb").select("image_id", "cs1")
+
+
 # Overview average value oracle: the uint8 average_2x2 path is exact
 # integer math ((sum + 2) >> 2, gcore/overview.cpp:1980 semantics), so
 # the downsampled band and its checksum replay exactly.

@@ -470,3 +470,176 @@ class TestContourOperator:
         got = fill_nodata_stats(imgs).toPandas()
         assert (got["n_filled"] >= 0).all()
         assert (got["n_filled"] > 0).any()
+
+
+class TestWarpNodataMasking:
+    """Validity-mask semantics (alg/gdalwarpkernel.cpp:614): nodata pixels
+    never contribute to any kernel, renormalization keeps constants exact,
+    and no-valid-contributor destinations get dst_nodata."""
+
+    ND, DND = 7, 201
+
+    def _const_with_collar(self, n=48, c=6, val=100):
+        a = np.full((n, n), val, np.uint8)
+        a[:c, :] = self.ND
+        a[-c:, :] = self.ND
+        a[:, :c] = self.ND
+        a[:, -c:] = self.ND
+        return a
+
+    def test_point_kernels_constant_never_bleeds(self):
+        """Renormalized point kernels on a constant-valued interior must
+        emit either the constant or dst_nodata — any intermediate value
+        means an invalid tap leaked into the weights."""
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        a = self._const_with_collar()
+        gt = geotransform_3857(5.0, 45.0, 48, 48, 100.0)
+        for m in ("nearest", "bilinear", "cubic", "cubicspline", "lanczos"):
+            out, _ = warp_3857_to_4326(a, gt, m, src_nodata=self.ND,
+                                       dst_nodata=self.DND)
+            vals = set(np.unique(out))
+            assert vals <= {100, self.DND}, (m, vals)
+            assert 100 in vals and self.DND in vals, m
+
+    def test_box_stats_constant_never_bleeds(self):
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        a = self._const_with_collar()
+        gt = geotransform_3857(5.0, 45.0, 48, 48, 100.0)
+        for m in ("average", "mode", "min", "max", "med", "q1", "q3", "rms"):
+            out, _ = warp_3857_to_4326(a, gt, m, src_nodata=self.ND,
+                                       dst_nodata=self.DND)
+            vals = set(np.unique(out))
+            assert vals <= {100, self.DND}, (m, vals)
+
+    def test_sum_and_all_invalid(self):
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        gt = geotransform_3857(5.0, 45.0, 32, 32, 100.0)
+        allbad = np.full((32, 32), self.ND, np.uint8)
+        for m in ("nearest", "bilinear", "cubic", "average", "sum", "mode",
+                  "med"):
+            out, _ = warp_3857_to_4326(allbad, gt, m, src_nodata=self.ND,
+                                       dst_nodata=self.DND)
+            assert (out == self.DND).all(), m
+
+    def test_nearest_matches_warped_validity(self):
+        """Masked nearest == unmasked nearest where the warped validity
+        raster says valid, dst_nodata elsewhere."""
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 255, (40, 40), dtype=np.uint8)
+        a[a == self.ND] = self.ND + 1  # interior never nodata
+        a[:4, :] = self.ND
+        a[:, -5:] = self.ND
+        gt = geotransform_3857(5.0, 45.0, 40, 40, 100.0)
+        masked, _ = warp_3857_to_4326(a, gt, "nearest", src_nodata=self.ND,
+                                      dst_nodata=self.DND)
+        raw, _ = warp_3857_to_4326(a, gt, "nearest", fill=self.DND)
+        validity = (a != self.ND).astype(np.uint8)
+        wv, _ = warp_3857_to_4326(validity, gt, "nearest", fill=0)
+        exp = np.where(wv == 1, raw, self.DND)
+        assert (masked == exp).all()
+
+    def test_unified_src_nodata_multiband(self):
+        """UNIFIED_SRC_NODATA: a pixel is invalid only when ALL bands
+        equal the nodata value (the gdalwarp utility default)."""
+        from gdal_spark.oracle.warp import masked_float
+
+        a = np.zeros((4, 4, 3), np.uint8)
+        a[..., 0] = 50
+        a[1, 1] = self.ND        # all three bands -> invalid
+        a[2, 2, 0] = self.ND     # one band only -> still valid
+        f = masked_float(a, self.ND)
+        assert np.isnan(f[1, 1]).all()
+        assert not np.isnan(f[2, 2]).any()
+
+    def test_proj_warp_nodata(self):
+        """The non-separable (UTM) warp honors masking in all kernel
+        families."""
+        from gdal_spark.oracle.warp import warp_utm_to_4326
+
+        a = self._const_with_collar(n=40, c=5)
+        gt = [500000.0 - 20 * 100.0, 100.0, 0.0,
+              5000000.0 + 20 * 100.0, 0.0, -100.0]
+        for m in ("nearest", "bilinear", "cubic", "average", "med"):
+            out, _ = warp_utm_to_4326(a, gt, 31, m, src_nodata=self.ND,
+                                      dst_nodata=self.DND)
+            vals = set(np.unique(out))
+            assert vals <= {100, self.DND}, (m, vals)
+
+    def test_dst_nodata_defaults_to_src(self):
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        allbad = np.full((20, 20), self.ND, np.uint8)
+        gt = geotransform_3857(5.0, 45.0, 20, 20, 100.0)
+        out, _ = warp_3857_to_4326(allbad, gt, "nearest",
+                                   src_nodata=self.ND)
+        assert (out == self.ND).all()
+
+
+class TestWarpCutline:
+    """gdalwarp -cutline: the polygon rasterizes into the source validity
+    mask (apps/gdalwarp_lib.cpp:5236) and composes with nodata."""
+
+    def _diamond(self, gt, w, h, shrink=3.3):
+        cx, cy = w / 2.0, h / 2.0
+        R = min(w, h) / 2.0 - shrink
+        return [[(gt[0] + px * gt[1], gt[3] + py * gt[5])
+                 for px, py in ((cx, cy - R), (cx + R, cy), (cx, cy + R),
+                                (cx - R, cy), (cx, cy - R))]], R
+
+    def test_diamond_covered_count_closed_form(self):
+        """The rasterized diamond interior pixel count matches the
+        closed-form |dx|+|dy| <= R center test exactly."""
+        from gdal_spark.oracle.rasterize import rasterize_rings
+
+        for w, h in ((20, 20), (64, 64), (40, 24)):
+            gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+            rings, R = self._diamond(gt, w, h)
+            # georef y = -py under this gt
+            rings = [[(x, y) for x, y in rings[0]]]
+            m = rasterize_rings(rings, gt, w, h, burn=1.0) > 0
+            xs = np.arange(w)[None, :] + 0.5
+            ys = np.arange(h)[:, None] + 0.5
+            exp = (np.abs(xs - w / 2.0) + np.abs(ys - h / 2.0)) <= R
+            assert (m == exp).all(), (w, h)
+            assert int(m.sum()) == int(exp.sum()) > 0
+
+    def test_cutline_masks_warp(self):
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        a = np.full((48, 48), 100, np.uint8)
+        gt = geotransform_3857(5.0, 45.0, 48, 48, 100.0)
+        rings, _ = self._diamond(gt, 48, 48)
+        for m in ("nearest", "bilinear", "cubic", "average", "med"):
+            out, _ = warp_3857_to_4326(a, gt, m, dst_nodata=201,
+                                       cutline=rings)
+            vals = set(np.unique(out))
+            assert vals <= {100, 201}, (m, vals)
+            assert 100 in vals and 201 in vals, m
+
+    def test_cutline_composes_with_nodata(self):
+        """Cutline AND nodata: pixels outside the cutline or equal to the
+        nodata value are both excluded."""
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.oracle.warp import warp_3857_to_4326
+
+        a = np.full((48, 48), 100, np.uint8)
+        a[20:28, 20:28] = 7  # nodata hole inside the diamond
+        gt = geotransform_3857(5.0, 45.0, 48, 48, 100.0)
+        rings, _ = self._diamond(gt, 48, 48)
+        out, _ = warp_3857_to_4326(a, gt, "bilinear", src_nodata=7,
+                                   dst_nodata=201, cutline=rings)
+        vals = set(np.unique(out))
+        assert vals <= {100, 201}
+        # the hole region maps to dst_nodata, not 7
+        assert 7 not in vals
