@@ -1047,3 +1047,53 @@ def mosaic_tiles(images: DataFrame, zoom: int | None = None,
             )
 
     return gathered.mapInPandas(merge, schema=TILE_SCHEMA)
+
+
+def band_histogram(images: DataFrame, dmin: float = -0.5, dmax: float = 255.5,
+                   n_buckets: int = 256, band: int = 0,
+                   include_out_of_range: bool = False,
+                   nodata: float | None = None,
+                   merge: bool = False) -> DataFrame:
+    """GetHistogram (gcore/gdalrasterband.cpp:4224): bucket index is
+    ``floor((v - min) * nBuckets / (max - min))``; values outside the range
+    are dropped unless ``include_out_of_range``, which clamps them into the
+    edge buckets (:4510-4520); nodata pixels are always skipped (:4504).
+    The uint8/256-bucket/scale-1 fast path (:4613) falls out of the same
+    formula, so one kernel covers both.
+
+    Scale shape: per-image partials are a single ``n_buckets``-long array
+    computed inside the decode UDF (no pixel explosion); the corpus-wide
+    histogram is posexplode + groupBy(bucket).sum — map-side partial agg,
+    one shuffle of n_buckets rows per task.
+    """
+    scale = n_buckets / (dmax - dmin)
+    if not (scale > 0 and np.isfinite(scale)):
+        raise ValueError("invalid histogram range")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                v = a[..., min(band, a.shape[2] - 1)].astype(np.float64).ravel()
+                if nodata is not None:
+                    v = v[v != nodata]
+                idx = np.floor((v - dmin) * scale)
+                if include_out_of_range:
+                    idx = np.clip(idx, 0, n_buckets - 1)
+                else:
+                    idx = idx[(idx >= 0) & (idx < n_buckets)]
+                hist = np.bincount(idx.astype(np.int64), minlength=n_buckets)
+                out.append(dict(image_id=r.image_id,
+                                hist=[int(x) for x in hist]))
+            yield pd.DataFrame(out, columns=["image_id", "hist"])
+
+    partials = images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, hist array<long>"
+    )
+    rows = partials.select(
+        "image_id", F.posexplode("hist").alias("bucket", "cnt")
+    )
+    if merge:
+        return rows.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    return rows

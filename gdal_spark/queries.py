@@ -802,6 +802,75 @@ def decode_stats_png_q(spark, sf_dir):
     )
 
 
+# GetHistogram bucket rule (gcore/gdalrasterband.cpp:4510): bucket =
+# floor((v - min) * nBuckets / (max - min)).  Band 1 is the (x+y*w)%256
+# cycle, so the corpus-merged histogram has a closed form: n = w*h pixels
+# = c full 0..255 cycles plus a partial run of r, value v appears
+# c + (v < r) times; the 64-bucket [0,256) spec bins 4 consecutive values
+# per bucket -> 4c + clamp(r - 4b, 0, 4).
+_BAND_HISTOGRAM_SQL = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+sums AS (
+  SELECT (CAST(w AS BIGINT) * h) // 256 AS c,
+         (CAST(w AS BIGINT) * h) % 256 AS r
+  FROM meta
+),
+b256 AS (
+  SELECT 'b256' AS spec, CAST(b.bucket AS INT) AS bucket,
+         CAST(SUM(s.c + CASE WHEN b.bucket < s.r THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt
+  FROM sums s
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+  GROUP BY b.bucket
+),
+b64 AS (
+  SELECT 'b64' AS spec, CAST(b.bucket AS INT) AS bucket,
+         CAST(SUM(4 * s.c + LEAST(GREATEST(s.r - 4 * b.bucket, 0), 4))
+              AS BIGINT) AS cnt
+  FROM sums s
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b
+  GROUP BY b.bucket
+)
+SELECT * FROM b256 UNION ALL SELECT * FROM b64
+"""
+
+
+@q("band_histogram", _BAND_HISTOGRAM_SQL)
+def band_histogram_q(spark, sf_dir):
+    """GetHistogram (gcore/gdalrasterband.cpp:4224) corpus-merged, two
+    specs in one gate: the uint8 default (256 buckets, [-0.5, 255.5),
+    scale 1 — the :4613 fast path) and a generic 64-bucket [0, 256) spec
+    (the :4510 general bucket rule); DuckDB replays both from the
+    closed-form pixel cycle."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import band_histogram
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).filter(
+        F.col("fmt") == "png"
+    )
+    b256 = band_histogram(imgs, merge=True).withColumn("spec", F.lit("b256"))
+    b64 = band_histogram(
+        imgs, dmin=0.0, dmax=256.0, n_buckets=64, merge=True
+    ).withColumn("spec", F.lit("b64"))
+    return b256.unionByName(b64).select(
+        "spec",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 # Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
 # pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
 # arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the

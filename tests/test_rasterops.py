@@ -491,3 +491,57 @@ class TestRound2Extras:
             assert min(same, flip) < 1e-6
         assert explained[0] > explained[1] > 0
         assert sum(explained) <= 1.0 + 1e-9
+
+
+class TestBandHistogram:
+    """GetHistogram semantics (gcore/gdalrasterband.cpp:4224,4510): generic
+    bucket rule, out-of-range clamping, nodata skip — vs a numpy twin."""
+
+    def _twin(self, a, dmin, dmax, nb, oob=False, nodata=None):
+        v = a[..., 0].astype(np.float64).ravel()
+        if nodata is not None:
+            v = v[v != nodata]
+        idx = np.floor((v - dmin) * nb / (dmax - dmin))
+        if oob:
+            idx = np.clip(idx, 0, nb - 1)
+        else:
+            idx = idx[(idx >= 0) & (idx < nb)]
+        return np.bincount(idx.astype(np.int64), minlength=nb)
+
+    @pytest.mark.parametrize(
+        "dmin,dmax,nb,oob,nodata",
+        [
+            (-0.5, 255.5, 256, False, None),   # uint8 fast path (:4613)
+            (0.0, 256.0, 64, False, None),     # generic scale
+            (32.0, 96.0, 16, False, None),     # sub-range, drop out-of-range
+            (32.0, 96.0, 16, True, None),      # sub-range, clamp to edges
+            (-0.5, 255.5, 256, False, 0.0),    # nodata skipped (:4504)
+        ],
+    )
+    def test_matches_numpy_twin(self, spark, imgs, imgs_pdf,
+                                dmin, dmax, nb, oob, nodata):
+        from gdal_spark.operators.rasterops import band_histogram
+
+        got = (
+            band_histogram(imgs, dmin=dmin, dmax=dmax, n_buckets=nb,
+                           include_out_of_range=oob, nodata=nodata,
+                           merge=True)
+            .toPandas().set_index("bucket")["cnt"].sort_index()
+        )
+        want = np.zeros(nb, dtype=np.int64)
+        for r in imgs_pdf.itertuples(index=False):
+            want += self._twin(decode(r.bytes), dmin, dmax, nb, oob, nodata)
+        assert got.index.tolist() == list(range(nb))
+        np.testing.assert_array_equal(got.to_numpy(), want)
+
+    def test_per_image_rows(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import band_histogram
+
+        got = band_histogram(imgs, n_buckets=16, dmin=0.0, dmax=256.0)
+        pdf = got.toPandas()
+        assert set(pdf["image_id"]) == set(imgs_pdf["image_id"])
+        assert (pdf.groupby("image_id")["bucket"].count() == 16).all()
+        n_pix = {r.image_id: int(r.w) * int(r.h)
+                 for r in imgs_pdf.itertuples(index=False)}
+        for iid, g in pdf.groupby("image_id"):
+            assert g["cnt"].sum() == n_pix[iid]
