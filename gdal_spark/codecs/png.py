@@ -55,6 +55,48 @@ def encode_png(arr: np.ndarray) -> bytes:
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_png_paletted(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode (H, W) uint8 index raster + (n<=256, 3) uint8 palette ->
+    paletted PNG (color type 3 with a PLTE chunk, RFC 2083 §4.1.2) — the
+    on-disk shape of the reference's paletted rasters
+    (/root/reference/frmts/png/pngdataset.cpp writes PLTE from the band's
+    GDALColorTable)."""
+    a = np.ascontiguousarray(indices)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("encode_png_paletted: (H, W) uint8 indices only")
+    if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+        raise ValueError("encode_png_paletted: palette must be (n<=256, 3)")
+    if a.size and int(a.max()) >= pal.shape[0]:
+        raise ValueError("encode_png_paletted: index beyond palette")
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter None: index values are categorical, Sub gains nothing
+    raw[:, 1:] = a
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+
+def png_palette(data: bytes) -> np.ndarray | None:
+    """Return the PLTE color table as (n, 3) uint8, or None if absent —
+    GetColorTable (gcore/gdalrasterband.cpp) over the PNG container."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("png: bad signature")
+    pos = 8
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"PLTE":
+            pal = np.frombuffer(data[pos + 8 : pos + 8 + length], dtype=np.uint8)
+            return pal.reshape(-1, 3).copy()
+        if tag in (b"IDAT", b"IEND"):
+            return None
+        pos += 12 + length
+    return None
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters; raw is (h, 1+stride) uint8."""
     filters = raw[:, 0]
@@ -125,15 +167,19 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+            if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace != 0:
                 raise ValueError(
-                    "png: only 8-bit gray/GA/RGB/RGBA non-interlaced supported"
+                    "png: only 8-bit gray/GA/paletted/RGB/RGBA non-interlaced"
+                    " supported"
                 )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    # color type 3 (paletted): the band holds palette INDICES, like the
+    # reference's RasterIO on a paletted band; expansion via the color
+    # table is an explicit translate -expand step, not a decode side effect
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, stride + 1)
     out = _unfilter(raw, h, stride, channels)

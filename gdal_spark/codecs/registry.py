@@ -65,3 +65,13 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
 
 def is_lossless(fmt: str) -> bool:
     return fmt == "png"
+
+
+def palette(data: bytes) -> np.ndarray | None:
+    """Color table of a paletted payload ((n, 3) uint8) or None — the
+    GetColorTable step of the identify/open probe."""
+    if bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
+        from .png import png_palette
+
+        return png_palette(bytes(data))
+    return None

@@ -160,3 +160,47 @@ def write_images_parquet(spark, path: str, n: int, partitions: int | None = None
     """Materialize the synthetic table once (bench/test cache)."""
     images_df(spark, n, partitions).write.mode("overwrite").parquet(path)
     return path
+
+
+# Deterministic PCT for the paletted fixture family: three coprime affine
+# cycles over a 251-entry (prime) table — every channel is a closed-form
+# function of the palette index, so -expand output checksums replay in SQL.
+PALETTE_N = 251
+
+
+def palette_table() -> np.ndarray:
+    j = np.arange(PALETTE_N, dtype=np.int64)
+    return np.stack(
+        [(7 * j + 1) % 256, (13 * j + 5) % 256, (29 * j + 11) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def paletted_images_df(spark, n: int, partitions: int | None = None):
+    """Distributed paletted-PNG fixtures (color type 3 + PLTE): index band
+    is ``(flat*3) % 251`` over the W/H size cycle — the paletted analogue of
+    the reference's paletted test rasters (frmts/png paletted goldens)."""
+    from ..codecs.png import encode_png_paletted
+    from ..runtime import ensure_runtime
+
+    ensure_runtime(spark)
+    if partitions is None:
+        partitions = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    pal = palette_table()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w = W_CYCLE[int(i) % 5]
+                h = H_CYCLE[int(i) % 5]
+                flat = np.arange(w * h, dtype=np.int64)
+                idx = ((flat * 3) % PALETTE_N).astype(np.uint8).reshape(h, w)
+                rows.append(
+                    dict(image_id=f"pal{int(i):08d}",
+                         bytes=bytearray(encode_png_paletted(idx, pal)))
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema="image_id string, bytes binary"
+    )

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.registry import decode, encode
+from ..codecs.registry import decode, encode, palette
 from ..fixtures.tile_grid import wkb_polygon
 from ..oracle import dem as DEM
 from ..oracle import mercator as M
@@ -72,8 +72,24 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
                     a = a[:, :, [b - 1 for b in bands]]
                     if a.shape[2] == 1:
                         a = a[:, :, 0]
-                if expand == "rgb" and a.ndim == 2:
-                    a = np.stack([a, a, a], axis=2)
+                if expand in ("rgb", "rgba") and a.ndim == 2:
+                    # -expand rgb|rgba (gdal_translate_lib.cpp): a 1-band
+                    # paletted raster expands through its color table; a
+                    # plain gray band replicates (grayscale identity PCT)
+                    pal = palette(bytes(r.bytes))
+                    if pal is not None:
+                        a = pal[a]
+                    else:
+                        a = np.stack([a, a, a], axis=2)
+                    if expand == "rgba":
+                        alpha = np.full(a.shape[:2] + (1,), 255, np.uint8)
+                        a = np.concatenate([a, alpha], axis=2)
+                elif expand == "gray" and a.ndim == 2:
+                    # gray expansion of a paletted band takes the table's
+                    # c1 component (reference requires a gray table)
+                    pal = palette(bytes(r.bytes))
+                    if pal is not None:
+                        a = pal[a][:, :, 0]
                 elif expand == "gray" and a.ndim == 3:
                     a = a.mean(axis=2)
                     a = np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)

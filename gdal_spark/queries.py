@@ -871,6 +871,94 @@ def band_histogram_q(spark, sf_dir):
     )
 
 
+# translate -expand rgb|rgba|gray over a REAL paletted PNG (color type 3 +
+# PLTE, frmts/png + gdal_translate_lib.cpp -expand): index band is
+# (flat*3) % 251, palette channel c_k(j) are affine cycles, so every
+# expanded band value — and hence its GDALChecksumImage — replays in SQL.
+_EXPAND_PALETTE_SQL = f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 9)) AS a)
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+px AS (
+  SELECT m.i, CAST(k.a AS BIGINT) AS flat,
+         (CAST(k.a AS BIGINT) * 3) % 251 AS j
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+),
+bands AS (
+  SELECT p.i, p.flat, CAST(b.band AS INT) AS band,
+         CASE b.band WHEN 1 THEN (7 * p.j + 1) % 256
+                     WHEN 2 THEN (13 * p.j + 5) % 256
+                     WHEN 3 THEN (29 * p.j + 11) % 256
+                     ELSE 255 END AS v
+  FROM px p, (SELECT unnest(generate_series(1, 4)) AS band) b
+),
+cs_tab AS (
+  SELECT i, band,
+         CAST(SUM(v % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs
+  FROM bands
+  GROUP BY i, band
+)
+SELECT printf('pal%08d', i) AS image_id, 'rgb' AS mode, band, cs
+FROM cs_tab WHERE band <= 3
+UNION ALL
+SELECT printf('pal%08d', i), 'rgba', band, cs FROM cs_tab
+UNION ALL
+SELECT printf('pal%08d', i), 'gray', 1, cs FROM cs_tab WHERE band = 1
+"""
+
+
+@q("translate_expand_palette", _EXPAND_PALETTE_SQL)
+def translate_expand_palette_q(spark, sf_dir):
+    """-expand through a real color table (gdal_translate_lib.cpp -expand
+    over frmts/png PLTE): paletted fixtures expand to rgb / rgba / gray and
+    every output band checksum is value-gated against the closed-form
+    palette cycles."""
+    from .codecs.registry import decode as _dec
+    from .fixtures.images import paletted_images_df
+    from .operators.rasterops import translate
+    from .oracle.checksum import checksum_image
+
+    imgs = paletted_images_df(spark, 10)
+
+    def cs_rows(mode):
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    a = _dec(r.bytes)
+                    if a.ndim == 2:
+                        a = a[:, :, None]
+                    for b in range(a.shape[2]):
+                        out.append(dict(
+                            image_id=r.image_id, mode=mode, band=b + 1,
+                            cs=checksum_image(a[:, :, b])[0],
+                        ))
+                yield pd.DataFrame(out,
+                                   columns=["image_id", "mode", "band", "cs"])
+        return gen
+
+    parts = [
+        translate(imgs, expand=m).select("image_id", "bytes").mapInPandas(
+            cs_rows(m), schema="image_id string, mode string, band int, cs long"
+        )
+        for m in ("rgb", "rgba", "gray")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
 # pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
 # arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the

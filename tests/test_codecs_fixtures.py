@@ -124,3 +124,68 @@ class TestFixtures:
         b = caption_points_pdf(50)
         assert a.equals(b)
         assert (a["cell_r7"].to_numpy() >> 58 == 7).all()
+
+
+class TestPalettedPng:
+    """Paletted PNG (color type 3 + PLTE) and -expand through the color
+    table (frmts/png + gdal_translate_lib.cpp -expand)."""
+
+    def test_roundtrip_indices_and_palette(self):
+        import numpy as np
+
+        from gdal_spark.codecs.png import (
+            decode_png, encode_png_paletted, png_palette,
+        )
+        from gdal_spark.codecs.registry import decode, palette
+
+        rng_idx = (np.arange(40 * 30, dtype=np.int64) * 3 % 251
+                   ).astype(np.uint8).reshape(30, 40)
+        pal = np.stack([(7 * np.arange(251) + 1) % 256,
+                        (13 * np.arange(251) + 5) % 256,
+                        (29 * np.arange(251) + 11) % 256], 1).astype(np.uint8)
+        data = encode_png_paletted(rng_idx, pal)
+        np.testing.assert_array_equal(decode_png(data), rng_idx)
+        np.testing.assert_array_equal(png_palette(data), pal)
+        # registry dispatch: decode -> indices, palette -> PLTE
+        np.testing.assert_array_equal(decode(data), rng_idx)
+        np.testing.assert_array_equal(palette(data), pal)
+
+    def test_palette_none_for_gray(self):
+        import numpy as np
+
+        from gdal_spark.codecs.png import encode_png, png_palette
+        from gdal_spark.codecs.registry import palette
+
+        data = encode_png(np.zeros((4, 4), np.uint8))
+        assert png_palette(data) is None
+        assert palette(b"FAKJ1234") is None
+
+    def test_expand_rgb_rgba_gray(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode
+        from gdal_spark.fixtures.images import (
+            palette_table, paletted_images_df,
+        )
+        from gdal_spark.operators.rasterops import translate
+
+        imgs = paletted_images_df(spark, 3)
+        pal = palette_table()
+        for mode, nb in (("rgb", 3), ("rgba", 4), ("gray", 1)):
+            rows = translate(imgs, expand=mode).select(
+                "image_id", "bytes").toPandas()
+            assert len(rows) == 3
+            for r in rows.itertuples(index=False):
+                a = decode(r.bytes)
+                i = int(r.image_id[3:])
+                from gdal_spark.fixtures.images import H_CYCLE, W_CYCLE
+                w, h = W_CYCLE[i % 5], H_CYCLE[i % 5]
+                flat = np.arange(w * h, dtype=np.int64)
+                idx = ((flat * 3) % 251).reshape(h, w)
+                want = pal[idx]
+                if mode == "rgba":
+                    want = np.concatenate(
+                        [want, np.full((h, w, 1), 255, np.uint8)], axis=2)
+                elif mode == "gray":
+                    want = want[:, :, 0]
+                np.testing.assert_array_equal(a, want)
