@@ -1021,22 +1021,24 @@ def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
     )
 
 
-def mosaic_tiles(images: DataFrame, zoom: int | None = None,
-                 reducer: str = "mean") -> DataFrame:
-    """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp): render every
-    image's base tiles at a fixed zoom, then merge tiles sharing (z, x, y)
-    across images — 'mean' averages overlaps, 'last' takes the highest
-    image_id (VRT ordering semantics: later sources on top)."""
-    from .tiling import TILE_SCHEMA, _decode_tile, _tile_row, render_base_tiles
+def mosaic_merge(tile_rows: DataFrame, reducer: str = "last",
+                 src_nodata: float | None = None,
+                 dst_nodata: float = 0.0) -> DataFrame:
+    """Merge tile rows sharing (z, x, y) across sources with gdalbuildvrt
+    placement rules (apps/gdalbuildvrt_lib.cpp): sources compose in input
+    order with LATER SOURCES ON TOP ('last'), per pixel — a pixel equal to
+    src_nodata is transparent and exposes the source below; dst_nodata
+    fills where no valid source contributes.  'mean' (engine extension)
+    averages the valid sources (round half up).
 
-    z = zoom if zoom is not None else 8
-    base = render_base_tiles(images, zoom=z, codec="raw")
+    Input: (image_id, z, x, y, tile) with raw-codec tiles; source order is
+    ascending image_id.  Children are gathered JVM-side (sort_array of
+    collect_list structs) and merged in whole Arrow batches — one shuffle
+    keyed by tile, the map-side-combine shape.
+    """
+    from .tiling import TILE_SCHEMA, _decode_tile, _tile_row
 
-    # children gathered JVM-side (collect_list of per-image structs), merged
-    # in whole Arrow batches — applyInPandas on tiny (z,x,y) groups costs a
-    # pandas frame + UDF call per tile (~1 ms each), the trap the pyramid
-    # reducer already engineered around (tiling._reduce_level)
-    gathered = base.groupBy("z", "x", "y").agg(
+    gathered = tile_rows.groupBy("z", "x", "y").agg(
         F.sort_array(
             F.collect_list(F.struct("image_id", "tile"))
         ).alias("children")
@@ -1051,11 +1053,28 @@ def mosaic_tiles(images: DataFrame, zoom: int | None = None,
                     for c in r.children  # sort_array ordered by image_id
                 ]
                 if reducer == "mean":
-                    out = np.clip(
-                        np.floor(np.mean(arrs, axis=0) + 0.5), 0, 255
-                    ).astype(np.uint8)
-                else:  # last: highest image_id on top (VRT ordering)
+                    if src_nodata is None:
+                        out = np.clip(
+                            np.floor(np.mean(arrs, axis=0) + 0.5), 0, 255
+                        ).astype(np.uint8)
+                    else:
+                        stack = np.stack(arrs)
+                        valid = stack != src_nodata
+                        cnt = valid.sum(axis=0)
+                        tot = np.where(valid, stack, 0.0).sum(axis=0)
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            mean = np.floor(tot / np.maximum(cnt, 1) + 0.5)
+                        out = np.where(cnt > 0, mean, dst_nodata)
+                        out = np.clip(out, 0, 255).astype(np.uint8)
+                elif src_nodata is None:
+                    # no mask: the last source fully covers (VRT ordering)
                     out = arrs[-1].astype(np.uint8)
+                else:
+                    # per-pixel last-valid-wins, later sources on top
+                    out = np.full_like(arrs[0], dst_nodata)
+                    for a in arrs:
+                        out = np.where(a != src_nodata, a, out)
+                    out = out.astype(np.uint8)
                 rows.append(_tile_row("__mosaic__", r.z, r.x, r.y, out))
             yield pd.DataFrame(
                 rows,
@@ -1063,6 +1082,31 @@ def mosaic_tiles(images: DataFrame, zoom: int | None = None,
             )
 
     return gathered.mapInPandas(merge, schema=TILE_SCHEMA)
+
+
+def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
+    """gdalbuildvrt -separate (apps/gdalbuildvrt_lib.cpp): every source
+    becomes its own band of the mosaic, in input order — relationally, one
+    row per (z, x, y, band) with band = source rank.  Pure JVM (one window
+    rank over the tile key), no decode."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("z", "x", "y").orderBy("image_id")
+    return tile_rows.withColumn("band", F.row_number().over(w))
+
+
+def mosaic_tiles(images: DataFrame, zoom: int | None = None,
+                 reducer: str = "mean",
+                 src_nodata: float | None = None) -> DataFrame:
+    """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp): render every
+    image's base tiles at a fixed zoom, then merge tiles sharing (z, x, y)
+    with the placement rules of mosaic_merge ('last' = reference ordering
+    semantics, 'mean' = engine extension)."""
+    from .tiling import render_base_tiles
+
+    z = zoom if zoom is not None else 8
+    base = render_base_tiles(images, zoom=z, codec="raw")
+    return mosaic_merge(base, reducer=reducer, src_nodata=src_nodata)
 
 
 def band_histogram(images: DataFrame, dmin: float = -0.5, dmax: float = 255.5,

@@ -959,6 +959,101 @@ def translate_expand_palette_q(spark, sf_dir):
     return out
 
 
+# gdalbuildvrt placement rules (apps/gdalbuildvrt_lib.cpp): last-wins
+# compositing (later sources on top, srcnodata transparent, dstnodata
+# where nothing valid lands), mean-blend extension, and -separate band
+# stacking — over synthetic raw tiles whose per-source pixel values are
+# closed forms, so the merged checksums replay pixel-exactly in SQL.
+_MOSAIC_PLACEMENT_SQL = f"""
+WITH tiles AS (
+  SELECT CAST(a AS BIGINT) AS t, CAST(a % 2 AS INT) AS x,
+         CAST(a // 2 AS INT) AS y
+  FROM (SELECT unnest(generate_series(0, 3)) AS a)
+),
+px AS (
+  SELECT t.t, t.x, t.y, CAST(k.a AS BIGINT) AS flat
+  FROM tiles t, LATERAL (
+    SELECT unnest(generate_series(0, 65535)) AS a) k
+),
+vals AS (
+  SELECT t, x, y, flat,
+    CASE WHEN (flat + 0 + t) % 5 = 0 THEN 255
+         ELSE (flat * 3 + 11 * t) % 255 END AS v0,
+    CASE WHEN (flat + 1 + t) % 5 = 0 THEN 255
+         ELSE (flat * 4 + 11 * t) % 255 END AS v1,
+    CASE WHEN (flat + 2 + t) % 5 = 0 THEN 255
+         ELSE (flat * 5 + 11 * t) % 255 END AS v2
+  FROM px
+),
+merged AS (
+  SELECT x, y, flat, v0, v1, v2,
+    COALESCE(NULLIF(v2, 255), NULLIF(v1, 255), NULLIF(v0, 255), 255)
+      AS vlast,
+    CASE WHEN v0 = 255 AND v1 = 255 AND v2 = 255 THEN 255
+         ELSE CAST(FLOOR(
+           (CASE WHEN v0 = 255 THEN 0 ELSE v0 END
+            + CASE WHEN v1 = 255 THEN 0 ELSE v1 END
+            + CASE WHEN v2 = 255 THEN 0 ELSE v2 END) * 1.0
+           / (CAST(v0 <> 255 AS INT) + CAST(v1 <> 255 AS INT)
+              + CAST(v2 <> 255 AS INT)) + 0.5) AS BIGINT) END AS vmean
+  FROM vals
+)
+SELECT 'last' AS mode, x, y, 0 AS band,
+       CAST(SUM(vlast % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT)
+         AS cs
+FROM merged GROUP BY x, y
+UNION ALL
+SELECT 'mean', x, y, 0,
+       CAST(SUM(vmean % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT)
+FROM merged GROUP BY x, y
+UNION ALL
+SELECT 'separate', x, y, b.band,
+       CAST(SUM(CASE b.band WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v2 END
+                % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT)
+FROM merged, (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS band) b
+GROUP BY x, y, b.band
+"""
+
+
+@q("mosaic_placement", _MOSAIC_PLACEMENT_SQL)
+def mosaic_placement_q(spark, sf_dir):
+    """gdalbuildvrt placement value-gated: per-pixel last-wins with
+    srcnodata transparency (apps/gdalbuildvrt_lib.cpp source ordering),
+    the mean-blend extension, and -separate band stacking, each checksum
+    replayed from the closed-form source pixels."""
+    from .operators.rasterops import mosaic_merge, mosaic_separate
+    from .operators.tiling import TILE_SCHEMA, _tile_row
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                k, t = int(i) % 3, int(i) // 3
+                flat = np.arange(65536, dtype=np.int64)
+                v = np.where((flat + k + t) % 5 == 0, 255,
+                             (flat * (k + 3) + 11 * t) % 255)
+                rows.append(_tile_row(
+                    f"src{k}", 5, t % 2, t // 2,
+                    v.astype(np.uint8).reshape(256, 256), codec="raw"))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "z", "x", "y", "tile",
+                         "cs1", "cs2", "cs3"])
+
+    src = spark.range(0, 12, 1, 8).mapInPandas(gen, schema=TILE_SCHEMA)
+    out_cols = ["mode", "x", "y", "band", "cs"]
+    last = mosaic_merge(src, "last", src_nodata=255, dst_nodata=255).select(
+        F.lit("last").alias("mode"), "x", "y",
+        F.lit(0).alias("band"), F.col("cs1").alias("cs"))
+    mean = mosaic_merge(src, "mean", src_nodata=255, dst_nodata=255).select(
+        F.lit("mean").alias("mode"), "x", "y",
+        F.lit(0).alias("band"), F.col("cs1").alias("cs"))
+    sep = mosaic_separate(src).select(
+        F.lit("separate").alias("mode"), "x", "y", "band",
+        F.col("cs1").alias("cs"))
+    return last.unionByName(mean).unionByName(sep).select(*out_cols)
+
+
 # Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
 # pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
 # arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the
