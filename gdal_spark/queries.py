@@ -148,7 +148,6 @@ FROM pts p JOIN boxes b
 """
 
 
-@q("pip_polygon_join", _PIP_JOIN_SQL)
 def pip_polygon_join(spark, sf_dir):
     """Points x arbitrary polygons: covering-cell candidates + exact even-odd
     ray cast (ogrlinearring.cpp:452-517). Boxes sit off any representable
@@ -2318,7 +2317,6 @@ _WARP_ND_SQL = _WARP_CS_SQL.replace(
 assert _WARP_ND_SQL != _WARP_CS_SQL
 
 
-@q("warp_nodata_checksum", _WARP_ND_SQL)
 def warp_nodata_checksum_q(spark, sf_dir):
     """gdalwarp -srcnodata masking VALUE-gated end to end
     (alg/gdalwarpkernel.cpp:614 "Masking Semantics",
@@ -2352,7 +2350,6 @@ _WARP_CUT_SQL = _WARP_CS_SQL.replace(
 assert _WARP_CUT_SQL != _WARP_CS_SQL
 
 
-@q("warp_cutline_checksum", _WARP_CUT_SQL)
 def warp_cutline_checksum_q(spark, sf_dir):
     """gdalwarp -cutline VALUE-gated end to end
     (apps/gdalwarp_lib.cpp:5236: cutline transformed to source pixel
@@ -2710,7 +2707,6 @@ GROUP BY px, py
 """
 
 
-@q("grid_idw", _GRID_IDW_SQL)
 def grid_idw(spark, sf_dir):
     """gdalgrid inverse-distance-to-a-power (alg/gdalgrid.cpp:110) over the
     derived customer points (mercator megameters), 16x16 grid, radius 5:
@@ -2774,7 +2770,6 @@ HAVING COUNT(*) >= 2
 """
 
 
-@q("grid_movavg_ellipse", _GRID_MOVAVG_SQL)
 def grid_movavg_ellipse(spark, sf_dir):
     """gdalgrid moving-average with a rotated-ellipse search window
     (radius1=7, radius2=3, angle=30°, min_points=2 — gdalgrid.cpp:630-695
@@ -2820,7 +2815,6 @@ GROUP BY px, py
 """
 
 
-@q("grid_idw_nn", _GRID_IDW_NN_SQL)
 def grid_idw_nn(spark, sf_dir):
     """IDW bounded to the 8 nearest points in radius — the reference's
     InverseDistanceToAPowerNearestNeighbor variant (gdalgrid.cpp:905
@@ -2875,7 +2869,6 @@ GROUP BY px, py
 """
 
 
-@q("rasterize_point_counts", _RASTERIZE_COUNT_SQL)
 def rasterize_point_counts_q(spark, sf_dir):
     """gdal_rasterize point burn in ADD mode == density grid
     (alg/gdalrasterize.cpp points path) — pure column math + groupBy."""
@@ -2969,7 +2962,6 @@ def _rect_wkb_layer(spark):
     )
 
 
-@q("rasterize_attr_add", _RASTERIZE_ATTR_SQL.format(RECTS=_CUSTOMER_RECTS.strip()))
 def rasterize_attr_add_q(spark, sf_dir):
     """gdal_rasterize -a <attr> -add over a polygon layer: per-tile
     even-odd scanline burn, attribute values accumulated (GRIO_ADD,
@@ -2984,7 +2976,6 @@ def rasterize_attr_add_q(spark, sf_dir):
     )
 
 
-@q("rasterize_all_touched", _RASTERIZE_AT_SQL.format(RECTS=_CUSTOMER_RECTS.strip()))
 def rasterize_all_touched_q(spark, sf_dir):
     """gdal_rasterize -at (ALL_TOUCHED): Amanatides-Woo boundary traversal
     + interior fill, replace mode — deterministic last-feature-wins
@@ -3235,7 +3226,6 @@ WHERE mx > {T._d(_DONUT[0])} AND mx < {T._d(_DONUT[2])}
 """
 
 
-@q("pip_holes_join", _PIP_HOLES_SQL)
 def pip_holes_join(spark, sf_dir):
     """Point-in-polygon WITH HOLES: even-odd ray cast XORed across rings
     (ogrlinearring.cpp:452-517 applied per ring) through the ST_Within SQL
@@ -3660,3 +3650,109 @@ def all_queries():
 def all_oracles():
     return {name: QUERIES[name][1] for name in _ordered_names()
             if QUERIES[name][1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# Consolidated oracled gates (round-4 VERDICT #4): component queries above
+# keep their own functions/SQL; each family below unions them under one
+# registry slot with a tag column so every distinct oracle fits the
+# driver's 50-query grading cap.
+# ---------------------------------------------------------------------------
+
+_GRID_MERGED_SQL = f"""
+SELECT 'idw' AS alg, px, py, value, n FROM ({_GRID_IDW_SQL.strip()})
+UNION ALL
+SELECT 'movavg' AS alg, px, py, value, n FROM ({_GRID_MOVAVG_SQL.strip()})
+UNION ALL
+SELECT 'idw_nn' AS alg, px, py, value, n FROM ({_GRID_IDW_NN_SQL.strip()})
+"""
+
+
+@q("grid_interpolation", _GRID_MERGED_SQL)
+def grid_interpolation_q(spark, sf_dir):
+    """gdalgrid algorithm suite in one gate (alg/gdalgrid.cpp): inverse
+    distance (:110), rotated-ellipse moving average (:630), and
+    nearest-neighbor-bounded IDW (:905) — each component's oracle SQL
+    unioned under an alg tag."""
+    parts = [
+        grid_idw(spark, sf_dir).withColumn("alg", F.lit("idw")),
+        grid_movavg_ellipse(spark, sf_dir).withColumn("alg", F.lit("movavg")),
+        grid_idw_nn(spark, sf_dir).withColumn("alg", F.lit("idw_nn")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("alg", "px", "py", "value", "n")
+
+
+_RASTERIZE_MERGED_SQL = f"""
+SELECT 'points_add' AS mode, px, py, CAST(n AS DOUBLE) AS v
+FROM ({_RASTERIZE_COUNT_SQL.strip()})
+UNION ALL
+SELECT 'attr_add' AS mode, px, py, v
+FROM ({_RASTERIZE_ATTR_SQL.format(RECTS=_CUSTOMER_RECTS.strip()).strip()})
+UNION ALL
+SELECT 'all_touched' AS mode, px, py, v
+FROM ({_RASTERIZE_AT_SQL.format(RECTS=_CUSTOMER_RECTS.strip()).strip()})
+"""
+
+
+@q("rasterize_options", _RASTERIZE_MERGED_SQL)
+def rasterize_options_q(spark, sf_dir):
+    """gdal_rasterize option surface in one gate (alg/gdalrasterize.cpp):
+    point burn in ADD mode (density grid), attribute burn -a with -add
+    accumulation (:796-811), and ALL_TOUCHED Amanatides-Woo traversal with
+    replace-mode last-feature-wins."""
+    parts = [
+        rasterize_point_counts_q(spark, sf_dir).select(
+            F.lit("points_add").alias("mode"), "px", "py",
+            F.col("n").cast("double").alias("v")),
+        rasterize_attr_add_q(spark, sf_dir).select(
+            F.lit("attr_add").alias("mode"), "px", "py", "v"),
+        rasterize_all_touched_q(spark, sf_dir).select(
+            F.lit("all_touched").alias("mode"), "px", "py", "v"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_WARP_MASK_MERGED_SQL = f"""
+SELECT 'nodata' AS mode, image_id, cs1 FROM ({_WARP_ND_SQL.strip()})
+UNION ALL
+SELECT 'cutline' AS mode, image_id, cs1 FROM ({_WARP_CUT_SQL.strip()})
+"""
+
+
+@q("warp_mask_checksum", _WARP_MASK_MERGED_SQL)
+def warp_mask_checksum_q(spark, sf_dir):
+    """gdalwarp masking semantics in one gate (alg/gdalwarpkernel.cpp:614
+    + apps/gdalwarp_lib.cpp:5236): the -srcnodata collar chain and the
+    -cutline diamond chain, both replayed per destination pixel."""
+    nd = warp_nodata_checksum_q(spark, sf_dir).select(
+        F.lit("nodata").alias("mode"), "image_id", "cs1")
+    cut = warp_cutline_checksum_q(spark, sf_dir).select(
+        F.lit("cutline").alias("mode"), "image_id", "cs1")
+    return nd.unionByName(cut)
+
+
+_PIP_MERGED_SQL = f"""
+SELECT 'rings' AS mode, pid, poly_id FROM ({_PIP_JOIN_SQL.strip()})
+UNION ALL
+SELECT 'holes' AS mode, pid, -1 AS poly_id FROM ({_PIP_HOLES_SQL.strip()})
+"""
+
+
+@q("pip_join", _PIP_MERGED_SQL)
+def pip_join_q(spark, sf_dir):
+    """Point-in-polygon ray cast in one gate (ogrlinearring.cpp:452-517):
+    points x simple polygons via covering-cell candidates, and the
+    with-holes donut (per-ring even-odd XOR) through the ST_Within SQL
+    surface."""
+    rings = pip_polygon_join(spark, sf_dir).select(
+        F.lit("rings").alias("mode"), "pid", "poly_id")
+    holes = pip_holes_join(spark, sf_dir).select(
+        F.lit("holes").alias("mode"), "pid",
+        F.lit(-1).cast("long").alias("poly_id"))
+    return rings.unionByName(holes)
