@@ -105,9 +105,6 @@ def embedding_pca(df: DataFrame, k: int = 8, vec_col: str = "embedding",
     """
     from pyspark.sql.types import ArrayType, DoubleType
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-
     def partials(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -122,8 +119,12 @@ def embedding_pca(df: DataFrame, k: int = 8, vec_col: str = "embedding",
     part = df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, g array<double>"
     ).toPandas()
+    if len(part) == 0:
+        raise ValueError("embedding_pca: empty input")
     n = int(part["n"].sum())
     s = np.sum(np.vstack(part["s"].to_numpy()), axis=0)
+    # dim inferred from the collected partials (no separate driver probe)
+    dim = s.shape[0]
     gram = np.sum(np.vstack(part["g"].to_numpy()), axis=0).reshape(dim, dim)
     mean = s / n
     cov = gram / n - np.outer(mean, mean)

@@ -284,14 +284,24 @@ def register_st_functions(spark: SparkSession) -> None:
     reg("ST_MakeValid",
         F.pandas_udf(_unary(lambda g: G.to_wkb(*G.make_valid(g))),
                      BinaryType()))
-    reg("ST_MakePoint",
-        F.pandas_udf(
-            lambda xs, ys: pd.Series([
-                None if (x is None or y is None) else wkb_point(float(x), float(y))
-                for x, y in zip(xs, ys)
-            ]),
-            BinaryType(),
-        ))
+    def _makepoint_batch(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        # batch-wide WKB pack: 21-byte point rows (01 01000000 x y, both
+        # f64le) built in one (n, 21) uint8 buffer instead of per-element
+        # struct.pack
+        null = xs.isna().to_numpy() | ys.isna().to_numpy()
+        x = xs.astype(np.float64).fillna(0.0).to_numpy()
+        y = ys.astype(np.float64).fillna(0.0).to_numpy()
+        n = len(x)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.array([1, 0, 0, 0], dtype=np.uint8)
+        buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+        return pd.Series(
+            [None if null[i] else buf[i].tobytes() for i in range(n)]
+        )
+
+    reg("ST_MakePoint", F.pandas_udf(_makepoint_batch, BinaryType()))
 
     def _buffer_udf(blobs: pd.Series, dists: pd.Series) -> pd.Series:
         key = pd.Series(list(zip(blobs, dists)))
