@@ -23,45 +23,80 @@ def _interp(p1, p2, v1, v2, level):
     return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
 
 
+# 16-case edge table (alg/marching_squares/segment_merger.h case layout);
+# cases 5 and 10 are the two-segment saddles
+_CASE_EDGES = {
+    1: (("left", "bottom"),), 2: (("bottom", "right"),),
+    3: (("left", "right"),), 4: (("top", "right"),),
+    5: (("left", "top"), ("bottom", "right")), 6: (("top", "bottom"),),
+    7: (("left", "top"),), 8: (("left", "top"),), 9: (("top", "bottom"),),
+    10: (("left", "bottom"), ("top", "right")), 11: (("top", "right"),),
+    12: (("left", "right"),), 13: (("bottom", "right"),),
+    14: (("left", "bottom"),),
+}
+
+
 def contour_segments(band, levels):
-    """Marching squares over pixel centers. Returns list of
-    (level, x1, y1, x2, y2) in pixel-center coordinates."""
+    """Marching squares over pixel centers, case-mask vectorized (one
+    nonzero + gather per case value instead of a per-cell Python loop —
+    same doubles as the scalar walk: edge parameter t = (L-v1)/(v2-v1),
+    endpoint = corner + t along the edge axis).  Returns list of
+    (level, x1, y1, x2, y2) in pixel-center coordinates, row-major per
+    level (same order as the original scalar walk)."""
     a = np.asarray(band, dtype=np.float64)
-    h, w = a.shape
     segs = []
     for level in levels:
         inside = a >= level
-        for r in range(h - 1):
-            for c in range(w - 1):
-                tl = inside[r, c]
-                tr = inside[r, c + 1]
-                br = inside[r + 1, c + 1]
-                bl = inside[r + 1, c]
-                case = (tl << 3) | (tr << 2) | (br << 1) | int(bl)
-                if case in (0, 15):
-                    continue
-                # corner coords (pixel centers)
-                ptl = (c, r)
-                ptr = (c + 1, r)
-                pbr = (c + 1, r + 1)
-                pbl = (c, r + 1)
-                vtl, vtr = a[r, c], a[r, c + 1]
-                vbr, vbl = a[r + 1, c + 1], a[r + 1, c]
-                top = lambda: _interp(ptl, ptr, vtl, vtr, level)
-                right = lambda: _interp(ptr, pbr, vtr, vbr, level)
-                bottom = lambda: _interp(pbl, pbr, vbl, vbr, level)
-                left = lambda: _interp(ptl, pbl, vtl, vbl, level)
-                table = {
-                    1: [(left, bottom)], 2: [(bottom, right)], 3: [(left, right)],
-                    4: [(top, right)], 5: [(left, top), (bottom, right)],
-                    6: [(top, bottom)], 7: [(left, top)],
-                    8: [(left, top)], 9: [(top, bottom)],
-                    10: [(left, bottom), (top, right)], 11: [(top, right)],
-                    12: [(left, right)], 13: [(bottom, right)], 14: [(left, bottom)],
-                }
-                for e1, e2 in table[case]:
-                    (x1, y1), (x2, y2) = e1(), e2()
-                    segs.append((float(level), x1, y1, x2, y2))
+        tl = inside[:-1, :-1]
+        tr = inside[:-1, 1:]
+        br = inside[1:, 1:]
+        bl = inside[1:, :-1]
+        case = ((tl.astype(np.uint8) << 3) | (tr.astype(np.uint8) << 2)
+                | (br.astype(np.uint8) << 1) | bl.astype(np.uint8))
+        vtl = a[:-1, :-1]
+        vtr = a[:-1, 1:]
+        vbr = a[1:, 1:]
+        vbl = a[1:, :-1]
+
+        parts = []  # (r, c, j, x1, y1, x2, y2) column stacks
+        for k, pairs in _CASE_EDGES.items():
+            rr, cc = np.nonzero(case == k)
+            if rr.size == 0:
+                continue
+            rf = rr.astype(np.float64)
+            cf = cc.astype(np.float64)
+
+            def edge(name):
+                if name == "top":
+                    t = (level - vtl[rr, cc]) / (vtr[rr, cc] - vtl[rr, cc])
+                    return cf + t, rf
+                if name == "right":
+                    t = (level - vtr[rr, cc]) / (vbr[rr, cc] - vtr[rr, cc])
+                    return cf + 1.0, rf + t
+                if name == "bottom":
+                    t = (level - vbl[rr, cc]) / (vbr[rr, cc] - vbl[rr, cc])
+                    return cf + t, rf + 1.0
+                t = (level - vtl[rr, cc]) / (vbl[rr, cc] - vtl[rr, cc])
+                return cf, rf + t
+
+            for j, (e1, e2) in enumerate(pairs):
+                x1, y1 = edge(e1)
+                x2, y2 = edge(e2)
+                parts.append((rr, cc, np.full(rr.size, j, np.int64),
+                              x1, y1, x2, y2))
+        if not parts:
+            continue
+        r_all = np.concatenate([p[0] for p in parts])
+        c_all = np.concatenate([p[1] for p in parts])
+        j_all = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((j_all, c_all, r_all))
+        cols = [np.concatenate([p[i] for p in parts])[order]
+                for i in (3, 4, 5, 6)]
+        lv = float(level)
+        segs.extend(
+            (lv, x1, y1, x2, y2)
+            for x1, y1, x2, y2 in zip(*(c.tolist() for c in cols))
+        )
     return segs
 
 

@@ -283,21 +283,38 @@ def _box_slices(out_n, src_n):
     return lo, np.minimum(hi, src_n)
 
 
+def _shape_groups(ylo, yhi, xlo, xhi):
+    """Group destination cells by their (dy, dx) source-box shape.
+
+    Ragged (non-integer-factor) grids produce at most a handful of
+    distinct box shapes, so per-shape fancy-indexed gathers replace the
+    per-cell Python loop: yields (rs, cs, yidx (nr, dy), xidx (nc, dx))
+    per shape — each (row-group x col-group) cross product shares one
+    uniform block shape."""
+    dy = yhi - ylo
+    dx = xhi - xlo
+    for a in np.unique(dy):
+        rs = np.nonzero(dy == a)[0]
+        yidx = ylo[rs][:, None] + np.arange(a)
+        for b in np.unique(dx):
+            cs = np.nonzero(dx == b)[0]
+            xidx = xlo[cs][:, None] + np.arange(b)
+            yield rs, cs, yidx, xidx
+
+
 def resample_average(src, out_h, out_w):
     """Area-average downsample (GRA_Average, alg/gdalwarpkernel.cpp:194 /
     overview AverageOrRMS): mean of the source pixels covered by each
-    destination cell. Integer inputs round half-up."""
+    destination cell. Integer inputs round half-up.  Vectorized by box
+    shape (uint8 sums are exact in float64, so the grouped reduction is
+    bit-identical to the per-cell mean)."""
     src_arr = np.asarray(src)
     ylo, yhi = _box_slices(out_h, src_arr.shape[0])
     xlo, xhi = _box_slices(out_w, src_arr.shape[1])
-    out = np.empty(
-        (out_h, out_w) + src_arr.shape[2:], dtype=np.float64
-    )
-    for r in range(out_h):
-        band = src_arr[ylo[r] : yhi[r]].astype(np.float64)
-        for c in range(out_w):
-            block = band[:, xlo[c] : xhi[c]]
-            out[r, c] = block.mean(axis=(0, 1))
+    out = np.empty((out_h, out_w) + src_arr.shape[2:], dtype=np.float64)
+    for rs, cs, yidx, xidx in _shape_groups(ylo, yhi, xlo, xhi):
+        blocks = src_arr[yidx[:, None, :, None], xidx[None, :, None, :]]
+        out[np.ix_(rs, cs)] = blocks.astype(np.float64).mean(axis=(2, 3))
     if np.issubdtype(src_arr.dtype, np.integer):
         info = np.iinfo(src_arr.dtype)
         return np.clip(np.floor(out + 0.5), info.min, info.max).astype(src_arr.dtype)
@@ -360,19 +377,21 @@ def resample_stat(src, out_h, out_w, stat: str):
             )
         out = reduce_block(blocks)
     else:
+        # ragged factors: vectorize by box shape — each (row-group x
+        # col-group) shares a uniform (dy, dx), so one fancy-indexed
+        # gather + one reduction per shape replaces the per-cell loop
         ylo, yhi = _box_slices(out_h, h)
         xlo, xhi = _box_slices(out_w, w)
         out = np.empty((out_h, out_w) + src_arr.shape[2:], dtype=np.float64)
-        for r in range(out_h):
-            band = src_arr[ylo[r] : yhi[r]]
-            for c in range(out_w):
-                block = band[:, xlo[c] : xhi[c]]
-                flat = (
-                    block.reshape(-1, block.shape[2]).T
-                    if block.ndim == 3 else block.reshape(1, -1)
-                )
-                v = reduce_block(flat)
-                out[r, c] = v if block.ndim == 3 else v[0]
+        for rs, cs, yidx, xidx in _shape_groups(ylo, yhi, xlo, xhi):
+            blocks = src_arr[yidx[:, None, :, None], xidx[None, :, None, :]]
+            k = blocks.shape[2] * blocks.shape[3]
+            if src_arr.ndim == 3:
+                flat = blocks.transpose(0, 1, 4, 2, 3).reshape(
+                    blocks.shape[0], blocks.shape[1], blocks.shape[4], k)
+            else:
+                flat = blocks.reshape(blocks.shape[0], blocks.shape[1], k)
+            out[np.ix_(rs, cs)] = reduce_block(flat)
 
     if stat in ("min", "max") or quant is not None:
         return out.astype(src_arr.dtype)  # picked source values: exact
@@ -400,6 +419,19 @@ def resample_mode(src, out_h, out_w):
     ylo, yhi = _box_slices(out_h, src_arr.shape[0])
     xlo, xhi = _box_slices(out_w, src_arr.shape[1])
     out = np.empty((out_h, out_w), dtype=src_arr.dtype)
+    if src_arr.dtype == np.uint8:
+        # vectorized histogram mode: fuse (cell, value) into one bincount
+        # key per shape group; argmax over the 256 columns returns the
+        # FIRST (= smallest) value on ties, matching the unique/argmax rule
+        for rs, cs, yidx, xidx in _shape_groups(ylo, yhi, xlo, xhi):
+            blocks = src_arr[yidx[:, None, :, None], xidx[None, :, None, :]]
+            nr, nc = blocks.shape[0], blocks.shape[1]
+            flat = blocks.reshape(nr * nc, -1).astype(np.int64)
+            keys = (np.arange(nr * nc)[:, None] * 256 + flat).ravel()
+            hist = np.bincount(keys, minlength=nr * nc * 256)
+            mode = hist.reshape(nr * nc, 256).argmax(axis=1)
+            out[np.ix_(rs, cs)] = mode.reshape(nr, nc).astype(src_arr.dtype)
+        return out
     for r in range(out_h):
         for c in range(out_w):
             block = src_arr[ylo[r] : yhi[r], xlo[c] : xhi[c]].ravel()
