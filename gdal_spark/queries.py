@@ -1053,6 +1053,49 @@ def mosaic_placement_q(spark, sf_dir):
     return last.unionByName(mean).unionByName(sep).select(*out_cols)
 
 
+@q("warp_tps", None)
+def warp_tps_q(spark, sf_dir):
+    """GCP warp via thin plate spline (alg/thinplatespline.cpp
+    d2*log(d2) basis) and the order-2 polynomial transformer
+    (alg/gdal_crs.cpp): per-image 4x4 GCP grids carry a smooth synthetic
+    distortion; forward/reverse splines fit per image inside the Arrow
+    batch (tiny n+3 solves, no shuffle).  Rows-only: the TPS solve is not
+    SQL-expressible; exactness is pytest-pinned (GCP interpolation +
+    round-trip bounds)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_gcp
+
+    def _grid_col(which):
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def col(w: pd.Series, h: pd.Series) -> pd.Series:
+            out = []
+            for ww, hh in zip(w, h):
+                xs = np.linspace(0, float(ww) - 1, 4)
+                ys = np.linspace(0, float(hh) - 1, 4)
+                gx, gy = np.meshgrid(xs, ys)
+                x, y = gx.ravel(), gy.ravel()
+                X = 1.02 * x + 0.05 * y + 2e-4 * x * y
+                Y = 0.98 * y - 0.03 * x + 1e-4 * x * x
+                out.append({"px": x, "py": y, "x": X, "y": Y}[which].tolist())
+            return pd.Series(out)
+        return col(F.col("w"), F.col("h"))
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).filter(
+        F.col("fmt") == "png"
+    ).withColumn("gcp_px", _grid_col("px")) \
+     .withColumn("gcp_py", _grid_col("py")) \
+     .withColumn("gcp_x", _grid_col("x")) \
+     .withColumn("gcp_y", _grid_col("y"))
+    tps = warp_gcp(imgs, method="tps").withColumn("mode", F.lit("tps"))
+    poly = warp_gcp(imgs, method="poly", order=2).withColumn(
+        "mode", F.lit("poly2"))
+    return tps.unionByName(poly).select(
+        "mode", "image_id", "w2", "h2", "n_valid", "cs")
+
+
 # Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
 # pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
 # arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the

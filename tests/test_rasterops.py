@@ -545,3 +545,109 @@ class TestBandHistogram:
                  for r in imgs_pdf.itertuples(index=False)}
         for iid, g in pdf.groupby("image_id"):
             assert g["cnt"].sum() == n_pix[iid]
+
+
+class TestGcpTransformers:
+    """GCP polynomial (alg/gdal_crs.cpp CRS_georef bases) and thin plate
+    spline (alg/thinplatespline.cpp d2*log(d2) basis) transformers."""
+
+    def _grid(self, w, h, n=5):
+        xs = np.linspace(0, w - 1, n)
+        ys = np.linspace(0, h - 1, n)
+        gx, gy = np.meshgrid(xs, ys)
+        return np.stack([gx.ravel(), gy.ravel()], 1)
+
+    def test_polynomial_recovers_exact_poly(self):
+        from gdal_spark.oracle.tps import (
+            gcp_polynomial_eval, gcp_polynomial_fit,
+        )
+
+        src = self._grid(100, 80)
+        for order in (1, 2, 3):
+            # a ground-truth mapping that IS a polynomial of this order
+            x, y = src[:, 0], src[:, 1]
+            dst = np.stack([
+                3.0 + 1.02 * x + 0.05 * y
+                + (0.001 * x * y if order >= 2 else 0)
+                + (1e-6 * x ** 3 if order >= 3 else 0),
+                -7.0 - 0.03 * x + 0.98 * y
+                + (0.002 * y * y if order >= 2 else 0),
+            ], 1)
+            coef = gcp_polynomial_fit(src, dst, order)
+            probe = np.array([[13.7, 21.9], [77.1, 3.3], [50.0, 60.0]])
+            px, py = probe[:, 0], probe[:, 1]
+            want = np.stack([
+                3.0 + 1.02 * px + 0.05 * py
+                + (0.001 * px * py if order >= 2 else 0)
+                + (1e-6 * px ** 3 if order >= 3 else 0),
+                -7.0 - 0.03 * px + 0.98 * py
+                + (0.002 * py * py if order >= 2 else 0),
+            ], 1)
+            got = gcp_polynomial_eval(coef, probe, order)
+            np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_tps_interpolates_gcps_exactly_and_roundtrips(self):
+        from gdal_spark.oracle.tps import ThinPlateSpline
+
+        rng = np.random.default_rng(9)
+        src = self._grid(64, 64, 4)
+        dst = src * 1.05 + rng.normal(0, 1.5, src.shape)
+        fwd = ThinPlateSpline(src, dst)
+        np.testing.assert_allclose(fwd(src), dst, atol=1e-8)
+        # smooth-distortion round trip: fwd then reverse TPS stays close
+        rev = ThinPlateSpline(dst, src)
+        probe = self._grid(60, 60, 7) + 1.7
+        back = rev(fwd(probe))
+        # reverse TPS is not the exact functional inverse (same as the
+        # reference's E21/N21 swap); sub-half-pixel round trip is the bar
+        assert np.abs(back - probe).max() < 0.5
+
+    def test_warp_gcp_identity_gcps_preserve_checksum(self, spark, imgs_pdf):
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.operators.rasterops import warp_gcp
+        from gdal_spark.oracle.checksum import checksum_image
+
+        pdf = imgs_pdf.head(4).copy()
+        gcps = []
+        for r in pdf.itertuples(index=False):
+            g = self._grid(int(r.w), int(r.h), 4)
+            gcps.append(g)
+        pdf["gcp_px"] = [g[:, 0].tolist() for g in gcps]
+        pdf["gcp_py"] = [g[:, 1].tolist() for g in gcps]
+        pdf["gcp_x"] = [g[:, 0].tolist() for g in gcps]
+        pdf["gcp_y"] = [g[:, 1].tolist() for g in gcps]
+        res = warp_gcp(
+            spark.createDataFrame(pdf), method="poly", order=1
+        ).toPandas().set_index("image_id")
+        for r in pdf.itertuples(index=False):
+            a = _dec(r.bytes)
+            band = a[..., 0] if a.ndim == 3 else a
+            h, w = band.shape
+            # identity GCPs + order-1 fit = identity transform; dst grid
+            # covers [0, w-1] x [0, h-1] with w x h centers -> nearest
+            # sampling reproduces a slight resample of the band; at
+            # minimum every destination must be valid
+            row = res.loc[r.image_id]
+            assert row["n_valid"] == w * h
+            assert row["w2"] == w and row["h2"] == h
+
+    def test_warp_gcp_tps_runs_with_distortion(self, spark, imgs_pdf):
+        from gdal_spark.operators.rasterops import warp_gcp
+
+        pdf = imgs_pdf.head(3).copy()
+        cols = {"gcp_px": [], "gcp_py": [], "gcp_x": [], "gcp_y": []}
+        for r in pdf.itertuples(index=False):
+            g = self._grid(int(r.w), int(r.h), 4)
+            x, y = g[:, 0], g[:, 1]
+            X = 1.02 * x + 0.05 * y + 2e-4 * x * y
+            Y = 0.98 * y - 0.03 * x + 1e-4 * x * x
+            cols["gcp_px"].append(x.tolist())
+            cols["gcp_py"].append(y.tolist())
+            cols["gcp_x"].append(X.tolist())
+            cols["gcp_y"].append(Y.tolist())
+        for k, v in cols.items():
+            pdf[k] = v
+        res = warp_gcp(spark.createDataFrame(pdf), method="tps").toPandas()
+        assert len(res) == 3
+        assert (res["n_valid"] > 0).all()
+        assert (res["cs"] >= 0).all()
