@@ -1214,3 +1214,48 @@ def warp_gcp(images: DataFrame, method: str = "tps", order: int = 2,
     ).mapInPandas(
         gen, schema="image_id string, w2 int, h2 int, n_valid long, cs long"
     )
+
+
+def warp_rpc(images: DataFrame, height: float = 0.0,
+             rpc_col: str = "rpc") -> DataFrame:
+    """gdalwarp with the RPC camera model (alg/gdal_rpc.cpp): each image
+    row carries its RPC00B block as an array<double>[90] column (the
+    per-dataset RPC metadata).  The destination lon/lat grid spans the
+    footprint found by inverse-transforming the pixel corners (iterative,
+    gdal_rpc.cpp RPCInverseTransformPoint shape); every destination
+    center then maps dst->src through the FORWARD rational model — the
+    same direction the reference's warper drives its transformer — and
+    nearest-samples.  Map-only, one image per solve, no shuffle."""
+    from ..oracle.rpc import rpc_forward, rpc_inverse, rpc_unpack
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                band = a[..., 0] if a.ndim == 3 else a
+                h, w = band.shape
+                rpc = rpc_unpack(getattr(r, rpc_col))
+                cl, cs = np.array([0.0, 0, h - 1.0, h - 1.0]), \
+                    np.array([0.0, w - 1.0, 0.0, w - 1.0])
+                lon_c, lat_c = rpc_inverse(rpc, cl, cs, height)
+                lo0, lo1 = lon_c.min(), lon_c.max()
+                la0, la1 = lat_c.min(), lat_c.max()
+                lons = lo0 + (np.arange(w) + 0.5) * (lo1 - lo0) / w
+                lats = la1 - (np.arange(h) + 0.5) * (la1 - la0) / h
+                glon, glat = np.meshgrid(lons, lats)
+                line, samp = rpc_forward(rpc, glon, glat, height)
+                ix = np.floor(samp + 0.5).astype(np.int64)
+                iy = np.floor(line + 0.5).astype(np.int64)
+                valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                res = np.where(
+                    valid, band[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)],
+                    0).astype(np.uint8)
+                out.append(dict(
+                    image_id=r.image_id, w2=int(w), h2=int(h),
+                    n_valid=int(valid.sum()), cs=checksum_image(res)[0]))
+            yield pd.DataFrame(
+                out, columns=["image_id", "w2", "h2", "n_valid", "cs"])
+
+    return images.select("image_id", "bytes", rpc_col).mapInPandas(
+        gen, schema="image_id string, w2 int, h2 int, n_valid long, cs long")

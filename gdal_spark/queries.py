@@ -1096,6 +1096,33 @@ def warp_tps_q(spark, sf_dir):
         "mode", "image_id", "w2", "h2", "n_valid", "cs")
 
 
+@q("warp_rpc", None)
+def warp_rpc_q(spark, sf_dir):
+    """gdalwarp with the RPC00B camera model (alg/gdal_rpc.cpp): each
+    image carries its rational-polynomial block as an array<double>[90]
+    column; destination grid from the iterative inverse over the pixel
+    corners, then dst->src through the forward model (the direction the
+    reference's warper drives its transformer).  Map-only, per-image.
+    Rows-only: the Newton inverse is not SQL-expressible; exactness is
+    pytest-pinned (affine degenerate + forward/inverse round trips)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_rpc
+    from .oracle.rpc import rpc_pack, synthetic_rpc
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def rpc_col(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([rpc_pack(synthetic_rpc(int(ww), int(hh)))
+                          for ww, hh in zip(w, h)])
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).filter(
+        F.col("fmt") == "png"
+    ).withColumn("rpc", rpc_col(F.col("w"), F.col("h")))
+    return warp_rpc(imgs).select("image_id", "w2", "h2", "n_valid", "cs")
+
+
 # Pyramid STRUCTURE oracle: every (image, z, x, y) key of the full tile
 # pyramid, rebuilt in DuckDB — image centers/sizes from the fixture
 # arithmetic, native zoom fixed by the gsd cycle, base tile ranges via the

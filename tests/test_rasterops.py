@@ -651,3 +651,68 @@ class TestGcpTransformers:
         assert len(res) == 3
         assert (res["n_valid"] > 0).all()
         assert (res["cs"] >= 0).all()
+
+
+class TestRpcTransformer:
+    """RPC00B rational camera model: term order of
+    alg/gdal_rpc.cpp:196-216 (RPCTransformerComputeTerms) with the
+    iterative inverse of RPCInverseTransformPoint."""
+
+    def test_forward_is_affine_when_bend_zero(self):
+        from gdal_spark.oracle.rpc import rpc_forward, synthetic_rpc
+
+        rpc = synthetic_rpc(101, 81, bend=0.0)
+        lon = np.array([10.0, 10.01, 9.99, 10.04])
+        lat = np.array([45.0, 45.02, 44.98, 44.96])
+        line, samp = rpc_forward(rpc, lon, lat)
+        L = (lon - 10.0) / 0.05
+        P = (lat - 45.0) / 0.05
+        np.testing.assert_allclose(samp, L * 50.0 + 50.0, atol=1e-10)
+        np.testing.assert_allclose(line, -P * 40.0 + 40.0, atol=1e-10)
+
+    def test_inverse_roundtrips_forward(self):
+        from gdal_spark.oracle.rpc import (
+            rpc_forward, rpc_inverse, synthetic_rpc,
+        )
+
+        rpc = synthetic_rpc(128, 96)
+        gl, gs = np.meshgrid(np.linspace(0, 95, 7), np.linspace(0, 127, 9),
+                             indexing="ij")
+        lon, lat = rpc_inverse(rpc, gl, gs, height=0.0)
+        l2, s2 = rpc_forward(rpc, lon, lat, 0.0)
+        np.testing.assert_allclose(l2, gl, atol=1e-7)
+        np.testing.assert_allclose(s2, gs, atol=1e-7)
+        # nonzero height moves through the H terms without blowing up
+        lon_h, lat_h = rpc_inverse(rpc, gl, gs, height=120.0)
+        l3, s3 = rpc_forward(rpc, lon_h, lat_h, 120.0)
+        np.testing.assert_allclose(l3, gl, atol=1e-7)
+        np.testing.assert_allclose(s3, gs, atol=1e-7)
+
+    def test_pack_unpack_roundtrip(self):
+        from gdal_spark.oracle.rpc import rpc_pack, rpc_unpack, synthetic_rpc
+
+        rpc = synthetic_rpc(64, 48)
+        flat = rpc_pack(rpc)
+        assert len(flat) == 90
+        back = rpc_unpack(flat)
+        for k, v in rpc.items():
+            np.testing.assert_allclose(back[k], v)
+
+    def test_warp_rpc_covers_footprint(self, spark, imgs_pdf):
+        from gdal_spark.operators.rasterops import warp_rpc
+        from gdal_spark.oracle.rpc import rpc_pack, synthetic_rpc
+
+        pdf = imgs_pdf.head(3).copy()
+        pdf["rpc"] = [rpc_pack(synthetic_rpc(int(r.w), int(r.h)))
+                      for r in pdf.itertuples(index=False)]
+        res = warp_rpc(spark.createDataFrame(pdf)).toPandas()
+        assert len(res) == 3
+        sizes = {r.image_id: (int(r.w), int(r.h))
+                 for r in pdf.itertuples(index=False)}
+        for r in res.itertuples(index=False):
+            w, h = sizes[r.image_id]
+            assert (r.w2, r.h2) == (w, h)
+            # the dst grid is the inverse-transformed footprint bbox, so
+            # most destination centers land inside the source
+            assert r.n_valid > 0.8 * w * h
+            assert r.cs >= 0
