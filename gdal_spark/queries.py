@@ -324,17 +324,65 @@ def expr_projection(spark, sf_dir):
 
 
 _UNION_SQL = """
-SELECT c_custkey AS k, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+WITH building AS (
+    SELECT c_custkey AS k, c_mktsegment AS seg
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT 'union_all' AS mode, k, seg FROM (
+    SELECT k, seg FROM building
+    UNION ALL
+    SELECT s_suppkey AS k, 'SUPPLIER' AS seg FROM supplier WHERE s_acctbal > 0
+)
 UNION ALL
-SELECT s_suppkey AS k, 'SUPPLIER' AS seg FROM supplier WHERE s_acctbal > 0
+SELECT 'intersect' AS mode, k, 'I' AS seg FROM (
+    SELECT k FROM building INTERSECT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'except' AS mode, k, 'E' AS seg FROM (
+    SELECT k FROM building EXCEPT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'semi' AS mode, o.o_orderkey AS k, 'S' AS seg FROM orders o
+WHERE EXISTS (SELECT 1 FROM building b WHERE b.k = o.o_custkey)
+UNION ALL
+SELECT 'anti' AS mode, o.o_orderkey AS k, 'A' AS seg FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM building b WHERE b.k = o.o_custkey)
 """
 
 
 @q("union_all", _UNION_SQL)
 def union_all(spark, sf_dir):
-    """UNION ALL of selects (OGRUnionLayer, gcore/gdaldataset.cpp:7560-7602)."""
+    """Set-operation suite: UNION ALL (OGRUnionLayer,
+    gcore/gdaldataset.cpp:7560-7602), INTERSECT/EXCEPT (SQLite-dialect
+    compound selects), and semi/anti joins (the resume/incremental
+    left_anti shape, streaming/incremental.py) — each mode built with the
+    native DataFrame operator (unionByName / intersect / subtract /
+    left_semi / left_anti joins), discriminated by a mode column so one
+    driver-gate slot value-pins all five."""
     register_tpch_views(spark, sf_dir)
-    return spark.sql(_UNION_SQL)
+    customer = spark.table("customer")
+    supplier = spark.table("supplier")
+    orders = spark.table("orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+    suppliers = supplier.filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").alias("k"), F.lit("SUPPLIER").alias("seg"))
+    buyers = orders.select(F.col("o_custkey").alias("k"))
+    u = building.unionByName(suppliers).select(
+        F.lit("union_all").alias("mode"), "k", "seg")
+    i = building.select("k").intersect(buyers).select(
+        F.lit("intersect").alias("mode"), "k", F.lit("I").alias("seg"))
+    e = building.select("k").subtract(buyers).select(
+        F.lit("except").alias("mode"), "k", F.lit("E").alias("seg"))
+    s = orders.join(building, orders.o_custkey == building.k,
+                    "left_semi").select(
+        F.lit("semi").alias("mode"), F.col("o_orderkey").alias("k"),
+        F.lit("S").alias("seg"))
+    a = orders.join(building, orders.o_custkey == building.k,
+                    "left_anti").select(
+        F.lit("anti").alias("mode"), F.col("o_orderkey").alias("k"),
+        F.lit("A").alias("seg"))
+    return u.unionByName(i).unionByName(e).unionByName(s).unionByName(a)
 
 
 _WINDOW_SQL = """
