@@ -1,0 +1,102 @@
+"""Closed-form pattern fixtures for raster->vector value oracles.
+
+Unlike the gradient corpus (images.py), these synthetics have component /
+distance structure that is enumerable in ANSI SQL, so connected-component
+operators (polygonize, sieve) and the chamfer proximity transform can be
+value-gated end to end:
+
+- ``checker``: B x B blocks alternating between band values 0 and 64 —
+  under 4-connectivity every block is exactly one component (same-value
+  blocks touch only at corners), so the polygonize output (comp_id in
+  first-appearance row-major order, value, pixel_count, bbox) is closed
+  form in the block indices.
+- ``checker_defect``: the checkerboard plus one isolated 1-px value-128
+  defect at the center of every diagonal block (k, k) — each defect is a
+  size-1 component that GDALSieveFilter-style sieving merges back into
+  its enclosing block, restoring the exact checkerboard.
+- ``stripes``: band value 0 on columns x % S == 0, 200 elsewhere — the
+  distance to the nearest target is purely horizontal, where the 3x3
+  chamfer transform is exact, so per-image dmax/dmean are closed form.
+
+Sizes are chosen so SQL replays stay exact: checker sizes are multiples
+of B; stripe widths are powers of two (sum_x d / w is a dyadic rational,
+exact in IEEE double on both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..codecs.registry import encode
+
+CHECKER_B = 8
+CHECKER_W = (16, 24, 32, 40)
+CHECKER_H = (16, 32, 48, 24)
+STRIPE_W = (32, 64, 128)
+STRIPE_H = (32, 16, 64)
+STRIPE_S = (3, 5, 7)
+
+
+def checker_pixels(w: int, h: int, defects: bool = False) -> np.ndarray:
+    """(h, w, 3) uint8: band 1 = ((x//B + y//B) % 2) * 64 (+ diagonal
+    1-px 128 defects when asked); bands 2/3 constant."""
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    b1 = (((x // CHECKER_B) + (y // CHECKER_B)) % 2).astype(np.uint8) * 64
+    b1 = np.broadcast_to(b1, (h, w)).copy()
+    if defects:
+        half = CHECKER_B // 2
+        for k in range(min(w, h) // CHECKER_B):
+            b1[k * CHECKER_B + half, k * CHECKER_B + half] = 128
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = b1
+    out[..., 1] = 17
+    out[..., 2] = 203
+    return out
+
+
+def stripe_pixels(w: int, h: int, s: int) -> np.ndarray:
+    """(h, w, 3) uint8: band 1 = 0 on columns x % s == 0, 200 elsewhere."""
+    x = np.arange(w)[None, :]
+    b1 = np.where(x % s == 0, 0, 200).astype(np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = np.broadcast_to(b1, (h, w))
+    out[..., 1] = 17
+    out[..., 2] = 203
+    return out
+
+
+def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
+    """Distributed synth of n pattern images: image_id, bytes, w, h (+ s
+    for stripes).  Built executor-side from spark.range — no driver data."""
+    if kind == "stripes":
+        schema = "image_id string, bytes binary, w int, h int, s int"
+    else:
+        schema = "image_id string, bytes binary, w int, h int"
+    defects = kind == "checker_defect"
+    prefix = {"checker": "chk", "checker_defect": "svd", "stripes": "stp"}[kind]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].astype(int):
+                if kind == "stripes":
+                    w = STRIPE_W[i % 3]
+                    h = STRIPE_H[i % 3]
+                    s = STRIPE_S[i % 3]
+                    px = stripe_pixels(w, h, s)
+                    out.append(dict(image_id=f"{prefix}{i:08d}",
+                                    bytes=encode(px, "png"), w=w, h=h, s=s))
+                else:
+                    w = CHECKER_W[i % 4]
+                    h = CHECKER_H[i % 4]
+                    px = checker_pixels(w, h, defects=defects)
+                    out.append(dict(image_id=f"{prefix}{i:08d}",
+                                    bytes=encode(px, "png"), w=w, h=h))
+            yield pd.DataFrame(out, columns=schema.replace(" string", "")
+                               .replace(" binary", "").replace(" int", "")
+                               .split(", "))
+
+    return spark.range(n).mapInPandas(gen, schema=schema)

@@ -111,9 +111,12 @@ def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
 
 
 def proximity_map(images: DataFrame, target_value: int = 0,
-                  downsample_to: int | None = 64) -> DataFrame:
+                  downsample_to: int | None = 64,
+                  round_to: int | None = 4) -> DataFrame:
     """GDALComputeProximity: chamfer distance (pixels) to the nearest
-    band-1 pixel equal to ``target_value``; summary stats per image."""
+    band-1 pixel equal to ``target_value``; summary stats per image.
+    ``round_to=None`` emits the raw doubles (the exact-oracle path, where
+    the caller pins micro-units instead of a decimal rounding)."""
     from ..oracle.resample import resample_nearest
 
     def gen(batches):
@@ -128,10 +131,12 @@ def proximity_map(images: DataFrame, target_value: int = 0,
                     out.append(dict(image_id=r.image_id, dmax=-1.0, dmean=-1.0))
                     continue
                 d = _proximity(mask)
+                dmax, dmean = float(d.max()), float(d.mean())
+                if round_to is not None:
+                    dmax = float(np.round(dmax, round_to))
+                    dmean = float(np.round(dmean, round_to))
                 out.append(
-                    dict(image_id=r.image_id,
-                         dmax=float(np.round(d.max(), 4)),
-                         dmean=float(np.round(d.mean(), 4)))
+                    dict(image_id=r.image_id, dmax=dmax, dmean=dmean)
                 )
             yield pd.DataFrame(out, columns=["image_id", "dmax", "dmean"])
 

@@ -783,7 +783,7 @@ def image_decode_stats(spark, sf_dir):
 # band 1 is (x + y*w) % 256 over w*h pixels (fixtures make_pixels), so its
 # exact sum/sum-of-squares have closed forms: c full 0..255 cycles plus a
 # partial run — a DuckDB value gate on the real zlib PNG decode + stats.
-_DECODE_STATS_SQL = """
+_DECODE_STATS_SQL = f"""
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
   FROM (SELECT unnest(generate_series(0, 59)) AS a)
@@ -802,28 +802,48 @@ sums AS (
          (CAST(w AS BIGINT) * h) // 256 AS c,
          (CAST(w AS BIGINT) * h) % 256 AS r
   FROM meta
+),
+px AS (
+  SELECT m.i, m.w, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % 256 AS b1,
+         (3 * (CAST(k.a AS BIGINT) % m.w)) % 256 AS b2,
+         (7 * (CAST(k.a AS BIGINT) // m.w)) % 256 AS b3
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+),
+csum AS (
+  SELECT i,
+    CAST(SUM(b1 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+    CAST(SUM(b2 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs2,
+    CAST(SUM(b3 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs3
+  FROM px GROUP BY i
 )
-SELECT printf('img%08d', i) AS image_id,
+SELECT printf('img%08d', s.i) AS image_id,
        0 AS min1,
        CASE WHEN n >= 256 THEN 255 ELSE n - 1 END AS max1,
        ROUND((c * 32640.0 + r * (r - 1) / 2.0) / n, 4) AS mean1,
        ROUND(sqrt((c * 5559680.0 + (r - 1) * r * (2 * r - 1) / 6.0) / n
                   - ((c * 32640.0 + r * (r - 1) / 2.0) / n)
-                    * ((c * 32640.0 + r * (r - 1) / 2.0) / n)), 4) AS std1
-FROM sums
+                    * ((c * 32640.0 + r * (r - 1) / 2.0) / n)), 4) AS std1,
+       cm.cs1, cm.cs2, cm.cs3
+FROM sums s JOIN csum cm ON cm.i = s.i
 """
 
 
 @q("decode_stats_png", _DECODE_STATS_SQL)
 def decode_stats_png_q(spark, sf_dir):
-    """Band statistics value-oracled end to end: decode the (real, zlib)
-    PNG bytes, compute min/max/mean/std of band 1; DuckDB derives the same
-    numbers from the closed-form pixel cycle — gates the codec AND the
-    stats kernel."""
+    """Band statistics + GDALChecksumImage (alg/gdalchecksum.cpp:48-260)
+    value-oracled end to end in one gate: decode the (real, zlib) PNG
+    bytes, compute min/max/mean/std of band 1 and the position-weighted
+    modular checksum of all three bands; DuckDB derives the same numbers
+    from the closed-form pixel cycle — gates the codec, the stats kernel,
+    AND the checksum aggregate (the former checksum_png slot, folded in to
+    stay under the 50-query grading cap)."""
     import pandas as pd
 
     from .codecs.registry import decode as _dec
     from .fixtures.images import images_df
+    from .oracle.checksum import checksum_image
 
     def stats(batches):
         for pdf in batches:
@@ -832,20 +852,24 @@ def decode_stats_png_q(spark, sf_dir):
                 if r.fmt != "png":
                     continue
                 a = _dec(r.bytes)
+                cs = checksum_image(a)
                 out.append(dict(
                     image_id=r.image_id,
                     min1=int(a[..., 0].min()), max1=int(a[..., 0].max()),
                     mean1=float(np.round(a[..., 0].mean(), 4)),
                     std1=float(np.round(a[..., 0].std(), 4)),
+                    cs1=cs[0], cs2=cs[1], cs3=cs[2],
                 ))
             yield pd.DataFrame(
-                out, columns=["image_id", "min1", "max1", "mean1", "std1"]
+                out, columns=["image_id", "min1", "max1", "mean1", "std1",
+                              "cs1", "cs2", "cs3"]
             )
 
     imgs = images_df(spark, min(_images_n(sf_dir), 60))
     return imgs.mapInPandas(
         stats,
-        schema="image_id string, min1 int, max1 int, mean1 double, std1 double",
+        schema="image_id string, min1 int, max1 int, mean1 double, "
+               "std1 double, cs1 long, cs2 long, cs3 long",
     )
 
 
@@ -2141,9 +2165,9 @@ def point_sample_q(spark, sf_dir):
     return sample_at_points(imgs, pts, "bilinear")
 
 
-# GDALChecksumImage value oracle: sum(val % primes[i % 11]) % 65536 over
-# row-major pixels — integer-exact, fully SQL-replayable on the
-# closed-form bands; gates the checksum aggregate + codec jointly.
+# GDALChecksumImage value oracle folded into decode_stats_png (one gate
+# covers codec + stats + checksum, freeing a driver grading slot); the
+# standalone query function stays callable for tests/benchmarks.
 _CHECKSUM_SQL = f"""
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
@@ -2175,7 +2199,6 @@ GROUP BY i
 """
 
 
-@q("checksum_png", _CHECKSUM_SQL)
 def checksum_png_q(spark, sf_dir):
     """GDALChecksumImage (alg/gdalchecksum.cpp:48-260) VALUE-gated: decode
     each PNG and checksum all three bands; DuckDB replays the position-
@@ -3128,6 +3151,118 @@ def sieve_proximity_q(spark, sf_dir):
     s = sieve_filter(imgs, threshold=3, downsample_to=24)
     p = proximity_map(imgs, target_value=0, downsample_to=32)
     return s.join(p, "image_id")
+
+
+# Closed-form value oracle for the connected-component family
+# (GDALPolygonize / GDALSieveFilter / GDALComputeProximity) over the
+# pattern fixtures (fixtures/patterns.py): checkerboard blocks are exactly
+# the 4-connected components (first-appearance row-major comp ids), the
+# sieve merges each diagonal 1-px defect back into its enclosing block
+# (restoring the exact checkerboard checksum = 64 * #odd-blocks), and
+# stripe targets make the chamfer transform purely horizontal hence exact.
+# Proximity stats are pinned as micro-units: widths are powers of two so
+# sum(d)/w is dyadic and FLOOR(x*10000 + 0.5) is bit-deterministic in
+# IEEE double on both engines.
+_VECTORIZE_EXACT_SQL = """
+WITH cidx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 23)) AS a)
+),
+cmeta AS (
+  SELECT i,
+    CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 ELSE 40 END AS w,
+    CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 48 ELSE 24 END AS h
+  FROM cidx
+),
+cblocks AS (
+  SELECT m.i, m.w // 8 AS nbx, m.h // 8 AS nby,
+         CAST(bx.a AS BIGINT) AS bx, CAST(by.a AS BIGINT) AS by
+  FROM cmeta m,
+       LATERAL (SELECT unnest(generate_series(0, m.w // 8 - 1)) AS a) bx,
+       LATERAL (SELECT unnest(generate_series(0, m.h // 8 - 1)) AS a) by
+),
+smeta AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE i % 3 WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END AS s
+  FROM cidx
+),
+sdist AS (
+  SELECT m.i, m.w,
+    LEAST(CAST(x.a % m.s AS DOUBLE),
+          CASE WHEN x.a - (x.a % m.s) + m.s <= m.w - 1
+               THEN CAST(m.s - (x.a % m.s) AS DOUBLE) ELSE 1e18 END) AS d
+  FROM smeta m, LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS a) x
+)
+SELECT 'polygonize' AS mode, printf('chk%08d', i) AS image_id,
+       CAST(by * nbx + bx + 1 AS DOUBLE) AS a,
+       CAST((bx + by) % 2 AS DOUBLE) AS b,
+       64.0 AS c,
+       CAST(by * 8 AS DOUBLE) AS d, CAST(bx * 8 AS DOUBLE) AS e,
+       CAST(by * 8 + 7 AS DOUBLE) AS f, CAST(bx * 8 + 7 AS DOUBLE) AS g
+FROM cblocks
+UNION ALL
+SELECT 'sieve' AS mode, printf('svd%08d', i) AS image_id,
+       CAST(nbx * nby + LEAST(nbx, nby) AS DOUBLE) AS a,
+       CAST(nbx * nby AS DOUBLE) AS b,
+       CAST(((nbx * nby) // 2) * 64 AS DOUBLE) AS c,
+       0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
+FROM (SELECT DISTINCT i, nbx, nby FROM cblocks)
+UNION ALL
+SELECT 'proximity' AS mode, printf('stp%08d', i) AS image_id,
+       FLOOR(MAX(d) * 10000 + 0.5) AS a,
+       FLOOR(SUM(d) / w * 10000 + 0.5) AS b,
+       0.0 AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
+FROM sdist GROUP BY i, w
+"""
+
+
+@q("vectorize_exact", _VECTORIZE_EXACT_SQL)
+def vectorize_exact_q(spark, sf_dir):
+    """Connected-component operators value-gated end to end on the
+    closed-form pattern corpus: GDALPolygonize (alg/polygonize.cpp) emits
+    one row per checkerboard block with exact comp_id/value/count/bbox;
+    GDALSieveFilter (alg/gdalsievefilter.cpp) merges every 1-px defect and
+    is pinned by before/after component counts plus the restored-image
+    checksum; GDALComputeProximity (alg/gdalproximity.cpp) runs at native
+    resolution on stripe targets where the chamfer distance is exact."""
+    from .fixtures.patterns import pattern_images_df
+    from .operators.vectorize import polygonize, proximity_map, sieve_filter
+
+    n = 24
+    zeros = [F.lit(0.0).alias(k) for k in ("d", "e", "f", "g")]
+    p = polygonize(
+        pattern_images_df(spark, "checker", n), quantize=64,
+        downsample_to=None,
+    ).select(
+        F.lit("polygonize").alias("mode"), "image_id",
+        F.col("comp_id").cast("double").alias("a"),
+        F.col("value").cast("double").alias("b"),
+        F.col("pixel_count").cast("double").alias("c"),
+        F.col("min_row").cast("double").alias("d"),
+        F.col("min_col").cast("double").alias("e"),
+        F.col("max_row").cast("double").alias("f"),
+        F.col("max_col").cast("double").alias("g"),
+    )
+    s = sieve_filter(
+        pattern_images_df(spark, "checker_defect", n), threshold=3,
+        downsample_to=None,
+    ).select(
+        F.lit("sieve").alias("mode"), "image_id",
+        F.col("n_before").cast("double").alias("a"),
+        F.col("n_after").cast("double").alias("b"),
+        F.col("cs").cast("double").alias("c"), *zeros,
+    )
+    x = proximity_map(
+        pattern_images_df(spark, "stripes", n), target_value=0,
+        downsample_to=None, round_to=None,
+    ).select(
+        F.lit("proximity").alias("mode"), "image_id",
+        F.floor(F.col("dmax") * 10000 + 0.5).cast("double").alias("a"),
+        F.floor(F.col("dmean") * 10000 + 0.5).cast("double").alias("b"),
+        F.lit(0.0).alias("c"), *zeros,
+    )
+    return p.unionByName(s).unionByName(x)
 
 
 @q("st_functions_sql", None)

@@ -716,3 +716,70 @@ class TestRpcTransformer:
             # most destination centers land inside the source
             assert r.n_valid > 0.8 * w * h
             assert r.cs >= 0
+
+
+class TestPatternOracles:
+    """Closed-form pattern fixtures (fixtures/patterns.py) behind the
+    vectorize_exact gate: blocks ARE the components, defects sieve away,
+    stripe chamfer distances are exact."""
+
+    def test_checker_polygonize_blocks(self):
+        from gdal_spark.fixtures.patterns import CHECKER_B, checker_pixels
+        from gdal_spark.oracle.rasterize import polygonize as poly
+
+        w, h = 40, 24
+        q = (checker_pixels(w, h)[:, :, 0] // 64).astype(np.uint8)
+        rows = poly(q)
+        nbx, nby = w // CHECKER_B, h // CHECKER_B
+        assert len(rows) == nbx * nby
+        for idx, (val, cnt, r0, c0, r1, c1) in enumerate(rows):
+            by, bx = divmod(idx, nbx)
+            assert val == (bx + by) % 2
+            assert cnt == CHECKER_B * CHECKER_B
+            assert (r0, c0, r1, c1) == (
+                by * CHECKER_B, bx * CHECKER_B,
+                by * CHECKER_B + CHECKER_B - 1, bx * CHECKER_B + CHECKER_B - 1)
+
+    def test_defect_sieve_restores_checkerboard(self):
+        from gdal_spark.fixtures.patterns import checker_pixels
+        from gdal_spark.oracle.rasterize import label_components, sieve
+
+        w, h = 32, 48
+        q = (checker_pixels(w, h, defects=True)[:, :, 0] // 64).astype(
+            np.uint8)
+        _, n_before = label_components(q)
+        nblocks = (w // 8) * (h // 8)
+        assert n_before == nblocks + min(w, h) // 8
+        s = sieve(q, 3)
+        clean = (checker_pixels(w, h)[:, :, 0] // 64).astype(np.uint8)
+        np.testing.assert_array_equal(s, clean)
+        _, n_after = label_components(s)
+        assert n_after == nblocks
+
+    def test_stripe_proximity_exact(self):
+        from gdal_spark.fixtures.patterns import stripe_pixels
+        from gdal_spark.oracle.rasterize import proximity
+
+        w, h, s = 64, 16, 5
+        mask = stripe_pixels(w, h, s)[:, :, 0] == 0
+        d = proximity(mask)
+        x = np.arange(w)
+        left = x % s
+        right = np.where(x - (x % s) + s <= w - 1, s - (x % s), np.inf)
+        want = np.minimum(left, right)[None, :].repeat(h, axis=0)
+        np.testing.assert_allclose(d, want)
+
+    def test_pattern_images_decode_roundtrip(self, spark):
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.patterns import (
+            checker_pixels, pattern_images_df, stripe_pixels,
+        )
+
+        pdf = pattern_images_df(spark, "checker", 4).toPandas()
+        for r in pdf.itertuples(index=False):
+            np.testing.assert_array_equal(
+                _dec(r.bytes), checker_pixels(int(r.w), int(r.h)))
+        pdf = pattern_images_df(spark, "stripes", 3).toPandas()
+        for r in pdf.itertuples(index=False):
+            np.testing.assert_array_equal(
+                _dec(r.bytes), stripe_pixels(int(r.w), int(r.h), int(r.s)))
