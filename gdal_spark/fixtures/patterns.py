@@ -17,6 +17,13 @@ value-gated end to end:
 - ``stripes``: band value 0 on columns x % S == 0, 200 elsewhere — the
   distance to the nearest target is purely horizontal, where the 3x3
   chamfer transform is exact, so per-image dmax/dmean are closed form.
+- ``cone``: band value 200 - 3*chebyshev(center) — terrain strictly
+  descending from the center along every ray, so the whole grid is
+  visible from the apex (the sightline stays strictly above the cone)
+  and the viewshed mask/count/checksum are closed form.
+- ``plateau_hole``: constant 200 with a 6x6 zero hole — IDW fill from an
+  all-equal boundary returns exactly the constant, so the filled count
+  and restored-image checksum are closed form.
 
 Sizes are chosen so SQL replays stay exact: checker sizes are multiples
 of B; stripe widths are powers of two (sum_x d / w is a dyadic rational,
@@ -37,6 +44,11 @@ CHECKER_H = (16, 32, 48, 24)
 STRIPE_W = (32, 64, 128)
 STRIPE_H = (32, 16, 64)
 STRIPE_S = (3, 5, 7)
+CONE_W = (33, 48, 64)
+CONE_H = (25, 63, 41)
+PLATEAU_W = (32, 48, 64)
+PLATEAU_H = (40, 32, 64)
+HOLE = (4, 10, 5, 11)  # y0, y1, x0, x1 (exclusive ends): 6x6 = 36 px
 
 
 def checker_pixels(w: int, h: int, defects: bool = False) -> np.ndarray:
@@ -68,6 +80,29 @@ def stripe_pixels(w: int, h: int, s: int) -> np.ndarray:
     return out
 
 
+def cone_pixels(w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8: band 1 = 200 - 3*chebyshev distance to center."""
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    cheb = np.maximum(np.abs(x - w // 2), np.abs(y - h // 2))
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = np.clip(200 - 3 * cheb, 0, 255).astype(np.uint8)
+    out[..., 1] = 17
+    out[..., 2] = 203
+    return out
+
+
+def plateau_pixels(w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8: band 1 = constant 200 with a 6x6 zero hole."""
+    y0, y1, x0, x1 = HOLE
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = 200
+    out[y0:y1, x0:x1, 0] = 0
+    out[..., 1] = 17
+    out[..., 2] = 203
+    return out
+
+
 def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
     """Distributed synth of n pattern images: image_id, bytes, w, h (+ s
     for stripes).  Built executor-side from spark.range — no driver data."""
@@ -76,7 +111,8 @@ def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
     else:
         schema = "image_id string, bytes binary, w int, h int"
     defects = kind == "checker_defect"
-    prefix = {"checker": "chk", "checker_defect": "svd", "stripes": "stp"}[kind]
+    prefix = {"checker": "chk", "checker_defect": "svd", "stripes": "stp",
+              "cone": "vsh", "plateau_hole": "fnd"}[kind]
 
     def gen(batches):
         for pdf in batches:
@@ -89,12 +125,18 @@ def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
                     px = stripe_pixels(w, h, s)
                     out.append(dict(image_id=f"{prefix}{i:08d}",
                                     bytes=encode(px, "png"), w=w, h=h, s=s))
+                    continue
+                if kind == "cone":
+                    w, h = CONE_W[i % 3], CONE_H[i % 3]
+                    px = cone_pixels(w, h)
+                elif kind == "plateau_hole":
+                    w, h = PLATEAU_W[i % 3], PLATEAU_H[i % 3]
+                    px = plateau_pixels(w, h)
                 else:
-                    w = CHECKER_W[i % 4]
-                    h = CHECKER_H[i % 4]
+                    w, h = CHECKER_W[i % 4], CHECKER_H[i % 4]
                     px = checker_pixels(w, h, defects=defects)
-                    out.append(dict(image_id=f"{prefix}{i:08d}",
-                                    bytes=encode(px, "png"), w=w, h=h))
+                out.append(dict(image_id=f"{prefix}{i:08d}",
+                                bytes=encode(px, "png"), w=w, h=h))
             yield pd.DataFrame(out, columns=schema.replace(" string", "")
                                .replace(" binary", "").replace(" int", "")
                                .split(", "))

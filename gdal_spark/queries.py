@@ -3153,17 +3153,18 @@ def sieve_proximity_q(spark, sf_dir):
     return s.join(p, "image_id")
 
 
-# Closed-form value oracle for the connected-component family
-# (GDALPolygonize / GDALSieveFilter / GDALComputeProximity) over the
-# pattern fixtures (fixtures/patterns.py): checkerboard blocks are exactly
-# the 4-connected components (first-appearance row-major comp ids), the
-# sieve merges each diagonal 1-px defect back into its enclosing block
-# (restoring the exact checkerboard checksum = 64 * #odd-blocks), and
-# stripe targets make the chamfer transform purely horizontal hence exact.
-# Proximity stats are pinned as micro-units: widths are powers of two so
-# sum(d)/w is dyadic and FLOOR(x*10000 + 0.5) is bit-deterministic in
-# IEEE double on both engines.
-_VECTORIZE_EXACT_SQL = """
+# Closed-form value oracles over the pattern fixtures
+# (fixtures/patterns.py): checkerboard blocks are exactly the 4-connected
+# components (first-appearance row-major comp ids) for GDALPolygonize;
+# the sieve merges each diagonal 1-px defect back into its enclosing
+# block (restoring the exact checkerboard checksum = 64 * #odd-blocks);
+# stripe targets make the chamfer transform purely horizontal hence
+# exact; the descending cone makes every cell visible from the apex
+# (Wang viewshed); the constant plateau makes the IDW hole fill exactly
+# the constant.  Proximity stats are pinned as micro-units: widths are
+# powers of two so sum(d)/w is dyadic and FLOOR(x*10000 + 0.5) is
+# bit-deterministic in IEEE double on both engines.
+_EXACT_PATTERNS_SQL = f"""
 WITH cidx AS (
   SELECT CAST(a AS BIGINT) AS i
   FROM (SELECT unnest(generate_series(0, 23)) AS a)
@@ -3193,6 +3194,32 @@ sdist AS (
           CASE WHEN x.a - (x.a % m.s) + m.s <= m.w - 1
                THEN CAST(m.s - (x.a % m.s) AS DOUBLE) ELSE 1e18 END) AS d
   FROM smeta m, LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS a) x
+),
+vmeta AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 33 WHEN 1 THEN 48 ELSE 64 END AS w,
+    CASE i % 3 WHEN 0 THEN 25 WHEN 1 THEN 63 ELSE 41 END AS h
+  FROM cidx
+),
+vcs AS (
+  SELECT m.i, CAST(m.w AS BIGINT) * m.h AS n,
+    CAST(SUM(255 % ({_CS_PRIME.format(i='k.a')})) % 65536 AS BIGINT) AS cs
+  FROM vmeta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+  GROUP BY m.i, m.w, m.h
+),
+fmeta AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS w,
+    CASE i % 3 WHEN 0 THEN 40 WHEN 1 THEN 32 ELSE 64 END AS h
+  FROM cidx
+),
+fcs AS (
+  SELECT m.i,
+    CAST(SUM(200 % ({_CS_PRIME.format(i='k.a')})) % 65536 AS BIGINT) AS cs
+  FROM fmeta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+  GROUP BY m.i
 )
 SELECT 'polygonize' AS mode, printf('chk%08d', i) AS image_id,
        CAST(by * nbx + bx + 1 AS DOUBLE) AS a,
@@ -3214,19 +3241,33 @@ SELECT 'proximity' AS mode, printf('stp%08d', i) AS image_id,
        FLOOR(SUM(d) / w * 10000 + 0.5) AS b,
        0.0 AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
 FROM sdist GROUP BY i, w
+UNION ALL
+SELECT 'viewshed' AS mode, printf('vsh%08d', i) AS image_id,
+       CAST(n AS DOUBLE) AS a, 1.0 AS b, CAST(cs AS DOUBLE) AS c,
+       4.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
+FROM vcs
+UNION ALL
+SELECT 'fill_nodata' AS mode, printf('fnd%08d', i) AS image_id,
+       36.0 AS a, CAST(cs AS DOUBLE) AS b,
+       0.0 AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
+FROM fcs
 """
 
 
-@q("vectorize_exact", _VECTORIZE_EXACT_SQL)
-def vectorize_exact_q(spark, sf_dir):
-    """Connected-component operators value-gated end to end on the
+@q("exact_patterns", _EXACT_PATTERNS_SQL)
+def exact_patterns_q(spark, sf_dir):
+    """Five rows-only raster operators value-gated end to end on the
     closed-form pattern corpus: GDALPolygonize (alg/polygonize.cpp) emits
     one row per checkerboard block with exact comp_id/value/count/bbox;
     GDALSieveFilter (alg/gdalsievefilter.cpp) merges every 1-px defect and
     is pinned by before/after component counts plus the restored-image
     checksum; GDALComputeProximity (alg/gdalproximity.cpp) runs at native
-    resolution on stripe targets where the chamfer distance is exact."""
+    resolution on stripe targets where the chamfer distance is exact;
+    the Wang viewshed (alg/viewshed/viewshed_executor.cpp) sees the whole
+    grid from a descending cone's apex; GDALFillNodata (alg/rasterfill.cpp)
+    restores the exact constant on an all-equal hole boundary."""
     from .fixtures.patterns import pattern_images_df
+    from .operators.rasterops import fill_nodata_stats, viewshed_stats
     from .operators.vectorize import polygonize, proximity_map, sieve_filter
 
     n = 24
@@ -3262,7 +3303,24 @@ def vectorize_exact_q(spark, sf_dir):
         F.floor(F.col("dmean") * 10000 + 0.5).cast("double").alias("b"),
         F.lit(0.0).alias("c"), *zeros,
     )
-    return p.unionByName(s).unionByName(x)
+    v = viewshed_stats(pattern_images_df(spark, "cone", n)).select(
+        F.lit("viewshed").alias("mode"), "image_id",
+        F.col("n_visible").cast("double").alias("a"),
+        F.col("frac_visible").alias("b"),
+        F.col("cs").cast("double").alias("c"),
+        F.col("corners_visible").cast("double").alias("d"),
+        F.lit(0.0).alias("e"), F.lit(0.0).alias("f"), F.lit(0.0).alias("g"),
+    )
+    f = fill_nodata_stats(
+        pattern_images_df(spark, "plateau_hole", n), nodata_below=8,
+        max_distance=8, downsample_to=None,
+    ).select(
+        F.lit("fill_nodata").alias("mode"), "image_id",
+        F.col("n_filled").cast("double").alias("a"),
+        F.col("cs").cast("double").alias("b"),
+        F.lit(0.0).alias("c"), *zeros,
+    )
+    return p.unionByName(s).unionByName(x).unionByName(v).unionByName(f)
 
 
 @q("st_functions_sql", None)

@@ -783,3 +783,28 @@ class TestPatternOracles:
         for r in pdf.itertuples(index=False):
             np.testing.assert_array_equal(
                 _dec(r.bytes), stripe_pixels(int(r.w), int(r.h), int(r.s)))
+
+    def test_cone_viewshed_all_visible(self):
+        from gdal_spark.fixtures.patterns import cone_pixels
+        from gdal_spark.oracle.viewshed import line_of_sight, viewshed
+
+        for w, h in ((33, 25), (48, 63), (64, 41)):
+            dem = cone_pixels(w, h)[:, :, 0].astype(np.float64)
+            vis = viewshed(dem, h // 2, w // 2, 2.0, 0.0)
+            assert vis.all()
+            assert all(
+                line_of_sight(dem, h // 2, w // 2, cy, cx, 2.0)
+                for cy in (0, h - 1) for cx in (0, w - 1))
+
+    def test_plateau_fill_restores_constant(self):
+        from gdal_spark.fixtures.patterns import HOLE, plateau_pixels
+        from gdal_spark.oracle.contour import fill_nodata
+
+        y0, y1, x0, x1 = HOLE
+        for w, h in ((32, 40), (48, 32), (64, 64)):
+            a = plateau_pixels(w, h)[:, :, 0].astype(np.float64)
+            mask = a < 8
+            assert mask.sum() == (y1 - y0) * (x1 - x0)
+            filled = fill_nodata(a, mask, 8)
+            u8 = np.clip(np.floor(filled + 0.5), 0, 255).astype(np.uint8)
+            assert (u8 == 200).all()
