@@ -214,3 +214,38 @@ def ivf_topk(assigned: DataFrame, centroids: np.ndarray, query: np.ndarray,
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_write_store(assigned: DataFrame, centroids: np.ndarray,
+                    path: str) -> None:
+    """Persist the IVF index as a ``list_id``-partitioned parquet store
+    plus a ``_ivf_meta.json`` centroid sidecar — the FAISS-IVFFlat
+    on-object-store shape: each inverted list is a partition directory,
+    so an ``nprobe`` probe becomes a partition predicate and a corpus
+    scan touches only ~nprobe/nlist of the bytes regardless of corpus
+    size.  Centroids are nlist x dim floats — metadata, not data."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    meta = {
+        "nlist": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "centroids": [[float(x) for x in row] for row in centroids],
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def ivf_open_store(spark, path: str):
+    """Open a store written by ivf_write_store: returns (assigned_df,
+    centroids).  ``list_id`` comes back as a partition column, so
+    ivf_topk's ``isin(probe)`` filter prunes whole directories
+    (PartitionFilters in the scan plan — asserted in tests)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    df = spark.read.parquet(path)
+    return df, np.asarray(meta["centroids"], dtype=np.float64)

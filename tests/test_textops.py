@@ -258,3 +258,45 @@ class TestSimilarity:
         ann = lsh_topk(df, q, k=6).toPandas()
         found = len(set(ann["vec_id"]) & set(planted))
         assert found >= 4, f"recovered {found}/5 planted near-duplicates"
+
+
+class TestIvfStore:
+    def test_ivf_store_probe_prunes_partitions(self, spark, emb_pdf,
+                                               tmp_path):
+        """The 100 TB shape: the assigned table written
+        partitionBy('list_id'), a probe's isin(list_id) filter reaches the
+        scan as a PARTITION filter (whole directories pruned before any
+        file I/O), and the store round-trips the same top-k as the
+        in-memory path."""
+        import contextlib
+        import io
+        import re
+
+        import pandas as pd
+
+        from gdal_spark.operators.similarity import (
+            ivf_build, ivf_open_store, ivf_topk, ivf_write_store)
+
+        rows = [
+            {"vec_id": int(v), "embedding": [float(x) for x in e]}
+            for v, e in zip(emb_pdf["vec_id"], emb_pdf["embedding"])
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        assigned, cent = ivf_build(df, nlist=8, sample=10_000)
+        path = str(tmp_path / "ivf_store")
+        ivf_write_store(assigned, cent, path)
+        back, cent2 = ivf_open_store(spark, path)
+        np.testing.assert_allclose(cent2, cent)
+
+        q = np.asarray(emb_pdf.iloc[7]["embedding"], dtype=np.float64)
+        got = ivf_topk(back, cent2, q, k=5, nprobe=3)
+        mem = ivf_topk(assigned, cent, q, k=5, nprobe=3).toPandas()
+        got_pdf = got.toPandas()
+        np.testing.assert_array_equal(got_pdf["vec_id"].to_numpy(),
+                                      mem["vec_id"].to_numpy())
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain()
+        pf = re.search(r"PartitionFilters: \[[^\]]*\]", buf.getvalue())
+        assert pf and "list_id" in pf.group(0), buf.getvalue()[:2000]
