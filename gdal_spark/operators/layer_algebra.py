@@ -330,12 +330,12 @@ def poly_intersection(a: DataFrame, b: DataFrame, a_id: str = "aid",
                 ga = geo_cache.setdefault(("a", aw), _G.parse_wkb(aw))
                 gb = geo_cache.setdefault(("b", bw), _G.parse_wkb(bw))
                 pieces = None
-                if (ga[0] == "polygon" and len(ga[1]) == 1
-                        and gb[0] == "polygon" and len(gb[1]) == 1):
-                    # direct Greiner-Hormann clip (37-50x over the
-                    # decomposition on concave pairs); degenerate
-                    # configurations return None -> exact fallback below
-                    rings = _G.gh_intersection(ga[1][0], gb[1][0])
+                if ga[0] == "polygon" and gb[0] == "polygon":
+                    # composed Greiner-Hormann clip, holes included
+                    # (37-50x over the decomposition on concave pairs);
+                    # degenerate configurations return None -> exact
+                    # fallback below
+                    rings = _G.gh_polygon_pieces(ga, gb, "intersection")
                     if rings is not None:
                         pieces = [rg for rg in rings
                                   if abs(_G._ring_signed_area(rg)) > 1e-9]
@@ -376,10 +376,10 @@ def _erase_pieces(a_blob, b_blobs) -> list:
     for bw in sorted(b_blobs):
         gb = _G.parse_wkb(bytes(bw))
         handled = False
-        if gb[0] == "polygon" and len(gb[1]) == 1:
+        if gb[0] == "polygon":
             nxt, ok = [], True
             for p in pieces:
-                d = _G.gh_difference(p, gb[1][0])
+                d = _G.gh_polygon_pieces(("polygon", [p]), gb, "difference")
                 if d is None:
                     ok = False
                     break

@@ -920,6 +920,55 @@ def gh_difference(a_ring, b_ring):
     return gh_intersection(a_ring, b_ring, op="difference")
 
 
+def gh_polygon_pieces(a, b, op: str):
+    """Greiner-Hormann boolean for 'polygon' geometries WITH holes,
+    composed from the single-ring primitives (so the 37-50x win over
+    ear-clip decomposition extends to hole-bearing inputs):
+
+    * intersection: Aout ∩ Bout, then every hole of A and B subtracted
+      sequentially from the pieces;
+    * difference:   (Aout − Bout) ∪ (Aout ∩ Bh for each hole Bh of B)
+      — B's holes re-expose A, and the parts are disjoint because holes
+      of a valid polygon are disjoint and inside Bout — then A's own
+      holes subtracted from every piece.
+
+    Every step is a single-ring G-H op; returns the disjoint result
+    rings, or ``None`` the moment any step degenerates (endpoint-on-edge,
+    collinear overlap, or a subtraction whose result needs a hole) —
+    callers fall back to the exact decomposition, same contract as
+    gh_intersection."""
+    ka, da = a
+    kb, db = b
+    if ka != "polygon" or kb != "polygon" or not da or not db:
+        return None
+    if op == "intersection":
+        pieces = gh_intersection(da[0], db[0])
+    elif op == "difference":
+        pieces = gh_difference(da[0], db[0])
+        if pieces is not None:
+            for hb in db[1:]:
+                back = gh_intersection(da[0], hb)
+                if back is None:
+                    return None
+                pieces = pieces + back
+    else:
+        return None
+    if pieces is None:
+        return None
+    holes = list(da[1:]) + (list(db[1:]) if op == "intersection" else [])
+    for hr in holes:
+        nxt = []
+        for p in pieces:
+            d = gh_difference(p, hr)
+            if d is None:
+                return None
+            nxt.extend(d)
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
 def ring_difference(p_ring, c_ring) -> list[np.ndarray]:
     """Robust p minus c for simple rings: Greiner-Hormann first, exact
     convex-decomposition fallback on degeneracy (both rings triangulated
@@ -946,17 +995,13 @@ def ring_difference(p_ring, c_ring) -> list[np.ndarray]:
 
 def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
     """Intersection of two arbitrary simple polygons (holes allowed) as
-    disjoint pieces.  Single-ring pairs go through the direct
-    Greiner-Hormann clip (degenerate configurations fall back); anything
-    with holes/multiparts uses the pairwise convex clip over both
-    ear-clip decompositions."""
-    ka, da = a
-    kb, db = b
-    if (ka == "polygon" and len(da) == 1
-            and kb == "polygon" and len(db) == 1):
-        rings = gh_intersection(da[0], db[0])
-        if rings is not None:
-            return rings
+    disjoint pieces.  Polygon pairs (holes included) go through the
+    composed Greiner-Hormann boolean (degenerate configurations fall
+    back); multiparts and degeneracies use the pairwise convex clip over
+    both ear-clip decompositions."""
+    rings = gh_polygon_pieces(a, b, "intersection")
+    if rings is not None:
+        return rings
     pa = decompose_convex(a)
     pb = decompose_convex(b)
     out = []
@@ -969,17 +1014,14 @@ def polygon_intersection_pieces(a, b) -> list[np.ndarray]:
 
 
 def polygon_difference_pieces(a, b) -> list[np.ndarray]:
-    """a minus b for arbitrary simple polygons: direct Greiner-Hormann
-    difference for single-ring pairs (degeneracy and hole-producing
-    containment fall back); otherwise subtract every convex piece of b
-    from every piece of a (sequentially, so pieces stay disjoint)."""
-    ka, da = a
-    kb, db = b
-    if (ka == "polygon" and len(da) == 1
-            and kb == "polygon" and len(db) == 1):
-        rings = gh_difference(da[0], db[0])
-        if rings is not None:
-            return rings
+    """a minus b for arbitrary simple polygons: composed Greiner-Hormann
+    difference for polygon pairs incl. holes (degeneracy and
+    hole-producing containment fall back); otherwise subtract every
+    convex piece of b from every piece of a (sequentially, so pieces
+    stay disjoint)."""
+    rings = gh_polygon_pieces(a, b, "difference")
+    if rings is not None:
+        return rings
     pieces = decompose_convex(a)
     for tb in decompose_convex(b):
         nxt = []

@@ -443,3 +443,80 @@ class TestGreinerHormann:
             assert got == pytest.approx(exp, rel=1e-6, abs=1e-9)
             checked += 1
         assert checked > 40
+
+    def test_gh_polygon_pieces_with_holes(self):
+        """Composed Greiner-Hormann boolean on hole-bearing polygons
+        matches the ear-clip decomposition oracle: intersection and
+        difference areas agree to 1e-6 relative on random
+        square-with-hole pairs (or the composition declares degeneracy
+        and returns None)."""
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+        def decomp_inter_area(a, b):
+            pa = G.decompose_convex(a)
+            pb = G.decompose_convex(b)
+            tot = 0.0
+            for ta in pa:
+                for tb in pb:
+                    c = G.clip_convex(ta, tb)
+                    if c.shape[0] >= 4:
+                        tot += abs(G._ring_signed_area(c))
+            return tot
+
+        def poly_area(g):
+            rings = g[1]
+            return (abs(G._ring_signed_area(rings[0]))
+                    - sum(abs(G._ring_signed_area(h)) for h in rings[1:]))
+
+        # deterministic case: offset squares, each with a hole that
+        # straddles the intersection boundary (a hole wholly inside the
+        # overlap would need a hole in the single-ring output, which is
+        # the documented None-fallback — exercised in the random loop)
+        A = ("polygon", [sq(0, 0, 10, 10), sq(4, 4, 6, 6)])
+        B = ("polygon", [sq(5, 1, 15, 11), sq(9, 3, 11.5, 5)])
+        inter = G.gh_polygon_pieces(A, B, "intersection")
+        assert inter is not None
+        got = sum(abs(G._ring_signed_area(p)) for p in inter)
+        assert got == pytest.approx(decomp_inter_area(A, B), rel=1e-9)
+        diff = G.gh_polygon_pieces(A, B, "difference")
+        assert diff is not None
+        gotd = sum(abs(G._ring_signed_area(p)) for p in diff)
+        assert gotd == pytest.approx(poly_area(A) - got, rel=1e-9)
+        # hole wholly inside the overlap -> composition declines
+        Bc = ("polygon", [sq(5, 1, 15, 11), sq(7, 3, 9, 5)])
+        assert G.gh_polygon_pieces(A, Bc, "intersection") is None
+
+        rng = np.random.default_rng(11)
+        checked_i = checked_d = 0
+        for _ in range(120):
+            ax, ay = rng.uniform(-3, 3, 2)
+            bx, by = rng.uniform(-3, 3, 2)
+            aw, bw = rng.uniform(3, 6, 2)
+            Ao = sq(ax, ay, ax + aw, ay + aw)
+            Bo = sq(bx, by, bx + bw, by + bw)
+            # holes strictly inside each outer, off-grid offsets
+            Ah = sq(ax + 0.31 * aw, ay + 0.27 * aw,
+                    ax + 0.63 * aw, ay + 0.59 * aw)
+            Bh = sq(bx + 0.22 * bw, by + 0.38 * bw,
+                    bx + 0.54 * bw, by + 0.71 * bw)
+            A = ("polygon", [Ao, Ah])
+            B = ("polygon", [Bo, Bh])
+            exp_i = decomp_inter_area(A, B)
+            inter = G.gh_polygon_pieces(A, B, "intersection")
+            if inter is not None:
+                got = sum(abs(G._ring_signed_area(p)) for p in inter)
+                assert got == pytest.approx(exp_i, rel=1e-6, abs=1e-9)
+                checked_i += 1
+            diff = G.gh_polygon_pieces(A, B, "difference")
+            if diff is not None:
+                gotd = sum(abs(G._ring_signed_area(p)) for p in diff)
+                assert gotd == pytest.approx(
+                    poly_area(A) - exp_i, rel=1e-6, abs=1e-9)
+                checked_d += 1
+        assert checked_i > 60 and checked_d > 60
