@@ -326,7 +326,15 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
     — the per-partition lineage + metrics the resumable-pipeline contract
     asks for: a restarted job can read the manifests to see exactly which
     partitions completed, and ``resume_tiles`` anti-joins the keys
-    already on disk."""
+    already on disk.
+
+    Manifests are GENERATION-scoped (``part-g000-00001.json``): each
+    write pass into the same root gets the next generation index, so a
+    resume run's manifests never clash with (or silently overwrite) an
+    earlier run's — the return value counts THIS pass only, while
+    ``_summary.json`` accumulates all generations (equal to the files on
+    disk whenever later passes are incremental, which is what --resume
+    guarantees by anti-joining existing keys)."""
     import json
     import os
 
@@ -339,6 +347,21 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
         one_per_key = tiles.dropDuplicates(["z", "x", "y"])
     acc = tiles.sparkSession.sparkContext.accumulator(0)
     bytes_acc = tiles.sparkSession.sparkContext.accumulator(0)
+
+    # next generation index: scan once driver-side before the write pass
+    # (legacy un-prefixed manifests count as generation 0)
+    gen = 0
+    if lineage:
+        ldir0 = os.path.join(root, "_lineage")
+        if os.path.isdir(ldir0):
+            for name in os.listdir(ldir0):
+                if name.startswith("part-g") and name.endswith(".json"):
+                    try:
+                        gen = max(gen, int(name[6:9]) + 1)
+                    except ValueError:
+                        pass
+                elif name.startswith("part-") and name.endswith(".json"):
+                    gen = max(gen, 1)
 
     def write_part(rows):
         from pyspark import TaskContext
@@ -366,11 +389,12 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
             pid = tc.partitionId() if tc is not None else -1
             ldir = os.path.join(root, "_lineage")
             os.makedirs(ldir, exist_ok=True)
-            tmp = os.path.join(ldir, f".part-{pid:05d}.json.tmp")
+            base = f"part-g{gen:03d}-{pid:05d}.json"
+            tmp = os.path.join(ldir, "." + base + ".tmp")
             with open(tmp, "w") as f:
-                json.dump({"partition": pid, "n_tiles": n,
+                json.dump({"partition": pid, "generation": gen, "n_tiles": n,
                            "bytes": total, "zmin": zmin, "zmax": zmax}, f)
-            os.replace(tmp, os.path.join(ldir, f"part-{pid:05d}.json"))
+            os.replace(tmp, os.path.join(ldir, base))
 
     one_per_key.select("z", "x", "y", "tile").foreachPartition(write_part)
     if lineage:
@@ -381,14 +405,16 @@ def write_tile_directory(tiles: DataFrame, root: str, scheme: str = "xyz",
         parts = read_tile_lineage(root)
         n_tiles = sum(p["n_tiles"] for p in parts)
         n_bytes = sum(p["bytes"] for p in parts)
+        this_run = sum(p["n_tiles"] for p in parts
+                       if p.get("generation", 0) == gen)
         os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
         tmp = os.path.join(root, "_lineage", "._summary.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"n_tiles": n_tiles, "bytes": n_bytes,
-                       "n_partitions": len(parts),
+                       "n_partitions": len(parts), "generations": gen + 1,
                        "scheme": scheme, "ext": ext}, f)
         os.replace(tmp, os.path.join(root, "_lineage", "_summary.json"))
-        return n_tiles
+        return this_run
     return acc.value
 
 
