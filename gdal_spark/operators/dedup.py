@@ -62,18 +62,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for hs in hashes:
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                if h.size == 0:
-                    out.append(np.full(num_hashes, _EMPTY_SENTINEL, dtype=np.int64))
-                    continue
-                # (a*h + b) mod 2^64 (wraparound), (k, n) -> min over n;
-                # shift right 1 so the int64 view stays non-negative/ordered
-                vals = (a[:, None] * h[None, :] + b[:, None]) >> np.uint64(1)
-                out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        # batch-vectorized: concatenate every doc's shingle hashes once,
+        # then loop over the k hash FUNCTIONS (k=64 numpy passes over the
+        # whole batch + segment-min via minimum.reduceat) instead of over
+        # the documents (10^4+ small matrix ops per batch).  Peak temp is
+        # one flat (total_shingles,) array per pass, not a (k, n) matrix.
+        n_docs = len(hashes)
+        sig = np.full((n_docs, num_hashes), _EMPTY_SENTINEL, dtype=np.int64)
+        if n_docs:
+            arrs = [np.asarray(hs, dtype=np.int64) for hs in hashes]
+            lens = np.fromiter((x.size for x in arrs), dtype=np.int64,
+                               count=n_docs)
+            valid = lens > 0
+            if valid.any():
+                h_all = np.concatenate(
+                    [x for x in arrs if x.size]).view(np.uint64)
+                vl = lens[valid]
+                starts = np.zeros(vl.size, dtype=np.int64)
+                np.cumsum(vl[:-1], out=starts[1:])
+                vsig = np.empty((vl.size, num_hashes), dtype=np.int64)
+                with np.errstate(over="ignore"):
+                    for i in range(num_hashes):
+                        # (a*h + b) mod 2^64 (wraparound); shift right 1 so
+                        # the int64 view stays non-negative/ordered
+                        vals = (a[i] * h_all + b[i]) >> np.uint64(1)
+                        vsig[:, i] = np.minimum.reduceat(
+                            vals, starts).astype(np.int64)
+                sig[valid] = vsig
+        return pd.Series(list(sig))
 
     sh = shingle_hashes(text_col, shingle_n)
     return df.select(F.col(id_col), sh.alias("sh")).select(
@@ -214,17 +230,31 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(LongType())
     def sim_udf(hashes: pd.Series) -> pd.Series:
-        out = np.empty(len(hashes), dtype=np.int64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(hashes):
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            if h.size == 0:
-                out[i] = 0
-                continue
-            bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bitmat - 1).sum(axis=0)
-            out[i] = np.int64(((acc > 0).astype(np.uint64) << bits).sum().astype(np.uint64).view(np.int64))
-        return pd.Series(out)
+        # batch-vectorized like minhash's sig_udf: one concat, then 64
+        # numpy passes (one per bit) with per-doc sums via add.reduceat —
+        # no per-document Python loop
+        n_docs = len(hashes)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if n_docs:
+            arrs = [np.asarray(hs, dtype=np.int64) for hs in hashes]
+            lens = np.fromiter((x.size for x in arrs), dtype=np.int64,
+                               count=n_docs)
+            valid = lens > 0
+            if valid.any():
+                h_all = np.concatenate(
+                    [x for x in arrs if x.size]).view(np.uint64)
+                vl = lens[valid]
+                starts = np.zeros(vl.size, dtype=np.int64)
+                np.cumsum(vl[:-1], out=starts[1:])
+                vout = np.zeros(vl.size, dtype=np.uint64)
+                for b in range(64):
+                    ones = np.add.reduceat(
+                        ((h_all >> np.uint64(b)) & np.uint64(1)).astype(
+                            np.int64), starts)
+                    # sign-sum > 0  <=>  ones > len/2
+                    vout |= (2 * ones > vl).astype(np.uint64) << np.uint64(b)
+                out[valid] = vout
+        return pd.Series(out.view(np.int64))
 
     toks = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
     return df.select(
