@@ -25,13 +25,17 @@ from ..oracle.rasterize import (
 
 def polygonize(images: DataFrame, quantize: int = 64,
                downsample_to: int | None = 64,
-               emit_rings: bool = False) -> DataFrame:
+               emit_rings: bool = False,
+               connectivity: int = 4) -> DataFrame:
     """GDALPolygonize over band 1 quantized to ``256/quantize`` classes
     (polygonize runs on classified rasters); optional nearest downsample
     bounds per-image component counts. One row per connected component;
     with ``emit_rings`` each row carries the traced outer boundary as WKB
     in pixel-corner coordinates plus the interior-ring (hole) count —
-    the full raster->vector output (alg/polygonize_polygonizer.cpp)."""
+    the full raster->vector output (alg/polygonize_polygonizer.cpp).
+    ``connectivity`` 4 or 8 = the 8CONNECTED option (alg/polygonize.cpp:87;
+    with 8, diagonally-touching squares join into one self-touching
+    polygon, the reference's corner-pinch output)."""
     from ..fixtures.tile_grid import wkb_polygon
     from ..oracle.rasterize import polygonize_rings
     from ..oracle.resample import resample_nearest
@@ -47,7 +51,7 @@ def polygonize(images: DataFrame, quantize: int = 64,
                 q = (a // quantize).astype(np.uint8)
                 if emit_rings:
                     for comp_id, (val, cnt, outer, holes) in enumerate(
-                        polygonize_rings(q), start=1
+                        polygonize_rings(q, connectivity), start=1
                     ):
                         out.append(
                             dict(image_id=r.image_id, comp_id=comp_id,
@@ -56,7 +60,7 @@ def polygonize(images: DataFrame, quantize: int = 64,
                         )
                 else:
                     for comp_id, (val, cnt, r0, c0, r1, c1) in enumerate(
-                        _polygonize(q), start=1
+                        _polygonize(q, connectivity), start=1
                     ):
                         out.append(
                             dict(image_id=r.image_id, comp_id=comp_id,
@@ -82,9 +86,11 @@ def polygonize(images: DataFrame, quantize: int = 64,
 
 
 def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
-                 downsample_to: int | None = 32) -> DataFrame:
+                 downsample_to: int | None = 32,
+                 connectivity: int = 4) -> DataFrame:
     """GDALSieveFilter: drop components below ``threshold`` px (merged into
-    the largest neighbor); emits before/after component counts + checksum."""
+    the most-bordering neighbor); emits before/after component counts +
+    checksum. ``connectivity`` 4 or 8 (alg/gdalsievefilter.cpp:166)."""
     from ..oracle.rasterize import label_components
     from ..oracle.resample import resample_nearest
 
@@ -96,9 +102,9 @@ def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
                 if downsample_to:
                     a = resample_nearest(a, downsample_to, downsample_to)
                 q = (a // quantize).astype(np.uint8)
-                _, n_before = label_components(q)
-                s = _sieve(q, threshold)
-                _, n_after = label_components(s)
+                _, n_before = label_components(q, connectivity)
+                s = _sieve(q, threshold, connectivity)
+                _, n_after = label_components(s, connectivity)
                 out.append(
                     dict(image_id=r.image_id, n_before=n_before,
                          n_after=n_after, cs=checksum_image(s)[0])

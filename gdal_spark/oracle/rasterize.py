@@ -162,17 +162,24 @@ def rasterize_points(xs, ys, gt, w: int, h: int, burn: float = 1.0,
     return out
 
 
-def label_components(band):
-    """4-connected components of equal pixel value. Returns (labels int32
-    starting at 1, renumbered in first-appearance row-major order, n) —
-    vectorized iterative min-label propagation (converges in O(component
-    geodesic diameter) full-array passes), the GDALPolygonize enumeration
-    core without per-pixel Python."""
+def label_components(band, connectivity: int = 4):
+    """Connected components of equal pixel value (4- or 8-connected, the
+    GDALRasterPolygonEnumerator ``nConnectedness`` option —
+    alg/polygonize.cpp:87 ``8CONNECTED``). Returns (labels int32 starting
+    at 1, renumbered in first-appearance row-major order, n) — vectorized
+    iterative min-label propagation (converges in O(component geodesic
+    diameter) full-array passes), the GDALPolygonize enumeration core
+    without per-pixel Python."""
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     a = np.asarray(band)
     h, w = a.shape
     lab = np.arange(h * w, dtype=np.int64).reshape(h, w)
     vsame = a[1:, :] == a[:-1, :]
     hsame = a[:, 1:] == a[:, :-1]
+    if connectivity == 8:
+        d1same = a[1:, 1:] == a[:-1, :-1]   # ↘ diagonal
+        d2same = a[1:, :-1] == a[:-1, 1:]   # ↙ diagonal
     while True:
         new = lab.copy()
         np.minimum(new[1:, :], np.where(vsame, lab[:-1, :], lab[1:, :]),
@@ -183,6 +190,18 @@ def label_components(band):
                    out=new[:, 1:])
         np.minimum(new[:, :-1], np.where(hsame, new[:, 1:], new[:, :-1]),
                    out=new[:, :-1])
+        if connectivity == 8:
+            np.minimum(new[1:, 1:], np.where(d1same, new[:-1, :-1],
+                                             new[1:, 1:]), out=new[1:, 1:])
+            np.minimum(new[:-1, :-1], np.where(d1same, new[1:, 1:],
+                                               new[:-1, :-1]),
+                       out=new[:-1, :-1])
+            np.minimum(new[1:, :-1], np.where(d2same, new[:-1, 1:],
+                                              new[1:, :-1]),
+                       out=new[1:, :-1])
+            np.minimum(new[:-1, 1:], np.where(d2same, new[1:, :-1],
+                                              new[:-1, 1:]),
+                       out=new[:-1, 1:])
         if np.array_equal(new, lab):
             break
         lab = new
@@ -193,11 +212,11 @@ def label_components(band):
     return out, int(uniq.size)
 
 
-def polygonize(band):
+def polygonize(band, connectivity: int = 4):
     """Per-component rows: (value, pixel_count, min_row, min_col, max_row,
     max_col) — the tabular form of GDALPolygonize's polygons (bbox instead
     of traced rings in v0)."""
-    labels, n = label_components(band)
+    labels, n = label_components(band, connectivity)
     a = np.asarray(band)
     h, w = a.shape
     flat = labels.ravel() - 1
@@ -217,7 +236,7 @@ def polygonize(band):
     ]
 
 
-def trace_rings(mask):
+def trace_rings(mask, connectivity: int = 4):
     """Trace the boundary rings of a pixel region as closed pixel-corner
     polygons — the ring-building core of GDALPolygonize
     (/root/reference/alg/polygonize_polygonizer.cpp arc collection/joining,
@@ -227,8 +246,12 @@ def trace_rings(mask):
     row/col coords, counter-clockwise holes). Returns a list of rings, each
     an (N, 2) float array of (col, row) pixel-corner coordinates, closed
     (first == last); the outer ring is the one with the largest |area|.
-    At checkerboard-touch corners the right-turn rule is taken, matching
-    4-connectivity (diagonal neighbors are separate components)."""
+    At checkerboard-touch corners, connectivity=4 takes the right turn
+    (diagonal neighbors stay separate rings) and connectivity=8 the left
+    turn, which keeps diagonally-touching squares on ONE self-touching
+    ring — the same corner-pinch polygon GDALPolygonize emits in
+    8CONNECTED mode (foreground 8-conn implies background 4-conn, so
+    holes resolve by the same rule)."""
     m = np.asarray(mask, dtype=bool)
     h, w = m.shape
     up = np.zeros((h + 1, w + 1), dtype=bool)
@@ -262,14 +285,16 @@ def trace_rings(mask):
             if len(outs) == 1:
                 nxt = outs.pop()
             else:
-                # right-turn preference relative to the incoming direction
+                # turn preference relative to the incoming direction:
+                # right for 4-conn (split at the pinch), left for 8-conn
+                # (stay on the same component through the pinch)
                 def turn_key(cand):
                     d = (cand[0] - cur[0], cand[1] - cur[1])
                     if prev_dir is None:
                         return 0
                     # cross product prev x d: negative = right turn (row down)
                     return prev_dir[0] * d[1] - prev_dir[1] * d[0]
-                outs.sort(key=turn_key)
+                outs.sort(key=turn_key, reverse=(connectivity == 8))
                 nxt = outs.pop(0)
             if not edges[cur]:
                 del edges[cur]
@@ -290,16 +315,16 @@ def trace_rings(mask):
     return rings
 
 
-def polygonize_rings(band):
+def polygonize_rings(band, connectivity: int = 4):
     """Per-component polygon output: (value, pixel_count, outer_ring) with
     the outer ring in pixel-corner coordinates (col, row). Holes counted but
     not emitted in v0 (GDALPolygonize emits them as interior rings)."""
-    labels, n = label_components(band)
+    labels, n = label_components(band, connectivity)
     a = np.asarray(band)
     out = []
     for lbl in range(1, n + 1):
         m = labels == lbl
-        rings = trace_rings(m)
+        rings = trace_rings(m, connectivity)
         areas = [
             0.5 * abs(np.dot(r[:-1, 0], r[1:, 1]) - np.dot(r[1:, 0], r[:-1, 1]))
             for r in rings
@@ -312,12 +337,19 @@ def polygonize_rings(band):
     return out
 
 
-def sieve(band, threshold: int):
+def sieve(band, threshold: int, connectivity: int = 4):
     """Remove components smaller than ``threshold`` px by merging each into
-    its largest 4-neighbor component (GDALSieveFilter semantics)."""
+    its most-bordering neighbor component (GDALSieveFilter semantics;
+    ``nConnectedness`` 4 or 8 per alg/gdalsievefilter.cpp:166 — with 8,
+    diagonal contacts both join components and count as merge borders)."""
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     a = np.asarray(band).copy()
+    nbrs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    if connectivity == 8:
+        nbrs = nbrs + ((1, 1), (1, -1), (-1, 1), (-1, -1))
     while True:
-        labels, n = label_components(a)
+        labels, n = label_components(a, connectivity)
         sizes = np.bincount(labels.ravel())[1:]
         small = np.nonzero(sizes < threshold)[0] + 1
         if small.size == 0:
@@ -329,7 +361,7 @@ def sieve(band, threshold: int):
             neigh = {}
             rs, cs = np.nonzero(m)
             for r, c in zip(rs, cs):
-                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                for dr, dc in nbrs:
                     rr, cc = r + dr, c + dc
                     if 0 <= rr < a.shape[0] and 0 <= cc < a.shape[1]:
                         lab2 = labels[rr, cc]

@@ -3229,6 +3229,18 @@ SELECT 'polygonize' AS mode, printf('chk%08d', i) AS image_id,
        CAST(by * 8 + 7 AS DOUBLE) AS f, CAST(bx * 8 + 7 AS DOUBLE) AS g
 FROM cblocks
 UNION ALL
+SELECT 'polygonize8' AS mode, printf('chk%08d', i) AS image_id,
+       CAST(comp.a AS DOUBLE) AS a,
+       CAST(comp.a - 1 AS DOUBLE) AS b,
+       CAST(CASE WHEN comp.a = 1
+                 THEN ((nbx * nby + (nbx % 2) * (nby % 2)) // 2) * 64
+                 ELSE (nbx * nby - (nbx * nby + (nbx % 2) * (nby % 2)) // 2) * 64
+            END AS DOUBLE) AS c,
+       0.0 AS d, 0.0 AS e,
+       CAST(nby * 8 - 1 AS DOUBLE) AS f, CAST(nbx * 8 - 1 AS DOUBLE) AS g
+FROM (SELECT DISTINCT i, nbx, nby FROM cblocks),
+     (SELECT unnest(generate_series(1, 2)) AS a) comp
+UNION ALL
 SELECT 'sieve' AS mode, printf('svd%08d', i) AS image_id,
        CAST(nbx * nby + LEAST(nbx, nby) AS DOUBLE) AS a,
        CAST(nbx * nby AS DOUBLE) AS b,
@@ -3256,9 +3268,12 @@ FROM fcs
 
 @q("exact_patterns", _EXACT_PATTERNS_SQL)
 def exact_patterns_q(spark, sf_dir):
-    """Five rows-only raster operators value-gated end to end on the
+    """Six rows-only raster-operator modes value-gated end to end on the
     closed-form pattern corpus: GDALPolygonize (alg/polygonize.cpp) emits
-    one row per checkerboard block with exact comp_id/value/count/bbox;
+    one row per checkerboard block with exact comp_id/value/count/bbox,
+    and in 8CONNECTED mode (alg/polygonize.cpp:87) exactly TWO components
+    per image — all same-color blocks join through the corner pinches —
+    with closed-form counts and full-extent bboxes;
     GDALSieveFilter (alg/gdalsievefilter.cpp) merges every 1-px defect and
     is pinned by before/after component counts plus the restored-image
     checksum; GDALComputeProximity (alg/gdalproximity.cpp) runs at native
@@ -3277,6 +3292,19 @@ def exact_patterns_q(spark, sf_dir):
         downsample_to=None,
     ).select(
         F.lit("polygonize").alias("mode"), "image_id",
+        F.col("comp_id").cast("double").alias("a"),
+        F.col("value").cast("double").alias("b"),
+        F.col("pixel_count").cast("double").alias("c"),
+        F.col("min_row").cast("double").alias("d"),
+        F.col("min_col").cast("double").alias("e"),
+        F.col("max_row").cast("double").alias("f"),
+        F.col("max_col").cast("double").alias("g"),
+    )
+    p8 = polygonize(
+        pattern_images_df(spark, "checker", n), quantize=64,
+        downsample_to=None, connectivity=8,
+    ).select(
+        F.lit("polygonize8").alias("mode"), "image_id",
         F.col("comp_id").cast("double").alias("a"),
         F.col("value").cast("double").alias("b"),
         F.col("pixel_count").cast("double").alias("c"),
@@ -3320,7 +3348,8 @@ def exact_patterns_q(spark, sf_dir):
         F.col("cs").cast("double").alias("b"),
         F.lit(0.0).alias("c"), *zeros,
     )
-    return p.unionByName(s).unionByName(x).unionByName(v).unionByName(f)
+    return (p.unionByName(p8).unionByName(s).unionByName(x)
+            .unionByName(v).unionByName(f))
 
 
 @q("st_functions_sql", None)

@@ -104,6 +104,61 @@ class TestRasterizeKernels:
         snake = labels[a == 1]
         assert (snake == snake[0]).all()
 
+    def test_label_components_8conn(self):
+        # checkerboard: 4-conn -> every pixel its own component;
+        # 8-conn -> the two diagonal color classes (8CONNECTED=8,
+        # alg/polygonize.cpp:87)
+        a = np.indices((4, 4)).sum(axis=0) % 2
+        _, n4 = RZ.label_components(a.astype(np.uint8), 4)
+        assert n4 == 16
+        labels, n8 = RZ.label_components(a.astype(np.uint8), 8)
+        assert n8 == 2
+        assert labels[0, 0] == labels[2, 2] != labels[0, 1] == labels[3, 0]
+        # plus-shape: same components either way
+        b = np.zeros((3, 3), dtype=np.uint8)
+        b[1, :] = 1
+        b[:, 1] = 1
+        # plus + 4 isolated corner pixels (corners are not 8-adjacent
+        # to each other) -> 5 components under both connectivities
+        assert RZ.label_components(b, 4)[1] == RZ.label_components(b, 8)[1] == 5
+
+    def test_trace_rings_8conn_pinch(self):
+        # two diagonal squares: 4-conn traces two rings; 8-conn one
+        # self-touching ring of area 2 through the pinch corner
+        m = np.zeros((2, 2), dtype=bool)
+        m[0, 0] = m[1, 1] = True
+        r4 = RZ.trace_rings(m, 4)
+        assert len(r4) == 2
+        r8 = RZ.trace_rings(m, 8)
+        assert len(r8) == 1
+        ring = r8[0]
+        area = 0.5 * abs(np.dot(ring[:-1, 0], ring[1:, 1])
+                         - np.dot(ring[1:, 0], ring[:-1, 1]))
+        assert area == pytest.approx(2.0)
+
+    def test_polygonize_rings_8conn(self):
+        m = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.uint8)
+        rows4 = RZ.polygonize_rings(m, 4)
+        rows8 = RZ.polygonize_rings(m, 8)
+        # 4-conn: 3 one-px "1" comps + 2 zero comps; 8-conn: 1 diag "1"
+        # comp + 2 zero comps (background stays 4-connected across the
+        # foreground diagonal only if itself 8-adjacent: here the two 0
+        # regions are diagonal to each other too, so they merge as well)
+        assert len(rows4) == 5
+        vals8 = sorted((v, c) for v, c, _, _ in rows8)
+        assert (1.0, 3) in vals8
+
+    def test_sieve_8conn_keeps_diagonal_chain(self):
+        # diagonal 3-chain: below threshold under 4-conn (each px is a
+        # 1-px component -> merged away), kept under 8-conn (one 3-px
+        # component >= threshold)
+        a = np.zeros((5, 5), dtype=np.uint8)
+        a[1, 1] = a[2, 2] = a[3, 3] = 9
+        out4 = RZ.sieve(a, threshold=2, connectivity=4)
+        assert (out4 == 0).all()
+        out8 = RZ.sieve(a, threshold=2, connectivity=8)
+        assert (out8[1, 1], out8[2, 2], out8[3, 3]) == (9, 9, 9)
+
     def test_polygonize_rows(self):
         a = np.array([[5, 5, 7], [5, 7, 7]], dtype=np.uint8)
         rows = RZ.polygonize(a)
