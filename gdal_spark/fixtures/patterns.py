@@ -49,6 +49,9 @@ CONE_H = (25, 63, 41)
 PLATEAU_W = (32, 48, 64)
 PLATEAU_H = (40, 32, 64)
 HOLE = (4, 10, 5, 11)  # y0, y1, x0, x1 (exclusive ends): 6x6 = 36 px
+FRAME_W = (32, 48, 64)
+FRAME_H = (40, 32, 64)
+FRAME_K = (2, 3, 4)
 
 
 def checker_pixels(w: int, h: int, defects: bool = False) -> np.ndarray:
@@ -103,6 +106,19 @@ def plateau_pixels(w: int, h: int) -> np.ndarray:
     return out
 
 
+def frame_pixels(w: int, h: int, k: int) -> np.ndarray:
+    """(h, w, 3) uint8: an all-black collar of width k around a bright
+    constant interior (200/180/220) — the nearblack fixture.  With the
+    default near=15/max_non_black=2 options the reference's two-pass scan
+    strips the collar plus exactly two more pixels on every side (the
+    grey-area allowance), so the surviving interior is the centered
+    (w-2(k+2)) x (h-2(k+2)) rectangle: counts and the band-1 checksum are
+    closed form."""
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    out[k:h - k, k:w - k] = (200, 180, 220)
+    return out
+
+
 def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
     """Distributed synth of n pattern images: image_id, bytes, w, h (+ s
     for stripes).  Built executor-side from spark.range — no driver data."""
@@ -112,7 +128,7 @@ def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
         schema = "image_id string, bytes binary, w int, h int"
     defects = kind == "checker_defect"
     prefix = {"checker": "chk", "checker_defect": "svd", "stripes": "stp",
-              "cone": "vsh", "plateau_hole": "fnd"}[kind]
+              "cone": "vsh", "plateau_hole": "fnd", "frame": "nbk"}[kind]
 
     def gen(batches):
         for pdf in batches:
@@ -132,6 +148,9 @@ def pattern_images_df(spark: SparkSession, kind: str, n: int) -> DataFrame:
                 elif kind == "plateau_hole":
                     w, h = PLATEAU_W[i % 3], PLATEAU_H[i % 3]
                     px = plateau_pixels(w, h)
+                elif kind == "frame":
+                    w, h = FRAME_W[i % 3], FRAME_H[i % 3]
+                    px = frame_pixels(w, h, FRAME_K[i % 3])
                 else:
                     w, h = CHECKER_W[i % 4], CHECKER_H[i % 4]
                     px = checker_pixels(w, h, defects=defects)

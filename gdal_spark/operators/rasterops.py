@@ -1021,6 +1021,46 @@ def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
     )
 
 
+def nearblack_stats(images: DataFrame, near: int = 15,
+                    max_non_black: int = 2, white: bool = False,
+                    downsample_to: int | None = 64) -> DataFrame:
+    """GDALNearblack collar removal (apps/nearblack_lib.cpp): run the exact
+    two-pass scanline algorithm on each image's RGB bands and emit the
+    collar size (pixels replaced), surviving-pixel count, and checksums of
+    the collar-stripped image — the per-image Arrow shape every other
+    rows-gated raster op uses (decode stays task-local; at corpus scale
+    this is map-only, zero shuffles)."""
+    from ..oracle.nearblack import nearblack
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = np.stack(
+                        [resample_nearest(a[:, :, i], downsample_to,
+                                          downsample_to)
+                         for i in range(a.shape[2])], axis=2)
+                res, mask = nearblack(a, near=near,
+                                      max_non_black=max_non_black,
+                                      white=white)
+                out.append(
+                    dict(image_id=r.image_id,
+                         n_collar=int((mask == 0).sum()),
+                         n_valid=int((mask != 0).sum()),
+                         cs=checksum_image(res)[0])
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_collar", "n_valid", "cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_collar long, n_valid long, cs long"
+    )
+
+
 def mosaic_merge(tile_rows: DataFrame, reducer: str = "last",
                  src_nodata: float | None = None,
                  dst_nodata: float = 0.0) -> DataFrame:

@@ -3208,6 +3208,24 @@ vcs AS (
     SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
   GROUP BY m.i, m.w, m.h
 ),
+nmeta AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS w,
+    CASE i % 3 WHEN 0 THEN 40 WHEN 1 THEN 32 ELSE 64 END AS h,
+    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END AS k
+  FROM cidx
+),
+ncs AS (
+  SELECT m.i,
+    CAST(m.w * m.h
+         - (m.w - 2 * (m.k + 2)) * (m.h - 2 * (m.k + 2)) AS BIGINT) AS n_collar,
+    CAST((m.w - 2 * (m.k + 2)) * (m.h - 2 * (m.k + 2)) AS BIGINT) AS n_valid,
+    CAST(SUM(200 % ({_CS_PRIME.format(i='y.a * m.w + x.a')})) % 65536 AS BIGINT) AS cs
+  FROM nmeta m,
+       LATERAL (SELECT unnest(generate_series(m.k + 2, m.h - m.k - 3)) AS a) y,
+       LATERAL (SELECT unnest(generate_series(m.k + 2, m.w - m.k - 3)) AS a) x
+  GROUP BY m.i, m.w, m.h, m.k
+),
 fmeta AS (
   SELECT i,
     CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS w,
@@ -3259,6 +3277,11 @@ SELECT 'viewshed' AS mode, printf('vsh%08d', i) AS image_id,
        4.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
 FROM vcs
 UNION ALL
+SELECT 'nearblack' AS mode, printf('nbk%08d', i) AS image_id,
+       CAST(n_collar AS DOUBLE) AS a, CAST(n_valid AS DOUBLE) AS b,
+       CAST(cs AS DOUBLE) AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
+FROM ncs
+UNION ALL
 SELECT 'fill_nodata' AS mode, printf('fnd%08d', i) AS image_id,
        36.0 AS a, CAST(cs AS DOUBLE) AS b,
        0.0 AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
@@ -3268,7 +3291,7 @@ FROM fcs
 
 @q("exact_patterns", _EXACT_PATTERNS_SQL)
 def exact_patterns_q(spark, sf_dir):
-    """Six rows-only raster-operator modes value-gated end to end on the
+    """Seven rows-only raster-operator modes value-gated end to end on the
     closed-form pattern corpus: GDALPolygonize (alg/polygonize.cpp) emits
     one row per checkerboard block with exact comp_id/value/count/bbox,
     and in 8CONNECTED mode (alg/polygonize.cpp:87) exactly TWO components
@@ -3279,10 +3302,14 @@ def exact_patterns_q(spark, sf_dir):
     checksum; GDALComputeProximity (alg/gdalproximity.cpp) runs at native
     resolution on stripe targets where the chamfer distance is exact;
     the Wang viewshed (alg/viewshed/viewshed_executor.cpp) sees the whole
-    grid from a descending cone's apex; GDALFillNodata (alg/rasterfill.cpp)
+    grid from a descending cone's apex; GDALNearblack
+    (apps/nearblack_lib.cpp) strips a frame collar plus the two-pixel
+    grey-area allowance on every side, leaving a centered rectangle with
+    closed-form counts and checksum; GDALFillNodata (alg/rasterfill.cpp)
     restores the exact constant on an all-equal hole boundary."""
     from .fixtures.patterns import pattern_images_df
-    from .operators.rasterops import fill_nodata_stats, viewshed_stats
+    from .operators.rasterops import (fill_nodata_stats, nearblack_stats,
+                                      viewshed_stats)
     from .operators.vectorize import polygonize, proximity_map, sieve_filter
 
     n = 24
@@ -3339,6 +3366,14 @@ def exact_patterns_q(spark, sf_dir):
         F.col("corners_visible").cast("double").alias("d"),
         F.lit(0.0).alias("e"), F.lit(0.0).alias("f"), F.lit(0.0).alias("g"),
     )
+    nb = nearblack_stats(
+        pattern_images_df(spark, "frame", n), downsample_to=None,
+    ).select(
+        F.lit("nearblack").alias("mode"), "image_id",
+        F.col("n_collar").cast("double").alias("a"),
+        F.col("n_valid").cast("double").alias("b"),
+        F.col("cs").cast("double").alias("c"), *zeros,
+    )
     f = fill_nodata_stats(
         pattern_images_df(spark, "plateau_hole", n), nodata_below=8,
         max_distance=8, downsample_to=None,
@@ -3349,7 +3384,7 @@ def exact_patterns_q(spark, sf_dir):
         F.lit(0.0).alias("c"), *zeros,
     )
     return (p.unionByName(p8).unionByName(s).unionByName(x)
-            .unionByName(v).unionByName(f))
+            .unionByName(v).unionByName(nb).unionByName(f))
 
 
 @q("st_functions_sql", None)

@@ -808,3 +808,62 @@ class TestPatternOracles:
             filled = fill_nodata(a, mask, 8)
             u8 = np.clip(np.floor(filled + 0.5), 0, 255).astype(np.uint8)
             assert (u8 == 200).all()
+
+
+class TestNearblack:
+    def test_frame_collar_closed_form(self):
+        import numpy as np
+
+        from gdal_spark.oracle.nearblack import nearblack
+
+        h, w, k = 20, 16, 3
+        a = np.full((h, w, 3), 200, dtype=np.uint8)
+        a[:k], a[-k:], a[:, :k], a[:, -k:] = 0, 0, 0, 0
+        out, mask = nearblack(a)
+        # collar + the 2-px grey-area allowance per side (max_non_black=2)
+        shrink = k + 2
+        assert (mask == 0).sum() == h * w - (h - 2 * shrink) * (w - 2 * shrink)
+        assert (mask[shrink:h - shrink, shrink:w - shrink] == 255).all()
+        assert (out[mask == 0] == 0).all()
+        assert (out[shrink, shrink] == (200, 200, 200)).all()
+
+    def test_no_collar_untouched(self):
+        import numpy as np
+
+        from gdal_spark.oracle.nearblack import nearblack
+
+        a = np.full((10, 10, 3), 180, dtype=np.uint8)
+        out, mask = nearblack(a)
+        # first-line / first-pixel rules terminate immediately
+        assert (mask == 255).all()
+        assert (out == a).all()
+
+    def test_near_white_with_noise(self):
+        import numpy as np
+
+        from gdal_spark.oracle.nearblack import nearblack
+
+        h, w, k = 18, 18, 2
+        rng = np.random.default_rng(0)
+        a = np.full((h, w, 3), 90, dtype=np.uint8)
+        noise = rng.integers(241, 256, size=(h, w, 3)).astype(np.uint8)
+        for sl in (np.s_[:k, :], np.s_[-k:, :], np.s_[:, :k], np.s_[:, -k:]):
+            a[sl] = noise[sl]
+        out, mask = nearblack(a, white=True)
+        shrink = k + 2
+        assert (mask == 0).sum() == h * w - (h - 2 * shrink) * (w - 2 * shrink)
+        assert (out[mask == 0] == 255).all()  # -white replaces with 255
+
+    def test_operator_on_frame_fixture(self, spark):
+        from gdal_spark.fixtures.patterns import (FRAME_H, FRAME_K, FRAME_W,
+                                                  pattern_images_df)
+        from gdal_spark.operators.rasterops import nearblack_stats
+
+        rows = nearblack_stats(
+            pattern_images_df(spark, "frame", 3), downsample_to=None
+        ).orderBy("image_id").collect()
+        assert len(rows) == 3
+        for i, r in enumerate(rows):
+            w, h, k = FRAME_W[i % 3], FRAME_H[i % 3], FRAME_K[i % 3]
+            assert r["n_valid"] == (w - 2 * (k + 2)) * (h - 2 * (k + 2))
+            assert r["n_collar"] + r["n_valid"] == w * h
