@@ -765,13 +765,19 @@ def contour(images: DataFrame, levels=(64.0, 128.0, 192.0),
 
 
 def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
-                   target_height: float = 0.0, downsample_to: int | None = 64
+                   target_height: float = 0.0, downsample_to: int | None = 64,
+                   observer_yx: tuple | None = None,
+                   max_distance: float | None = None,
+                   curve_coeff: float = 0.0, cell_size: float = 1.0
                    ) -> DataFrame:
-    """Viewshed from each image's center over band 1 as the DEM — the Wang
-    reference-plane algorithm (alg/viewshed/viewshed_executor.cpp
-    CalcHeightLine/CalcHeightEdge propagation, Edge cell mode). Emits the
-    visible-cell count/fraction + a visibility-mask checksum, plus an LOS
-    check to the four corners (alg/los.cpp semantics)."""
+    """Viewshed from each image's center (or ``observer_yx`` — the -ox/-oy
+    option) over band 1 as the DEM — the Wang reference-plane algorithm
+    (alg/viewshed/viewshed_executor.cpp CalcHeightLine/CalcHeightEdge
+    propagation, Edge cell mode), with the -md max-distance cut and the
+    -cc earth-curvature/refraction coefficient (heights drop by
+    cc/(2*semi_major)*d^2 before propagation). Emits the visible-cell
+    count/fraction + a visibility-mask checksum, plus an LOS check to the
+    four corners (alg/los.cpp semantics)."""
     from ..oracle.viewshed import line_of_sight, viewshed
 
     def gen(batches):
@@ -782,8 +788,13 @@ def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
                 if downsample_to and (a.shape[0] > downsample_to
                                       or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
-                oy, ox = a.shape[0] // 2, a.shape[1] // 2
-                vis = viewshed(a, oy, ox, observer_height, target_height)
+                if observer_yx is not None:
+                    oy, ox = int(observer_yx[0]), int(observer_yx[1])
+                else:
+                    oy, ox = a.shape[0] // 2, a.shape[1] // 2
+                vis = viewshed(a, oy, ox, observer_height, target_height,
+                               max_distance=max_distance,
+                               curve_coeff=curve_coeff, cell_size=cell_size)
                 corners = sum(
                     line_of_sight(a, oy, ox, cy, cx, observer_height)
                     for cy in (0, a.shape[0] - 1) for cx in (0, a.shape[1] - 1)

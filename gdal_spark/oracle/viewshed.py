@@ -72,10 +72,30 @@ def _sweep_rows(z, oy, ox, direction, target):
 
 
 def viewshed(dem, oy: int, ox: int, observer_height: float = 2.0,
-             target_height: float = 0.0):
+             target_height: float = 0.0, max_distance: float | None = None,
+             curve_coeff: float = 0.0, semi_major: float = 6378137.0,
+             cell_size: float = 1.0):
     """Visibility mask from an observer cell (Wang reference-plane method,
-    Edge cell mode — alg/viewshed/viewshed_executor.cpp semantics)."""
+    Edge cell mode — alg/viewshed/viewshed_executor.cpp semantics).
+
+    ``curve_coeff`` applies the reference's earth-curvature/refraction
+    correction before propagation: every cell's height drops by
+    curve_coeff / (2 * semi_major) * d^2 with d the georeferenced
+    distance from the observer (viewshed_executor.cpp:403
+    ``*pdfHeight -= m_dfHeightAdjFactor * dfR2 + m_dfZObserver``,
+    calcHeightAdjFactor = curveCoeff / (2 * SemiMajor); the gdal_viewshed
+    default coefficient is 0.85714 — 1 minus 1/7 refraction).
+    ``max_distance`` marks cells beyond it out-of-range (= not visible in
+    the emitted mask, the -md option's oOutOfRange masking)."""
     z = np.asarray(dem, dtype=np.float64)
+    h0, w0 = z.shape
+    d2 = None
+    if curve_coeff or max_distance is not None:
+        yy, xx = np.mgrid[0:h0, 0:w0]
+        d2 = (((yy - oy) ** 2 + (xx - ox) ** 2).astype(np.float64)
+              * cell_size * cell_size)
+    if curve_coeff:
+        z = z - curve_coeff / (2.0 * semi_major) * d2
     z = z - (z[oy, ox] + observer_height)
     h, w = z.shape
     vis = np.zeros((h, w), dtype=bool)
@@ -91,6 +111,8 @@ def viewshed(dem, oy: int, ox: int, observer_height: float = 2.0,
     vis |= vt.T
     # observer row/column at distance 1 handled by the ring-1 rule; farther
     # axis cells were covered by the sweeps (dx == 0 / transposed dx == 0)
+    if max_distance is not None:
+        vis &= d2 <= max_distance * max_distance
     return vis
 
 

@@ -867,3 +867,58 @@ class TestNearblack:
             w, h, k = FRAME_W[i % 3], FRAME_H[i % 3], FRAME_K[i % 3]
             assert r["n_valid"] == (w - 2 * (k + 2)) * (h - 2 * (k + 2))
             assert r["n_collar"] + r["n_valid"] == w * h
+
+
+class TestViewshedOptions:
+    def test_max_distance_disk(self):
+        import numpy as np
+
+        from gdal_spark.oracle.viewshed import viewshed
+
+        flat = np.zeros((21, 21))
+        v = viewshed(flat, 10, 10, 2.0, max_distance=5.0)
+        yy, xx = np.mgrid[0:21, 0:21]
+        d2 = (yy - 10) ** 2 + (xx - 10) ** 2
+        assert (v == (d2 <= 25)).all()
+
+    def test_curvature_horizon_on_flat_plane(self):
+        import numpy as np
+
+        from gdal_spark.oracle.viewshed import viewshed
+
+        # gdal_viewshed defaults: cc=0.85714, WGS84 semi-major.  2 m eye
+        # over a flat plane -> horizon at sqrt(2*a*oh/cc) ~ 5.45 km; at
+        # 500 m cells that is ~10.9 cells: near cells visible, the far
+        # corners (>15 cells) below the curvature drop
+        flat = np.zeros((33, 33))
+        v0 = viewshed(flat, 16, 16, 2.0)
+        assert v0.all()
+        v = viewshed(flat, 16, 16, 2.0, curve_coeff=0.85714, cell_size=500.0)
+        assert v[16, 16] and v[16, 21]          # within the horizon
+        assert not v[0, 0] and not v[32, 32]    # far corners beyond it
+        assert v.sum() < v0.sum()
+        # axis visibility ends exactly at the analytic horizon cell: the
+        # curved profile is concave so the blocking cell is always the
+        # previous one; z(d) >= z(d-1)*d/(d-1) fails first past d_h
+        k = 0.85714 / (2 * 6378137.0)
+        col = v[16, 17:]
+        d = np.arange(1, col.size + 1) * 500.0
+        zrel = -k * d * d - 2.0
+        vis_axis = [True]
+        A = zrel[0]
+        for i in range(1, col.size):
+            req = A * (i + 1) / i
+            vis_axis.append(zrel[i] >= req)
+            A = max(zrel[i], req)
+        assert list(col) == vis_axis
+
+    def test_observer_position_override(self, spark):
+        from gdal_spark.fixtures.patterns import pattern_images_df
+        from gdal_spark.operators.rasterops import viewshed_stats
+
+        df = pattern_images_df(spark, "cone", 1)
+        center = viewshed_stats(df).toPandas().iloc[0]
+        corner = viewshed_stats(df, observer_yx=(0, 0)).toPandas().iloc[0]
+        # whole grid visible from the cone apex; not from the corner
+        assert center["frac_visible"] == 1.0
+        assert corner["n_visible"] < center["n_visible"]
