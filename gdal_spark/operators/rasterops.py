@@ -1003,10 +1003,11 @@ def overview_downsample(images: DataFrame, method: str = "average"
 
 
 def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
-                      max_distance: int = 8, downsample_to: int | None = 64
-                      ) -> DataFrame:
+                      max_distance: int = 8, downsample_to: int | None = 64,
+                      smoothing_iterations: int = 0) -> DataFrame:
     """GDALFillNodata (alg/rasterfill.cpp): IDW-fill band-1 pixels below a
-    threshold (treated as nodata); emits filled-count + checksum."""
+    threshold (treated as nodata), with the -si 3x3 smoothing post-passes
+    over the filled pixels; emits filled-count + checksum."""
     from ..oracle.contour import fill_nodata
     from ..oracle.resample import resample_nearest
 
@@ -1019,7 +1020,8 @@ def fill_nodata_stats(images: DataFrame, nodata_below: int = 8,
                                       or a.shape[1] > downsample_to):
                     a = resample_nearest(a, downsample_to, downsample_to)
                 mask = a < nodata_below
-                filled = fill_nodata(a.astype(np.float64), mask, max_distance)
+                filled = fill_nodata(a.astype(np.float64), mask,
+                                     max_distance, smoothing_iterations)
                 filled_u8 = np.clip(np.floor(filled + 0.5), 0, 255).astype(np.uint8)
                 out.append(
                     dict(image_id=r.image_id, n_filled=int(mask.sum()),

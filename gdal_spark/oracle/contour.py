@@ -276,11 +276,18 @@ def contour_summary(band, levels):
     return out
 
 
-def fill_nodata(band, mask, max_distance: int = 16):
+def fill_nodata(band, mask, max_distance: int = 16,
+                smoothing_iterations: int = 0):
     """Fill ``mask`` (True = nodata) pixels with the inverse-distance
     weighted mean of valid pixels within ``max_distance`` (chebyshev
     window), the GDALFillNodata IDW core. Pixels with no valid neighbor in
-    range stay unchanged."""
+    range stay unchanged.
+
+    ``smoothing_iterations`` applies the reference's -si post-pass
+    (GDALMultiFilter, alg/rasterfill.cpp:126): each iteration replaces
+    every FILLED pixel with the plain 3x3 average of all pixels that
+    carry a value (original + filled; out-of-range unfilled pixels
+    neither change nor contribute) — original data pixels never change."""
     a = np.asarray(band, dtype=np.float64).copy()
     m = np.asarray(mask, dtype=bool)
     h, w = a.shape
@@ -288,7 +295,7 @@ def fill_nodata(band, mask, max_distance: int = 16):
     vy, vx = np.nonzero(~m)
     if vy.size == 0 or ys.size == 0:
         return a
-    valid_vals = a[vy, vx]
+    filled = np.zeros((h, w), dtype=bool)
     for y, x in zip(ys, xs):
         y0, y1 = max(0, y - max_distance), min(h, y + max_distance + 1)
         x0, x1 = max(0, x - max_distance), min(w, x + max_distance + 1)
@@ -299,4 +306,22 @@ def fill_nodata(band, mask, max_distance: int = 16):
         d2 = (syy + y0 - y) ** 2 + (sxx + x0 - x) ** 2
         wgt = 1.0 / d2
         a[y, x] = (wgt * a[y0:y1, x0:x1][syy, sxx]).sum() / wgt.sum()
+        filled[y, x] = True
+    if smoothing_iterations > 0 and filled.any():
+        has_val = ~m | filled  # TargetMask: original valid + filled
+        for _ in range(smoothing_iterations):
+            vals = np.where(has_val, a, 0.0)
+            cnt = has_val.astype(np.float64)
+            ssum = np.zeros_like(a)
+            scnt = np.zeros_like(a)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ys0, ys1 = max(0, -dy), min(h, h - dy)
+                    xs0, xs1 = max(0, -dx), min(w, w - dx)
+                    ssum[ys0:ys1, xs0:xs1] += vals[ys0 + dy:ys1 + dy,
+                                                   xs0 + dx:xs1 + dx]
+                    scnt[ys0:ys1, xs0:xs1] += cnt[ys0 + dy:ys1 + dy,
+                                                  xs0 + dx:xs1 + dx]
+            upd = filled & (scnt > 0)
+            a[upd] = ssum[upd] / scnt[upd]
     return a

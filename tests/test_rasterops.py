@@ -922,3 +922,43 @@ class TestViewshedOptions:
         # whole grid visible from the cone apex; not from the corner
         assert center["frac_visible"] == 1.0
         assert corner["n_visible"] < center["n_visible"]
+
+
+class TestFillNodataSmoothing:
+    def test_constant_fill_invariant_and_3x3_average(self):
+        import numpy as np
+
+        from gdal_spark.oracle.contour import fill_nodata
+
+        a = np.full((12, 12), 50.0)
+        m = np.zeros((12, 12), bool)
+        m[4:8, 4:8] = True
+        a[m] = 0
+        assert np.allclose(fill_nodata(a, m, 8, 3), 50)
+
+        b = np.array([[0., 0., 0.], [10., 0., 30.], [20., 0., 40.]])
+        mb = np.zeros((3, 3), bool)
+        mb[:, 1] = True
+        f = fill_nodata(b, mb, 4, 0)
+        fs = fill_nodata(b, mb, 4, 1)
+        # -si pass: every FILLED pixel becomes the 3x3 average of valued
+        # neighbors (all 9 carry values post-fill); data pixels untouched
+        for r in range(3):
+            r0, r1 = max(0, r - 1), min(3, r + 2)
+            assert fs[r, 1] == pytest.approx(f[r0:r1, :].mean())
+        assert (fs[:, 0] == b[:, 0]).all() and (fs[:, 2] == b[:, 2]).all()
+
+    def test_unfilled_pixels_excluded(self):
+        import numpy as np
+
+        from gdal_spark.oracle.contour import fill_nodata
+
+        # nodata block too far from data for max_distance=1: stays
+        # unfilled AND does not contribute to smoothing sums
+        a = np.full((9, 9), 80.0)
+        m = np.zeros((9, 9), bool)
+        m[2:7, 2:7] = True
+        a[m] = 0
+        out = fill_nodata(a, m, 1, 2)
+        assert (out[4, 4] == 0)          # center out of reach, unfilled
+        assert out[2, 2] == pytest.approx(80.0)  # ring filled from border
