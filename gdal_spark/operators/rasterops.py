@@ -23,9 +23,40 @@ from ..oracle.tiling import geotransform_3857
 from ..oracle.warp import warp_3857_to_4326
 
 
+def _resample_any(a, out_h, out_w, method: str):
+    """-r dispatch for translate -outsize (gdal_translate_lib.cpp -r +
+    rasterio resampling table): nearest/bilinear vectorize over (H, W, C)
+    directly; the convolution/box kernels run per band."""
+    from ..oracle.resample import (_round_int, resample_average,
+                                   resample_convolve, resample_mode,
+                                   resample_stat)
+
+    if method == "nearest":
+        return resample_nearest(a, out_h, out_w)
+    if method == "bilinear":
+        from ..oracle.resample import resample_bilinear
+
+        return resample_bilinear(a, out_h, out_w)
+    a = np.asarray(a)
+    bands = [a] if a.ndim == 2 else [a[:, :, i] for i in range(a.shape[2])]
+    if method in ("cubic", "cubicspline", "lanczos"):
+        done = [_round_int(resample_convolve(b.astype(np.float64), out_h,
+                                             out_w, method), a.dtype)
+                for b in bands]
+    elif method == "average":
+        done = [resample_average(b, out_h, out_w) for b in bands]
+    elif method == "mode":
+        done = [resample_mode(b, out_h, out_w) for b in bands]
+    elif method == "rms":
+        done = [resample_stat(b, out_h, out_w, "rms") for b in bands]
+    else:
+        raise ValueError(f"unknown -r method: {method}")
+    return done[0] if a.ndim == 2 else np.stack(done, axis=2)
+
+
 def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
               bands=None, ot: str | None = None, projwin=None,
-              expand: str | None = None) -> DataFrame:
+              expand: str | None = None, r: str = "nearest") -> DataFrame:
     """gdal_translate semantics (apps/gdal_translate_lib.cpp:90-313):
     -srcwin (x, y, w, h) subset, -projwin (ulx, uly, lrx, lry) georeferenced
     window in EPSG:3857 resolved per image through its geotransform with the
@@ -35,6 +66,7 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
     rescale, -b band selection (1-based list), -expand rgb|gray (single-band
     replication, the palette-expansion analogue), -ot type cast.
     Emits re-encoded PNG rows + band-1 checksum."""
+    r_method = r  # the row loop below rebinds ``r`` inside the closure
 
     def gen(batches):
         for pdf in batches:
@@ -94,7 +126,7 @@ def translate(images: DataFrame, srcwin=None, outsize=None, scale=None,
                     a = a.mean(axis=2)
                     a = np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
                 if outsize is not None:
-                    a = resample_nearest(a, outsize[1], outsize[0])
+                    a = _resample_any(a, outsize[1], outsize[0], r_method)
                 if scale is not None:
                     s0, s1, d0, d1 = scale
                     af = a.astype(np.float64)

@@ -962,3 +962,27 @@ class TestFillNodataSmoothing:
         out = fill_nodata(a, m, 1, 2)
         assert (out[4, 4] == 0)          # center out of reach, unfilled
         assert out[2, 2] == pytest.approx(80.0)  # ring filled from border
+
+
+class TestTranslateResampling:
+    def test_outsize_r_methods(self, spark, imgs):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode
+        from gdal_spark.operators.rasterops import translate
+        from gdal_spark.oracle.resample import resample_bilinear
+
+        one = imgs.limit(1)
+        src = decode(one.collect()[0]["bytes"])
+        got = translate(one, outsize=(24, 20), r="bilinear").collect()[0]
+        out = decode(got["bytes"])
+        assert out.shape[:2] == (20, 24)
+        assert (out == resample_bilinear(src, 20, 24)).all()
+        # every -r method produces the right shape and differs where the
+        # kernels should differ
+        cs = {}
+        for m in ("nearest", "cubic", "average", "mode"):
+            row = translate(one, outsize=(24, 20), r=m).collect()[0]
+            assert decode(row["bytes"]).shape[:2] == (20, 24)
+            cs[m] = row["cs1"]
+        assert cs["nearest"] != cs["average"]
