@@ -111,17 +111,23 @@ def overview_tile_from_children(children: dict, dtype=np.uint8, bands: int = 3
     """One overview tile from its <=4 children at z+1.
 
     ``children``: {(dx, dy_tms): 256² array} with dx = x&1, dy = y_tms&1.
-    Mosaic into a 512² canvas (TMS y: dy=1 is the northern/top half) and
-    2x2-average downsample (create_overview_tile semantics)."""
+    Equivalent to mosaicking a 512² canvas (TMS y: dy=1 is the
+    northern/top half) and 2x2-average downsampling it
+    (create_overview_tile semantics), but averaged PER OCCUPIED QUADRANT:
+    2x2 blocks never straddle the quadrant boundary, so absent children
+    contribute exact zeros without being averaged — most overview tiles
+    have 1-2 children, making this ~3x less work than the full canvas."""
     from .resample import average_2x2
 
-    shape = (2 * TILE, 2 * TILE, bands) if bands > 1 else (2 * TILE, 2 * TILE)
-    canvas = np.zeros(shape, dtype=dtype)
+    half = TILE // 2
+    shape = (TILE, TILE, bands) if bands > 1 else (TILE, TILE)
+    out = np.zeros(shape, dtype=dtype)
     for (dx, dy), tile in children.items():
-        row0 = 0 if dy == 1 else TILE  # northern child on top
-        col0 = dx * TILE
-        canvas[row0 : row0 + TILE, col0 : col0 + TILE] = tile
-    return average_2x2(canvas)
+        row0 = 0 if dy == 1 else half  # northern child on top
+        col0 = dx * half
+        out[row0 : row0 + half, col0 : col0 + half] = average_2x2(
+            np.asarray(tile, dtype=dtype))
+    return out
 
 
 def build_pyramid(arr, lon, lat, gsd_m, tminz: int, method: str = "nearest"):
