@@ -53,8 +53,10 @@ TILE_SCHEMA = (
 )
 
 
-def _tile_row(image_id, z, tx, ty, arr, codec: str = "png") -> dict:
-    """``codec='png'``: full container bytes (the sink format).
+def _tile_row(image_id, z, tx, ty, arr, codec: str | None = "png") -> dict:
+    """``codec=None``: no tile bytes at all (checksum-only consumers —
+    nothing is encoded or shipped through Arrow).
+    ``codec='png'``: full container bytes (the sink format).
     ``codec='raw'``: C-order uint8 bytes (tiles are always 256^2, band count
     reconstructs as len//65536). ``codec='zlib1'``: raw bytes through
     zlib level 1 — the INTER-LEVEL default: measured on the 20k-image
@@ -63,6 +65,12 @@ def _tile_row(image_id, z, tx, ty, arr, codec: str = "png") -> dict:
     level-6 deflate per level; level-1 deflate keeps ~the PNG ratio at a
     fraction of the CPU."""
     cs = checksum_image(arr)
+    if codec is None:
+        return dict(
+            image_id=image_id, z=int(z), x=int(tx), y=int(ty), tile=None,
+            cs1=cs[0], cs2=cs[1] if len(cs) > 1 else None,
+            cs3=cs[2] if len(cs) > 2 else None,
+        )
     a8 = np.ascontiguousarray(arr, dtype=np.uint8)
     if codec == "raw":
         tile = a8.tobytes()
@@ -188,8 +196,16 @@ def _transcode_tiles(tiles: DataFrame, in_codec: str, out_codec: str
 def _per_image_pyramid(images: DataFrame, tminz: int, method: str,
                        codec: str) -> DataFrame:
     """Map-only pyramid: one task renders an image's base tiles AND reduces
-    all its overview levels locally (single-image oracle kernel)."""
-    out_codec = _INTER_CODEC if codec == "internal" else codec
+    all its overview levels locally (single-image oracle kernel).
+
+    ``codec='internal'`` emits NULL tile bytes: the documented contract is
+    that such consumers aggregate keys/checksums only, and in the map-only
+    path the tiles never cross a stage boundary — encoding them (PNG
+    filtering + deflate was ~60% of this operator's CPU) bought nothing.
+    The distributed level-loop keeps its measured inter-level transport
+    codec; a checksum-only consumer that does touch ``tile`` now fails
+    loudly instead of silently paying for bytes nobody reads."""
+    out_codec = None if codec == "internal" else codec
 
     def gen(batches):
         from ..oracle.tiling import build_pyramid as _bp
