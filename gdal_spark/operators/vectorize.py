@@ -156,13 +156,20 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
                     fid_col: str = "fid", burn: float = 1.0,
                     attribute: str | None = None, add: bool = False,
                     all_touched: bool = False, z_col: str | None = None,
-                    tile_px: int = 128) -> DataFrame:
+                    inverse: bool = False, tile_px: int = 128) -> DataFrame:
     """gdal_rasterize for polygon layers with the full option surface
     (alg/gdalrasterize.cpp:796-811, 999): even-odd scanline fill with
     holes, ``attribute`` burn (-a), ``add`` vs replace (-add / GRIO_ADD),
     ``all_touched`` (-at, GDALdllImageLineAllTouched boundary traversal),
     and BURN_VALUE_FROM=Z via ``z_col`` (-3d; array<double> of per-vertex
     Z aligned with the concatenated ring vertices incl. closing points).
+
+    ``inverse`` (-i, apps/gdal_rasterize_lib.cpp:737 InvertGeometries):
+    burn where NOT covered — the dataset-extent ring plus every feature
+    ring fill as ONE even-odd geometry, reproducing the reference quirk
+    that a pixel inside an even number of overlapping polygons stays
+    burned (extent parity 1 + even crossings = odd). Constant burn only
+    (the reference merges all geometries, so -a / -3d do not compose).
 
     Distributed shape: each feature's bbox explodes to the output TILES it
     covers (tile_px x tile_px pixel blocks), one shuffle groups features
@@ -246,8 +253,52 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
             "v": out[py, px],
         })
 
-    return feats.groupBy("tx", "ty").applyInPandas(
-        burn_tile, schema="px long, py long, v double"
+    if not inverse:
+        return feats.groupBy("tx", "ty").applyInPandas(
+            burn_tile, schema="px long, py long, v double"
+        )
+
+    if attribute is not None or z_col is not None:
+        raise ValueError("inverse rasterization burns a constant "
+                         "(reference -i merges all geometries)")
+    extent_ring = np.array(
+        [[minx, maxy], [minx + nx * float(cell), maxy],
+         [minx + nx * float(cell), maxy - ny * float(cell)],
+         [minx, maxy - ny * float(cell)], [minx, maxy]], dtype=np.float64)
+
+    def burn_tile_inv(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        gx = minx + tx * span
+        gy = maxy - ty * span
+        gt = [gx, cell, 0.0, gy, 0.0, -cell]
+        tw = min(tile_px, nx - tx * tile_px)
+        th = min(tile_px, ny - ty * tile_px)
+        rings = [extent_ring]
+        for r in pdf.sort_values("fid").itertuples(index=False):
+            if r.wkb is None:
+                continue
+            kind, d = G.parse_wkb(bytes(r.wkb))
+            rings.extend(d if kind == "polygon"
+                         else [ring for part in d for ring in part])
+        out = rasterize_rings(rings, gt, tw, th, burn=float(burn),
+                              add=add, all_touched=all_touched)
+        py, px = np.nonzero(out)
+        return pd.DataFrame({
+            "px": px + tx * tile_px, "py": py + ty * tile_px,
+            "v": out[py, px],
+        })
+
+    # every tile appears in the output (empty tiles burn fully), so the
+    # feature rows left-join onto the full tile grid
+    grid = polys.sparkSession.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("long").alias("tx"),
+        (F.col("id") / ntx).cast("long").alias("ty"),
+    )
+    feats_t = feats.withColumn("tx", F.col("tx").cast("long")) \
+                   .withColumn("ty", F.col("ty").cast("long"))
+    joined = grid.join(feats_t, ["tx", "ty"], "left")
+    return joined.groupBy("tx", "ty").applyInPandas(
+        burn_tile_inv, schema="px long, py long, v double"
     )
 
 

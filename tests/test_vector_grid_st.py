@@ -641,3 +641,51 @@ class TestPolygonizeRings:
                 np.dot(ring[:-1, 0], ring[1:, 1]) - np.dot(ring[1:, 0], ring[:-1, 1])
             )
             assert a >= r.pixel_count - 1e-9 if r.n_holes else a == r.pixel_count
+
+
+class TestRasterizeInverse:
+    def test_inverse_complement_and_overlap_parity(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.fixtures.tile_grid import wkb_polygon
+        from gdal_spark.operators.vectorize import rasterize_layer
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        # raster: 40x30 px, cell 1, origin (0, 30); two overlapping squares
+        polys = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2],
+            "wkb": [bytes(wkb_polygon(sq(5, 5, 20, 20))),
+                    bytes(wkb_polygon(sq(15, 10, 30, 25)))],
+        }))
+        kw = dict(minx=0.0, maxy=30.0, cell=1.0, nx=40, ny=30, tile_px=16)
+        normal = rasterize_layer(polys, **kw).toPandas()
+        inv = rasterize_layer(polys, inverse=True, **kw).toPandas()
+
+        grid_n = np.zeros((30, 40)); grid_i = np.zeros((30, 40))
+        grid_n[normal["py"], normal["px"]] = 1
+        grid_i[inv["py"], inv["px"]] = 1
+        # overlap pixels (covered by BOTH polygons) carry the even-odd
+        # inverse quirk: extent parity 1 + 2 crossings = odd -> burned in
+        # the inverse too (apps/gdal_rasterize_lib.cpp InvertGeometries)
+        overlap = np.zeros((30, 40), dtype=bool)
+        overlap[np.ix_(range(30 - 20, 30 - 10), range(15, 20))] = True
+        both = (grid_n == 1) & (grid_i == 1)
+        assert (both == overlap).all()
+        # outside both polygons: inverse only; inside exactly one: normal only
+        assert ((grid_n + grid_i) >= 1).all()
+        # empty tiles burn fully in inverse mode
+        assert grid_i[0, 35:].all()
+
+    def test_inverse_rejects_attribute(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from gdal_spark.operators.vectorize import rasterize_layer
+
+        polys = spark.createDataFrame(pd.DataFrame({"fid": [1], "wkb": [b""],
+                                                    "a": [2.0]}))
+        with _pytest.raises(ValueError):
+            rasterize_layer(polys, 0, 10, 1.0, 10, 10, attribute="a",
+                            inverse=True)
