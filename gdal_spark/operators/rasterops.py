@@ -1180,16 +1180,42 @@ def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
     return tile_rows.withColumn("band", F.row_number().over(w))
 
 
+def mosaic_resolution_zoom(images: DataFrame, rule: str = "highest") -> int:
+    """gdalbuildvrt -resolution {highest|lowest|average} over the source
+    resolutions (apps/gdalbuildvrt_lib.cpp:1111-1147: highest = min
+    pixel size across sources, lowest = max, average = mean), mapped to
+    the mosaic's tile zoom through the never-scale-up rule
+    (oracle.mercator.zoom_for_pixel_size).  One distributed aggregate of
+    the gsd column; only the single scalar reaches the driver."""
+    from ..oracle.mercator import zoom_for_pixel_size
+
+    agg = {"highest": F.min, "lowest": F.max, "average": F.avg}.get(rule)
+    if agg is None:
+        raise ValueError(f"unknown -resolution rule: {rule}")
+    gsd = images.agg(agg("gsd_m")).collect()[0][0]
+    if gsd is None:
+        raise ValueError("empty source list")
+    return int(zoom_for_pixel_size(float(gsd)))
+
+
 def mosaic_tiles(images: DataFrame, zoom: int | None = None,
                  reducer: str = "mean",
-                 src_nodata: float | None = None) -> DataFrame:
+                 src_nodata: float | None = None,
+                 resolution: str | None = None) -> DataFrame:
     """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp): render every
     image's base tiles at a fixed zoom, then merge tiles sharing (z, x, y)
     with the placement rules of mosaic_merge ('last' = reference ordering
-    semantics, 'mean' = engine extension)."""
+    semantics, 'mean' = engine extension). The target zoom comes from
+    ``zoom``, else from the -resolution ``rule`` over the sources
+    (mosaic_resolution_zoom), else defaults to 8."""
     from .tiling import render_base_tiles
 
-    z = zoom if zoom is not None else 8
+    if zoom is not None:
+        z = zoom
+    elif resolution is not None:
+        z = mosaic_resolution_zoom(images, resolution)
+    else:
+        z = 8
     base = render_base_tiles(images, zoom=z, codec="raw")
     return mosaic_merge(base, reducer=reducer, src_nodata=src_nodata)
 

@@ -986,3 +986,21 @@ class TestTranslateResampling:
             assert decode(row["bytes"]).shape[:2] == (20, 24)
             cs[m] = row["cs1"]
         assert cs["nearest"] != cs["average"]
+
+
+class TestMosaicResolution:
+    def test_resolution_rules(self, spark, imgs):
+        from gdal_spark.operators.rasterops import mosaic_resolution_zoom
+        from gdal_spark.oracle.mercator import zoom_for_pixel_size
+
+        g = imgs.select("gsd_m").toPandas()["gsd_m"]
+        zh = mosaic_resolution_zoom(imgs, "highest")
+        zl = mosaic_resolution_zoom(imgs, "lowest")
+        za = mosaic_resolution_zoom(imgs, "average")
+        # gdalbuildvrt: highest = min pixel size, lowest = max, average
+        assert zh == int(zoom_for_pixel_size(float(g.min())))
+        assert zl == int(zoom_for_pixel_size(float(g.max())))
+        assert za == int(zoom_for_pixel_size(float(g.mean())))
+        assert zh >= za >= zl
+        with pytest.raises(ValueError):
+            mosaic_resolution_zoom(imgs, "median")
