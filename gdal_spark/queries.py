@@ -705,6 +705,32 @@ def similarity_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, qv, k=10)
 
 
+@q("similarity_ann_pq", None)
+def similarity_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. TPAMI 2011, the FAISS
+    IndexPQ shape): per-subspace codebooks on a bounded sample, one
+    map-side encode to m uint8 codes (384x compression at production
+    dims), ADC table-gather scoring, exact refine of the top candidates —
+    the memory-feasible ANN representation for a 100 TB embedding
+    corpus."""
+    from .operators.similarity import pq_encode, pq_topk, pq_train
+
+    register_tpch_views(spark, sf_dir)
+    qv = np.asarray(
+        spark.table("embeddings").where(F.col("vec_id") == 3)
+        .first()["embedding"],
+        dtype=np.float64,
+    )
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    books = pq_train(emb, m=8, ksub=64)
+    codes = pq_encode(emb, books)
+    return pq_topk(codes, books, qv, k=10, refine_df=emb)
+
+
 @q("similarity_ann_ivf", None)
 def similarity_ann_ivf(spark, sf_dir):
     """IVF-bucketed ANN (FAISS IndexIVFFlat shape): k-means coarse

@@ -300,3 +300,55 @@ class TestIvfStore:
             got.explain()
         pf = re.search(r"PartitionFilters: \[[^\]]*\]", buf.getvalue())
         assert pf and "list_id" in pf.group(0), buf.getvalue()[:2000]
+
+
+class TestProductQuantization:
+    def _df(self, spark, emb_pdf, extra_rows=()):
+        import pandas as pd
+
+        rows = [
+            {"vec_id": int(v), "embedding": [float(x) for x in e]}
+            for v, e in zip(emb_pdf["vec_id"], emb_pdf["embedding"])
+        ] + list(extra_rows)
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_codes_shape_and_determinism(self, spark, emb_pdf):
+        from gdal_spark.operators.similarity import pq_encode, pq_train
+
+        df = self._df(spark, emb_pdf)
+        b1 = pq_train(df, m=8, ksub=32, sample=512)
+        b2 = pq_train(df, m=8, ksub=32, sample=512)
+        np.testing.assert_array_equal(b1, b2)  # seeded -> reproducible
+        assert b1.shape == (8, 32, 8)          # dim 64 / m 8
+        codes = pq_encode(df.limit(20), b1).toPandas()
+        assert all(len(c) == 8 for c in codes["codes"])
+        assert all(0 <= v < 32 for c in codes["codes"] for v in c)
+
+    def test_adc_recall_and_refine(self, spark, emb_pdf):
+        """ADC top-k recovers planted near-duplicates; the refine stage
+        makes the scores exact and the ranking match brute force."""
+        from gdal_spark.operators.similarity import (
+            cosine_topk, pq_encode, pq_topk, pq_train)
+
+        rng = np.random.default_rng(3)
+        q = np.asarray(emb_pdf.iloc[9]["embedding"], dtype=np.float64)
+        planted = []
+        extra = []
+        for j in range(4):
+            nb = q + rng.normal(0, 0.02 * np.abs(q).mean(), q.shape)
+            planted.append(30_000 + j)
+            extra.append({"vec_id": 30_000 + j,
+                          "embedding": [float(x) for x in nb]})
+        df = self._df(spark, emb_pdf, extra)
+        books = pq_train(df, m=8, ksub=64, sample=4096)
+        codes = pq_encode(df, books)
+        ann = pq_topk(codes, books, q, k=6).toPandas()
+        found = len(set(ann["vec_id"]) & (set(planted) |
+                                          {int(emb_pdf["vec_id"].iloc[9])}))
+        assert found >= 4, f"ADC recovered {found}/5 planted+self"
+        # refine: exact rescore of 4k ADC candidates == brute-force top-k
+        ref = pq_topk(codes, books, q, k=5, refine_df=df).toPandas()
+        exact = cosine_topk(df, q, k=5).toPandas()
+        np.testing.assert_array_equal(ref["vec_id"].to_numpy(),
+                                      exact["vec_id"].to_numpy())
+        np.testing.assert_allclose(ref["cosine"], exact["cosine"], atol=1e-6)
