@@ -239,3 +239,140 @@ def sessionize_batch(events, gap_minutes: int = 10):
             .alias("value_cents"),
         )
     )
+
+
+DOCS_SCHEMA_DDL = ("doc_id long, text string, lang string, source string, "
+                   "n_chars long")
+
+
+def streaming_near_dup_filter(spark: SparkSession, source_dir: str,
+                              checkpoint_dir: str, sink_dir: str,
+                              num_hashes: int = 64, shingle_n: int = 5,
+                              watermark: str = "1 hour") -> None:
+    """Streaming near-duplicate FILTER: keep one representative per full
+    MinHash signature (state bounded by the watermark).  Signature
+    equality at 64 hashes is the high-threshold operating point of the
+    batch LSH (two docs agreeing on every minimum almost surely share
+    ~all shingles) — the firehose-side prefilter; lower-threshold pair
+    mining stays with incremental_near_dup_pairs / minhash_lsh_pairs."""
+    from ..operators.dedup import minhash_signatures
+
+    docs = spark.readStream.schema(DOCS_SCHEMA_DDL).parquet(source_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes, shingle_n)
+    keyed = (
+        docs.join(sigs.select("doc_id", "sig"), "doc_id")
+        .withColumn("sig_hash", F.xxhash64(F.concat_ws(",", "sig")))
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["sig_hash"])
+        .drop("_ingest_ts", "sig")
+    )
+    q = (
+        keyed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_near_dup_pairs(spark: SparkSession, source_dir: str,
+                               checkpoint_dir: str, corpus_dir: str,
+                               bands_dir: str, pairs_dir: str,
+                               num_hashes: int = 64, bands: int = 16,
+                               shingle_n: int = 5,
+                               jaccard_threshold: float = 0.5) -> None:
+    """Incremental MinHash-LSH pair mining (foreachBatch): each
+    micro-batch's band keys join against the ACCUMULATED band store (ids
+    only — the corpus's shingle sets are recomputed just for the
+    candidate ids, exactly like the batch operator's semi-join refine),
+    so per-batch cost scales with the batch and its colliding buckets,
+    never with corpus size.  Emits (id_a, id_b, jaccard) pairs touching
+    the batch to ``pairs_dir`` and appends the batch to ``corpus_dir`` +
+    its bands to ``bands_dir``.  Exactly-once note: foreachBatch is
+    at-least-once on retry; the id-ordered pair key makes downstream
+    dedup trivial (dropDuplicates on (id_a, id_b))."""
+    from ..functions.text import shingle_hashes
+    from ..operators.dedup import minhash_signatures
+
+    rows = num_hashes // bands
+
+    def banded_of(df):
+        sigs = minhash_signatures(df, "text", "doc_id", num_hashes,
+                                  shingle_n)
+        return sigs.where(F.size("sh") > 0).select(
+            F.col("doc_id"),
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice(F.col("sig"), i * rows + 1, rows))
+                    ).alias("bh"),
+                ),
+            )).alias("bk"),
+        ).select("doc_id", F.col("bk.band").alias("band"),
+                 F.col("bk.bh").alias("bh"))
+
+    def process(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        bands_b = banded_of(batch_df).persist()
+        try:
+            prior = spark.read.parquet(bands_dir)
+        except Exception:
+            prior = None
+        allb = bands_b if prior is None else bands_b.unionByName(prior)
+        # candidates: batch band rows vs (batch + prior) band rows
+        l, r = bands_b.alias("l"), allb.alias("r")
+        pair_ids = (
+            l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bh") == F.col("r.bh"))
+                   & (F.col("l.doc_id") != F.col("r.doc_id")))
+            .select(F.least("l.doc_id", "r.doc_id").alias("id_a"),
+                    F.greatest("l.doc_id", "r.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .persist()
+        )
+        cand_ids = (pair_ids.select(F.col("id_a").alias("doc_id"))
+                    .union(pair_ids.select(F.col("id_b").alias("doc_id")))
+                    .distinct())
+        try:
+            corpus = spark.read.parquet(corpus_dir)
+            texts = batch_df.select("doc_id", "text").unionByName(
+                corpus.select("doc_id", "text"))
+        except Exception:
+            texts = batch_df.select("doc_id", "text")
+        sh = (texts.join(cand_ids, "doc_id", "left_semi")
+              .dropDuplicates(["doc_id"])
+              .select("doc_id", shingle_hashes("text", shingle_n).alias("sh")))
+        cand = (
+            pair_ids
+            .join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}),
+                  "id_a")
+            .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}),
+                  "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        pairs = (cand.withColumn("jaccard",
+                                 inter / F.greatest(union, F.lit(1)))
+                 .where(F.col("jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b",
+                         F.round("jaccard", 6).alias("jaccard")))
+        pairs.write.mode("append").parquet(pairs_dir)
+        bands_b.write.mode("append").parquet(bands_dir)
+        batch_df.write.mode("append").parquet(corpus_dir)
+        pair_ids.unpersist()
+        bands_b.unpersist()
+        batch_df.unpersist()
+
+    docs = spark.readStream.schema(DOCS_SCHEMA_DDL).parquet(source_dir)
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
