@@ -361,3 +361,29 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray, query: np.ndarray,
     return (exact.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("cosine", 6).alias("cosine")))
+
+
+def ivfpq_topk(assigned: DataFrame, centroids: np.ndarray,
+               codebooks: np.ndarray, query: np.ndarray, k: int = 10,
+               nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               refine: bool = True, refine_factor: int = 4) -> DataFrame:
+    """IVF + PQ composition (the FAISS IndexIVFPQ shape): the coarse
+    quantizer prunes to ``nprobe`` inverted lists (a partition filter on
+    a list_id-partitioned store), then ADC scores only the surviving
+    rows' codes — at 100 TB the scan touches ~nprobe/nlist of the
+    partitions and reads m-byte codes, with the optional exact refine
+    touching ~refine_factor*k full vectors.  ``assigned`` must carry the
+    codes column from pq_encode joined onto ivf_build's output (or be
+    the opened store with both)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = (centroids @ qn).argsort()[::-1][:nprobe]
+    probe = [int(x) for x in order]
+    pruned = assigned.where(F.col("list_id").isin(probe))
+    codes_df = pruned.select(id_col, "codes")
+    refine_df = (pruned.select(id_col, vec_col)
+                 if refine and vec_col in assigned.columns else None)
+    return pq_topk(codes_df, codebooks, query, k=k, id_col=id_col,
+                   refine_df=refine_df, refine_factor=refine_factor,
+                   vec_col=vec_col)

@@ -352,3 +352,38 @@ class TestProductQuantization:
         np.testing.assert_array_equal(ref["vec_id"].to_numpy(),
                                       exact["vec_id"].to_numpy())
         np.testing.assert_allclose(ref["cosine"], exact["cosine"], atol=1e-6)
+
+
+class TestIVFPQ:
+    def test_composition_recovers_planted(self, spark, emb_pdf):
+        import pandas as pd
+
+        from gdal_spark.operators.similarity import (
+            cosine_topk, ivf_build, ivfpq_topk, pq_encode, pq_train)
+
+        rng = np.random.default_rng(5)
+        q = np.asarray(emb_pdf.iloc[4]["embedding"], dtype=np.float64)
+        rows = [
+            {"vec_id": int(v), "embedding": [float(x) for x in e]}
+            for v, e in zip(emb_pdf["vec_id"], emb_pdf["embedding"])
+        ]
+        planted = []
+        for j in range(3):
+            nb = q + rng.normal(0, 0.02 * np.abs(q).mean(), q.shape)
+            planted.append(40_000 + j)
+            rows.append({"vec_id": 40_000 + j,
+                         "embedding": [float(x) for x in nb]})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        assigned, cent = ivf_build(df, nlist=16, sample=10_000)
+        books = pq_train(df, m=8, ksub=64)
+        codes = pq_encode(df, books)
+        store = assigned.join(codes, "vec_id")
+        ann = ivfpq_topk(store, cent, books, q, k=5, nprobe=6).toPandas()
+        got = set(ann["vec_id"])
+        assert int(emb_pdf["vec_id"].iloc[4]) in got
+        assert len(got & set(planted)) >= 2
+        # full probe + refine == exact brute force
+        full = ivfpq_topk(store, cent, books, q, k=5, nprobe=16).toPandas()
+        exact = cosine_topk(df, q, k=5).toPandas()
+        np.testing.assert_array_equal(full["vec_id"].to_numpy(),
+                                      exact["vec_id"].to_numpy())
