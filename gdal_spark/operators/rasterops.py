@@ -851,6 +851,53 @@ def viewshed_stats(images: DataFrame, observer_height: float = 2.0,
     )
 
 
+def viewshed_height_stats(images: DataFrame, mode: str = "ground",
+                          observer_height: float = 2.0,
+                          downsample_to: int | None = 64,
+                          max_distance: float | None = None,
+                          curve_coeff: float = 0.0,
+                          cell_size: float = 1.0) -> DataFrame:
+    """gdal_viewshed -om DEM|GROUND height outputs
+    (viewshed_executor.cpp:378-418): per image, the deficit raster's
+    zero-deficit count (== visible cells), max/mean deficit (micro-unit
+    floor for cross-engine determinism), and a checksum of the rounded
+    height raster."""
+    from ..oracle.viewshed import viewshed_heights
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                oy, ox = a.shape[0] // 2, a.shape[1] // 2
+                hmap = viewshed_heights(
+                    a, oy, ox, observer_height, mode=mode,
+                    max_distance=max_distance, curve_coeff=curve_coeff,
+                    cell_size=cell_size)
+                base = a if mode == "dem" else 0.0
+                deficit = hmap - base
+                out.append(dict(
+                    image_id=r.image_id,
+                    n_zero=int((np.abs(deficit) <= 1e-9).sum()),
+                    dmax_u=int(np.floor(deficit.max() * 1e6 + 0.5)),
+                    dmean_u=int(np.floor(deficit.mean() * 1e6 + 0.5)),
+                    cs=checksum_image(
+                        np.clip(np.floor(hmap + 0.5), 0, 255
+                                ).astype(np.uint8))[0],
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_zero", "dmax_u", "dmean_u",
+                              "cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_zero long, dmax_u long, "
+                    "dmean_u long, cs long"
+    )
+
+
 def contour_lines(images: DataFrame, levels=(64.0, 128.0, 192.0),
                   downsample_to: int | None = 64) -> DataFrame:
     """Contour with GEOMETRY output: marching-squares segments chained into

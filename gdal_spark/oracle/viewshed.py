@@ -27,10 +27,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def _sweep_rows(z, oy, ox, direction, target):
+def _sweep_rows(z, oy, ox, direction, target, req_out=None):
     """Propagate required heights over rows moving away from the observer
     (direction -1 = up / +1 = down). Fills visibility for the steep half
-    (|dx| <= |dy|) including the axis and diagonals."""
+    (|dx| <= |dy|) including the axis and diagonals.  ``req_out`` (h, w)
+    additionally collects the propagated minimum required RELATIVE height
+    per covered cell (the dfZ of setOutputNormal) for the height-output
+    modes."""
     h, w = z.shape
     vis = np.zeros((h, w), dtype=bool)
     A_prev = None
@@ -66,6 +69,8 @@ def _sweep_rows(z, oy, ox, direction, target):
                     req[xd] = A_prev[pred] * k / (k - 1)
         sel = adx <= k
         vis[y, sel] = (zrow[sel] + target) >= req[sel]
+        if req_out is not None:
+            req_out[y, sel] = req[sel]
         A = np.where(np.isfinite(req), np.maximum(zrow, req), zrow)
         A_prev = A
     return vis
@@ -114,6 +119,55 @@ def viewshed(dem, oy: int, ox: int, observer_height: float = 2.0,
     if max_distance is not None:
         vis &= d2 <= max_distance * max_distance
     return vis
+
+
+def viewshed_heights(dem, oy: int, ox: int, observer_height: float = 2.0,
+                     mode: str = "ground", max_distance: float | None = None,
+                     curve_coeff: float = 0.0,
+                     semi_major: float = 6378137.0, cell_size: float = 1.0,
+                     out_of_range_val: float = -1.0):
+    """Height-output viewshed modes (gdal_viewshed -om DEM|GROUND,
+    viewshed_executor.cpp:378-418 setOutputNormal non-Normal branch:
+    ``result += max(0, dfZ - cur)``):
+
+    * ``mode='ground'``: additional height ABOVE GROUND a target at each
+      cell needs to become visible (base 0);
+    * ``mode='dem'``: minimum observable ABSOLUTE altitude — the
+      PRE-adjustment DEM value plus the same deficit
+      (viewshed_executor.cpp:316 ``lines.result = lines.cur``).
+
+    The deficit ignores target_height (the reference applies the target
+    only in the Normal visibility test). Cells beyond ``max_distance``
+    get ``out_of_range_val``."""
+    if mode not in ("ground", "dem"):
+        raise ValueError(f"mode must be 'ground' or 'dem', got {mode}")
+    raw = np.asarray(dem, dtype=np.float64)
+    z = raw.copy()
+    h0, w0 = z.shape
+    d2 = None
+    if curve_coeff or max_distance is not None:
+        yy, xx = np.mgrid[0:h0, 0:w0]
+        d2 = (((yy - oy) ** 2 + (xx - ox) ** 2).astype(np.float64)
+              * cell_size * cell_size)
+    if curve_coeff:
+        z = z - curve_coeff / (2.0 * semi_major) * d2
+    z = z - (z[oy, ox] + observer_height)
+    req = np.full(z.shape, -np.inf)
+    _sweep_rows(z, oy, ox, -1, 0.0, req_out=req)
+    _sweep_rows(z, oy, ox, +1, 0.0, req_out=req)
+    reqt = np.full((w0, h0), -np.inf)
+    zt = np.ascontiguousarray(z.T)
+    _sweep_rows(zt, ox, oy, -1, 0.0, req_out=reqt)
+    _sweep_rows(zt, ox, oy, +1, 0.0, req_out=reqt)
+    req = np.maximum(req, reqt.T)
+    req[oy, ox] = z[oy, ox]
+    deficit = np.maximum(req - z, 0.0)
+    deficit[~np.isfinite(deficit)] = 0.0
+    out = deficit if mode == "ground" else raw + deficit
+    if max_distance is not None:
+        out = np.where(d2 <= max_distance * max_distance, out,
+                       out_of_range_val)
+    return out
 
 
 def line_of_sight(dem, y0: int, x0: int, y1: int, x1: int,

@@ -1004,3 +1004,33 @@ class TestMosaicResolution:
         assert zh >= za >= zl
         with pytest.raises(ValueError):
             mosaic_resolution_zoom(imgs, "median")
+
+
+class TestViewshedHeightModes:
+    def test_wall_deficit_closed_form(self):
+        import numpy as np
+
+        from gdal_spark.oracle.viewshed import viewshed, viewshed_heights
+
+        dem = np.zeros((21, 21))
+        dem[6, :] = 10.0
+        g = viewshed_heights(dem, 10, 10, 2.0, mode="ground")
+        v = viewshed(dem, 10, 10, 2.0)
+        assert ((g <= 1e-9) == v).all()  # zero deficit <=> visible
+        d = viewshed_heights(dem, 10, 10, 2.0, mode="dem")
+        assert np.allclose(d, dem + g)   # DEM mode = DEM + ground deficit
+        # axis behind the wall: sight line over the wall top (rel 8 at
+        # distance 4) requires 8*d/4 relative -> +2 back to absolute
+        for y in (5, 4, 3):
+            dist = 10 - y
+            assert g[y, 10] == pytest.approx(8.0 * dist / 4.0 + 2.0)
+        with pytest.raises(ValueError):
+            viewshed_heights(dem, 10, 10, mode="normal")
+
+    def test_operator_runs(self, spark, imgs):
+        from gdal_spark.operators.rasterops import viewshed_height_stats
+
+        got = viewshed_height_stats(imgs.limit(4)).toPandas()
+        assert len(got) == 4
+        assert (got["n_zero"] >= 1).all()
+        assert (got["dmax_u"] >= got["dmean_u"]).all()
