@@ -4119,23 +4119,108 @@ def rasterize_options_q(spark, sf_dir):
     return out
 
 
+# gdalwarp -r average box-stat value oracle: per destination pixel the
+# corner-transformed source box (GWKAverageOrMode floor(min+1e-10)/
+# ceil(max-1e-10) snap, clipped non-empty — gdalwarpkernel.cpp:7841) is
+# averaged over the closed-form source gradient.  The 3857->4326 chain is
+# separable, so the 4-corner min/max per pixel reduces to per-axis edge
+# pairs (one cols CTE, one rows CTE), keeping the replay O(w + h + w*h).
+_WARP_CHAIN_PREFIX = _WARP_CS_SQL.split("px AS (")[0]
+_WARP_BOXAVG_SQL = _WARP_CHAIN_PREFIX + f"""cols AS (
+  SELECT d.i, d.w AS w, CAST(cc.a AS BIGINT) AS c,
+    ({T.sql_mx("d.minlon + cc.a * d.resx")} - d.gt0) / d.gsd AS e0,
+    ({T.sql_mx("d.minlon + (cc.a + 1) * d.resx")} - d.gt0) / d.gsd AS e1
+  FROM dst d, LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS a) cc
+),
+colbox AS (
+  SELECT i, c,
+    GREATEST(LEAST(CAST(floor(LEAST(e0, e1) + 1e-10) AS BIGINT), w - 1),
+             0) AS x0,
+    GREATEST(GREATEST(LEAST(CAST(ceil(GREATEST(e0, e1) - 1e-10) AS BIGINT),
+                            w), 1),
+             GREATEST(LEAST(CAST(floor(LEAST(e0, e1) + 1e-10) AS BIGINT),
+                            w - 1), 0) + 1) AS x1
+  FROM cols
+),
+rows0 AS (
+  SELECT d.i, d.h AS h, CAST(rr.a AS BIGINT) AS r,
+    ({T.sql_my("d.maxlat - rr.a * d.resy")} - d.gt3) / (-d.gsd) AS e0,
+    ({T.sql_my("d.maxlat - (rr.a + 1) * d.resy")} - d.gt3) / (-d.gsd) AS e1
+  FROM dst d, LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS a) rr
+),
+rowbox AS (
+  SELECT i, r,
+    GREATEST(LEAST(CAST(floor(LEAST(e0, e1) + 1e-10) AS BIGINT), h - 1),
+             0) AS y0,
+    GREATEST(GREATEST(LEAST(CAST(ceil(GREATEST(e0, e1) - 1e-10) AS BIGINT),
+                            h), 1),
+             GREATEST(LEAST(CAST(floor(LEAST(e0, e1) + 1e-10) AS BIGINT),
+                            h - 1), 0) + 1) AS y1
+  FROM rows0
+),
+px2 AS (
+  SELECT d.i, d.w, d.h,
+         CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % d.w AS c,
+         CAST(k.a AS BIGINT) // d.w AS r,
+         ({T.sql_mx("d.minlon + (CAST(k.a AS BIGINT) % d.w + 0.5) * d.resx")}
+          - d.gt0) / d.gsd AS fx,
+         ({T.sql_my("d.maxlat - (CAST(k.a AS BIGINT) // d.w + 0.5) * d.resy")}
+          - d.gt3) / (-d.gsd) AS fy
+  FROM dst d, LATERAL (
+    SELECT unnest(generate_series(0, d.w * d.h - 1)) AS a) k
+),
+bavg AS (
+  SELECT p.i, p.flat, p.fx, p.fy, p.w, p.h,
+         AVG(((cb.x0 + bx.a) + (rb.y0 + by.a) * p.w) % 256) AS avgv
+  FROM px2 p
+  JOIN colbox cb ON cb.i = p.i AND cb.c = p.c
+  JOIN rowbox rb ON rb.i = p.i AND rb.r = p.r,
+  LATERAL (SELECT unnest(generate_series(0, cb.x1 - cb.x0 - 1)) AS a) bx,
+  LATERAL (SELECT unnest(generate_series(0, rb.y1 - rb.y0 - 1)) AS a) by
+  GROUP BY p.i, p.flat, p.fx, p.fy, p.w, p.h
+),
+vo AS (
+  SELECT i, flat,
+    CASE WHEN fx >= 0 AND fx <= w AND fy >= 0 AND fy <= h
+         THEN CAST(floor(avgv + 0.5) AS BIGINT) ELSE 0 END AS v
+  FROM bavg
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(v % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1
+FROM vo
+GROUP BY i
+"""
+
+
 _WARP_MASK_MERGED_SQL = f"""
 SELECT 'nodata' AS mode, image_id, cs1 FROM ({_WARP_ND_SQL.strip()})
 UNION ALL
 SELECT 'cutline' AS mode, image_id, cs1 FROM ({_WARP_CUT_SQL.strip()})
+UNION ALL
+SELECT 'boxavg' AS mode, image_id, cs1 FROM ({_WARP_BOXAVG_SQL.strip()})
 """
 
 
 @q("warp_mask_checksum", _WARP_MASK_MERGED_SQL)
 def warp_mask_checksum_q(spark, sf_dir):
-    """gdalwarp masking semantics in one gate (alg/gdalwarpkernel.cpp:614
-    + apps/gdalwarp_lib.cpp:5236): the -srcnodata collar chain and the
-    -cutline diamond chain, both replayed per destination pixel."""
+    """gdalwarp masking + box-stat semantics in one gate
+    (alg/gdalwarpkernel.cpp:614 + apps/gdalwarp_lib.cpp:5236 +
+    GWKAverageOrMode gdalwarpkernel.cpp:7841): the -srcnodata collar
+    chain, the -cutline diamond chain, and the -r average
+    corner-box-snap chain, each replayed per destination pixel."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import warp_to_wgs84
+
     nd = warp_nodata_checksum_q(spark, sf_dir).select(
         F.lit("nodata").alias("mode"), "image_id", "cs1")
     cut = warp_cutline_checksum_q(spark, sf_dir).select(
         F.lit("cutline").alias("mode"), "image_id", "cs1")
-    return nd.unionByName(cut)
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        F.col("fmt") == "png")
+    box = warp_to_wgs84(imgs, "average").select(
+        F.lit("boxavg").alias("mode"), "image_id", "cs1")
+    return nd.unionByName(cut).unionByName(box)
 
 
 _PIP_MERGED_SQL = f"""
