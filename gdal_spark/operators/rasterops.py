@@ -1227,6 +1227,57 @@ def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
     return tile_rows.withColumn("band", F.row_number().over(w))
 
 
+def rgb_to_pct(images: DataFrame, n_colors: int = 256, dither: bool = True,
+               downsample_to: int | None = 64) -> DataFrame:
+    """rgb2pct (alg/gdalmediancut.cpp + alg/gdaldither.cpp): median-cut
+    palette per image, GDAL's sixth-split integer error diffusion (or
+    plain cube nearest with dither=False), paletted-PNG re-encode.  Emits
+    the actual palette size, index checksum, reconstruction mean absolute
+    error in micro-units, and the paletted container bytes — which decode
+    straight back through the existing PLTE path (codecs/png.decode_png),
+    closing the rgb2pct -> pct2rgb loop."""
+    from ..codecs.png import encode_png_paletted
+    from ..oracle.mediancut import (_color_cube, dither_rgb_to_pct,
+                                    median_cut_pct)
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = np.stack(
+                        [resample_nearest(a[:, :, i], downsample_to,
+                                          downsample_to)
+                         for i in range(a.shape[2])], axis=2)
+                pal = median_cut_pct(a, n_colors)
+                if dither:
+                    idx = dither_rgb_to_pct(a, pal)
+                else:
+                    cube = _color_cube(pal, 5)
+                    q = a[:, :, :3].astype(np.int64) * 32 // 256
+                    idx = cube[q[:, :, 0], q[:, :, 1],
+                               q[:, :, 2]].astype(np.uint8)
+                rec = pal[idx].astype(np.int64)
+                mae = float(np.abs(rec - a[:, :, :3].astype(np.int64)).mean())
+                out.append(dict(
+                    image_id=r.image_id, n_pal=int(len(pal)),
+                    cs_idx=checksum_image(idx)[0],
+                    mae_u=int(np.floor(mae * 1e6 + 0.5)),
+                    pct_png=encode_png_paletted(idx, pal),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_pal", "cs_idx", "mae_u",
+                              "pct_png"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_pal int, cs_idx long, mae_u long, "
+                    "pct_png binary"
+    )
+
+
 def mosaic_resolution_zoom(images: DataFrame, rule: str = "highest") -> int:
     """gdalbuildvrt -resolution {highest|lowest|average} over the source
     resolutions (apps/gdalbuildvrt_lib.cpp:1111-1147: highest = min

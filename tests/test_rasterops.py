@@ -1034,3 +1034,49 @@ class TestViewshedHeightModes:
         assert len(got) == 4
         assert (got["n_zero"] >= 1).all()
         assert (got["dmax_u"] >= got["dmean_u"]).all()
+
+
+class TestRgbToPct:
+    def test_median_cut_exact_flats_and_dither_bias(self):
+        import numpy as np
+
+        from gdal_spark.oracle.mediancut import (dither_rgb_to_pct,
+                                                 median_cut_pct)
+
+        a = np.zeros((16, 16, 3), dtype=np.uint8)
+        a[:, :8] = (64, 128, 200)
+        a[:, 8:] = (200, 64, 8)
+        pal = median_cut_pct(a, 8)
+        # both 8-multiple colors land on their own shrunk single-cell box
+        assert {tuple(int(v) for v in p) for p in pal} == {
+            (64, 128, 200), (200, 64, 8)}
+        idx = dither_rgb_to_pct(a, pal)
+        assert (pal[idx] == a).all()
+
+        y, x = np.mgrid[0:48, 0:48]
+        g = np.stack([(x * 5) % 256, (y * 5) % 256, ((x + y) * 3) % 256],
+                     axis=2).astype(np.uint8)
+        pal = median_cut_pct(g, 256)
+        idx = dither_rgb_to_pct(g, pal)
+        rec = pal[idx].astype(int)
+        assert np.abs(rec - g.astype(int)).mean() < 8   # cell-scale error
+        assert abs((rec - g.astype(int)).mean()) < 2    # diffusion unbiased
+
+    def test_operator_roundtrip_through_plte(self, spark, imgs):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.operators.rasterops import rgb_to_pct
+
+        from gdal_spark.codecs.png import png_palette
+        from gdal_spark.oracle.checksum import checksum_image
+
+        got = rgb_to_pct(imgs.limit(3), n_colors=64).toPandas()
+        assert (got["n_pal"] <= 64).all()
+        for r in got.itertuples(index=False):
+            idx = _dec(bytes(r.pct_png), "png")   # index raster back
+            pal = png_palette(bytes(r.pct_png))   # PLTE table back
+            assert idx.ndim == 2 and pal.shape[0] == r.n_pal
+            assert checksum_image(idx)[0] == r.cs_idx
+            rgb = pal[idx]                        # pct2rgb expand
+            assert rgb.shape[2] == 3
