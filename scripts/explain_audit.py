@@ -128,6 +128,25 @@ def main():
           p.count("Exchange") - p.count("ReusedExchange") == 1,
           f"{p.count('Exchange')} Exchange nodes")
 
+    # --- PQ ADC top-k: per-partition partial top-k, no wide shuffle ----
+    import numpy as np
+
+    from gdal_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"),
+    )
+    qv = np.asarray(emb.first()["embedding"], dtype=np.float64)
+    books = pq_train(emb, m=8, ksub=32, sample=512)
+    codes = pq_encode(emb, books)
+    p = plan_of(pq_topk(codes, books, qv, k=10))
+    check("PQ ADC top-k is TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p)
+    check("PQ ADC top-k has zero shuffles", "Exchange" not in p,
+          f"{p.count('Exchange')} Exchange nodes")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
