@@ -118,11 +118,21 @@ def sieve_filter(images: DataFrame, threshold: int = 4, quantize: int = 64,
 
 def proximity_map(images: DataFrame, target_value: int = 0,
                   downsample_to: int | None = 64,
-                  round_to: int | None = 4) -> DataFrame:
-    """GDALComputeProximity: chamfer distance (pixels) to the nearest
-    band-1 pixel equal to ``target_value``; summary stats per image.
+                  round_to: int | None = 4,
+                  max_distance: float | None = None,
+                  nodata: float = -1.0,
+                  fixed_buf_val: float | None = None,
+                  cell_size: float = 1.0) -> DataFrame:
+    """GDALComputeProximity: chamfer distance to the nearest band-1 pixel
+    equal to ``target_value``; summary stats per image.
     ``round_to=None`` emits the raw doubles (the exact-oracle path, where
-    the caller pins micro-units instead of a decimal rounding)."""
+    the caller pins micro-units instead of a decimal rounding).
+
+    Option surface per alg/gdalproximity.cpp:64-92: ``max_distance``
+    (-maxdist; beyond it the output is ``nodata``), ``fixed_buf_val``
+    (FIXED_BUF_VAL: every within-threshold pixel gets the constant
+    instead of its distance), ``cell_size`` != 1 = DISTUNITS=GEO
+    (distances and maxdist in georeferenced units)."""
     from ..oracle.resample import resample_nearest
 
     def gen(batches):
@@ -136,7 +146,15 @@ def proximity_map(images: DataFrame, target_value: int = 0,
                 if not mask.any():
                     out.append(dict(image_id=r.image_id, dmax=-1.0, dmean=-1.0))
                     continue
-                d = _proximity(mask)
+                d = _proximity(mask) * cell_size
+                if max_distance is not None:
+                    within = d <= max_distance
+                    if fixed_buf_val is not None:
+                        d = np.where(within, fixed_buf_val, nodata)
+                    else:
+                        d = np.where(within, d, nodata)
+                elif fixed_buf_val is not None:
+                    d = np.full_like(d, fixed_buf_val)
                 dmax, dmean = float(d.max()), float(d.mean())
                 if round_to is not None:
                     dmax = float(np.round(dmax, round_to))

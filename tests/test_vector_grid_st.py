@@ -689,3 +689,30 @@ class TestRasterizeInverse:
         with _pytest.raises(ValueError):
             rasterize_layer(polys, 0, 10, 1.0, 10, 10, attribute="a",
                             inverse=True)
+
+
+class TestProximityOptions:
+    def test_maxdist_fixedbuf_geo(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.operators.vectorize import proximity_map
+
+        # one target pixel at the center of a 17x17 raster
+        px = np.full((17, 17, 3), 9, dtype=np.uint8)
+        px[8, 8] = 0
+        df = spark.createDataFrame(pd.DataFrame(
+            [{"image_id": "p0", "bytes": encode(px, "png")}]))
+        kw = dict(target_value=0, downsample_to=None, round_to=None)
+        base = proximity_map(df, **kw).collect()[0]
+        # -maxdist: beyond 3 px -> nodata (-1); max of kept values <= 3
+        md = proximity_map(df, max_distance=3.0, **kw).collect()[0]
+        assert md["dmax"] <= 3.0
+        # FIXED_BUF_VAL: within threshold -> constant 7, beyond -> -1
+        fb = proximity_map(df, max_distance=3.0, fixed_buf_val=7.0,
+                           **kw).collect()[0]
+        assert fb["dmax"] == 7.0
+        # DISTUNITS=GEO: distances scale with the cell size
+        geo = proximity_map(df, cell_size=30.0, **kw).collect()[0]
+        assert geo["dmax"] == pytest.approx(base["dmax"] * 30.0)
