@@ -1227,6 +1227,53 @@ def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
     return tile_rows.withColumn("band", F.row_number().over(w))
 
 
+def image_quality(images: DataFrame, band: int = 0,
+                  downsample_to: int | None = None) -> DataFrame:
+    """Per-image quality metrics for training-corpus filtering (the image
+    analogue of functions/text.quality_score): sharpness = variance of
+    the 3x3 Laplacian (the classic blur detector), exposure = mean/std
+    brightness, 256-bin Shannon entropy in bits, dynamic range min/max,
+    and the fraction of saturated (0 or 255) pixels.  Map-only Arrow —
+    one decode per image, integer-exact partials where possible."""
+    from ..oracle.resample import resample_nearest
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, band].astype(np.int64)
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                n = a.size
+                lap = (a[1:-1, :-2] + a[1:-1, 2:] + a[:-2, 1:-1]
+                       + a[2:, 1:-1] - 4 * a[1:-1, 1:-1])
+                lv = float(lap.var()) if lap.size else 0.0
+                hist = np.bincount(a.ravel(), minlength=256)
+                pnz = hist[hist > 0] / n
+                entropy = float(-(pnz * np.log2(pnz)).sum())
+                out.append(dict(
+                    image_id=r.image_id,
+                    sharpness=float(np.round(lv, 6)),
+                    mean=float(np.round(a.mean(), 6)),
+                    std=float(np.round(a.std(), 6)),
+                    entropy_bits=float(np.round(entropy, 6)),
+                    vmin=int(a.min()), vmax=int(a.max()),
+                    saturated_frac=float(np.round(
+                        (hist[0] + hist[255]) / n, 6)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "sharpness", "mean", "std",
+                              "entropy_bits", "vmin", "vmax",
+                              "saturated_frac"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, sharpness double, mean double, "
+                    "std double, entropy_bits double, vmin int, vmax int, "
+                    "saturated_frac double"
+    )
+
+
 def rgb_to_pct(images: DataFrame, n_colors: int = 256, dither: bool = True,
                downsample_to: int | None = 64) -> DataFrame:
     """rgb2pct (alg/gdalmediancut.cpp + alg/gdaldither.cpp): median-cut

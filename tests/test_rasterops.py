@@ -1080,3 +1080,35 @@ class TestRgbToPct:
             assert checksum_image(idx)[0] == r.cs_idx
             rgb = pal[idx]                        # pct2rgb expand
             assert rgb.shape[2] == 3
+
+
+class TestImageQuality:
+    def test_closed_forms(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.operators.rasterops import image_quality
+
+        flat = np.full((32, 32, 3), 77, dtype=np.uint8)
+        ramp = np.tile(np.arange(256, dtype=np.uint8), 4).reshape(32, 32)
+        ramp3 = np.stack([ramp] * 3, axis=2)
+        sat = np.zeros((16, 16, 3), dtype=np.uint8)
+        sat[:8] = 255
+        df = spark.createDataFrame(pd.DataFrame([
+            {"image_id": "flat", "bytes": encode(flat, "png")},
+            {"image_id": "ramp", "bytes": encode(ramp3, "png")},
+            {"image_id": "sat", "bytes": encode(sat, "png")},
+        ]))
+        got = image_quality(df).toPandas().set_index("image_id")
+        f = got.loc["flat"]
+        assert f["sharpness"] == 0 and f["entropy_bits"] == 0
+        assert f["mean"] == 77 and f["std"] == 0
+        assert f["saturated_frac"] == 0 and f["vmin"] == f["vmax"] == 77
+        r = got.loc["ramp"]
+        # every value appears 4x -> perfectly uniform 8-bit entropy
+        assert r["entropy_bits"] == pytest.approx(8.0)
+        assert r["vmin"] == 0 and r["vmax"] == 255
+        s_ = got.loc["sat"]
+        assert s_["saturated_frac"] == 1.0   # all pixels at 0 or 255
+        assert s_["entropy_bits"] == pytest.approx(1.0)
