@@ -449,3 +449,111 @@ def read_tile_lineage(root: str) -> list[dict]:
             with open(os.path.join(ldir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def write_mbtiles(tiles: DataFrame, path: str, name: str = "gdal_spark",
+                  fmt: str = "png", batch_rows: int = 4096) -> int:
+    """MBTiles sink — the reference's SQLite container
+    (frmts/mbtiles/mbtilesdataset.cpp:3023-3037 schema: ``tiles(zoom_level,
+    tile_column, tile_row, tile_data)`` with the UNIQUE key, ``metadata``
+    name/value pairs; tile_row is TMS/south-origin per the MBTiles spec,
+    which is this engine's internal y convention — no flip).
+
+    SQLite is a single-writer single-file container, so rows stream to
+    the driver through ``toLocalIterator`` (one partition in flight —
+    bounded memory, never a full collect); the horizontally-parallel sink
+    remains ``write_tile_directory``.  Collisions reduce
+    deterministically (lowest image_id wins) like the directory sink.
+    Returns the number of tiles written."""
+    import os
+    import sqlite3
+
+    from ..oracle.mercator import meters_to_lonlat, tile_bounds
+
+    if "image_id" in tiles.columns:
+        one_per_key = (
+            tiles.groupBy("z", "x", "y")
+            .agg(F.min_by("tile", "image_id").alias("tile"))
+        )
+    else:
+        one_per_key = tiles.dropDuplicates(["z", "x", "y"])
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA synchronous = OFF")
+        con.execute(
+            "CREATE TABLE tiles (zoom_level INTEGER NOT NULL,"
+            "tile_column INTEGER NOT NULL, tile_row INTEGER NOT NULL,"
+            "tile_data BLOB NOT NULL,"
+            "UNIQUE (zoom_level, tile_column, tile_row))")
+        con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+        n = 0
+        zmin = zmax = None
+        ext = [None, None, None, None]  # minx, miny, maxx, maxy (meters)
+        batch = []
+        for row in one_per_key.select("z", "x", "y", "tile").toLocalIterator():
+            z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+            batch.append((z, x, y, bytes(row["tile"])))
+            zmin = z if zmin is None else min(zmin, z)
+            zmax = z if zmax is None else max(zmax, z)
+            b = tile_bounds(x, y, z)
+            ext[0] = b[0] if ext[0] is None else min(ext[0], b[0])
+            ext[1] = b[1] if ext[1] is None else min(ext[1], b[1])
+            ext[2] = b[2] if ext[2] is None else max(ext[2], b[2])
+            ext[3] = b[3] if ext[3] is None else max(ext[3], b[3])
+            if len(batch) >= batch_rows:
+                con.executemany("INSERT INTO tiles VALUES (?,?,?,?)", batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany("INSERT INTO tiles VALUES (?,?,?,?)", batch)
+            n += len(batch)
+        meta = {"name": name, "type": "overlay", "version": "1.1",
+                "description": name, "format": fmt}
+        if zmin is not None:
+            lo = meters_to_lonlat(ext[0], ext[1])
+            hi = meters_to_lonlat(ext[2], ext[3])
+            meta["minzoom"] = str(zmin)
+            meta["maxzoom"] = str(zmax)
+            meta["bounds"] = (f"{lo[0]:.7f},{lo[1]:.7f},"
+                              f"{hi[0]:.7f},{hi[1]:.7f}")
+        con.executemany("INSERT INTO metadata VALUES (?,?)",
+                        list(meta.items()))
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def read_mbtiles(spark, path: str, chunk_rows: int = 4096):
+    """Open an MBTiles container as (tiles_df, metadata dict): chunked
+    driver-side reads (the container is one local SQLite file) feeding
+    ``spark.createDataFrame`` — at corpus scale tiles live in the
+    directory/parquet sinks; this is the interchange path."""
+    import sqlite3
+
+    import pandas as pd2
+
+    con = sqlite3.connect(path)
+    try:
+        meta = dict(con.execute("SELECT name, value FROM metadata"))
+        frames = []
+        cur = con.execute(
+            "SELECT zoom_level AS z, tile_column AS x, tile_row AS y, "
+            "tile_data AS tile FROM tiles")
+        while True:
+            rows = cur.fetchmany(chunk_rows)
+            if not rows:
+                break
+            frames.append(pd2.DataFrame(
+                rows, columns=["z", "x", "y", "tile"]))
+    finally:
+        con.close()
+    if frames:
+        pdf = pd2.concat(frames, ignore_index=True)
+    else:
+        pdf = pd2.DataFrame({"z": [], "x": [], "y": [], "tile": []})
+    return spark.createDataFrame(
+        pdf, schema="z int, x int, y int, tile binary"), meta

@@ -160,3 +160,44 @@ def test_write_tile_directory(spark, images_sdf, tmp_path):
     summary = json.load(open(f"{root}/_lineage/_summary.json"))
     assert summary["n_tiles"] == n
     assert summary["bytes"] == sum(m["bytes"] for m in manifests)
+
+
+class TestMBTiles:
+    def test_roundtrip_and_schema(self, spark, tmp_path):
+        import sqlite3
+
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.tiling import (read_mbtiles,
+                                                 render_base_tiles,
+                                                 write_mbtiles,
+                                                 write_tile_directory)
+
+        imgs = images_df(spark, 6)
+        tiles = render_base_tiles(imgs).persist()
+        mb = str(tmp_path / "t.mbtiles")
+        n = write_mbtiles(tiles, mb)
+        assert n == tiles.dropDuplicates(["z", "x", "y"]).count()
+
+        con = sqlite3.connect(mb)
+        cols = [r[1] for r in con.execute("PRAGMA table_info(tiles)")]
+        assert cols == ["zoom_level", "tile_column", "tile_row", "tile_data"]
+        meta = dict(con.execute("SELECT name, value FROM metadata"))
+        assert meta["format"] == "png" and "bounds" in meta
+        assert int(meta["minzoom"]) <= int(meta["maxzoom"])
+        zc, xc, yc, blob = next(iter(con.execute(
+            "SELECT * FROM tiles LIMIT 1")))
+        assert _dec(bytes(blob), "png").shape[:2] == (256, 256)
+        con.close()
+
+        back, meta2 = read_mbtiles(spark, mb)
+        assert back.count() == n and meta2 == meta
+        # TMS y convention matches the directory sink's input contract:
+        # same (z, x, y) key set as the tile rows themselves
+        a = {(r["z"], r["x"], r["y"]) for r in back.collect()}
+        b = {(r["z"], r["x"], r["y"])
+             for r in tiles.select("z", "x", "y").distinct().collect()}
+        assert a == b
+        tiles.unpersist()
