@@ -557,3 +557,169 @@ def read_mbtiles(spark, path: str, chunk_rows: int = 4096):
         pdf = pd2.DataFrame({"z": [], "x": [], "y": [], "tile": []})
     return spark.createDataFrame(
         pdf, schema="z int, x int, y int, tile binary"), meta
+
+
+_GPKG_SRS_ROWS = [
+    ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+    ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+    ("WGS 84 geodetic", 4326, "EPSG", 4326,
+     'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+     '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+     "longitude/latitude on WGS 84"),
+    ("WGS 84 / Pseudo-Mercator", 3857, "EPSG", 3857,
+     'PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+     'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+     'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+     'UNIT["metre",1]]', "WebMercator tile grid"),
+]
+
+
+def write_geopackage_tiles(tiles: DataFrame, path: str,
+                           table_name: str = "tiles",
+                           batch_rows: int = 4096) -> int:
+    """GeoPackage raster-tile sink — the OGC container the reference's
+    gpkg driver writes (ogr/ogrsf_frmts/gpkg/ogrgeopackagedatasource.cpp
+    :5120-5310 system-table DDL): gpkg_spatial_ref_sys with the two
+    required undefined SRS rows + 4326 + 3857, gpkg_contents (data_type
+    'tiles', 3857 bbox), gpkg_tile_matrix_set anchored to the FULL
+    WebMercator extent so tile_column/row stay the global grid indices,
+    one gpkg_tile_matrix row per zoom (2^z x 2^z matrix, 256-px tiles,
+    pixel size = zoom resolution), and the pyramid user table with the
+    UNIQUE(zoom_level, tile_column, tile_row) key.  GPKG rows are
+    NORTH-origin: tile_row = 2^z - 1 - y_tms.  Driver-streamed writes
+    like write_mbtiles (single-writer SQLite).  Returns tiles written."""
+    import os
+    import sqlite3
+
+    from ..oracle.mercator import ORIGIN_SHIFT, resolution
+
+    if "image_id" in tiles.columns:
+        one_per_key = (
+            tiles.groupBy("z", "x", "y")
+            .agg(F.min_by("tile", "image_id").alias("tile"))
+        )
+    else:
+        one_per_key = tiles.dropDuplicates(["z", "x", "y"])
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")         # GeoPackage 1.3
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL,"
+            "srs_id INTEGER NOT NULL PRIMARY KEY,organization TEXT NOT NULL,"
+            "organization_coordsys_id INTEGER NOT NULL,"
+            "definition TEXT NOT NULL,description TEXT)")
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            _GPKG_SRS_ROWS)
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+            "KEY,data_type TEXT NOT NULL,identifier TEXT UNIQUE,"
+            "description TEXT DEFAULT '',last_change DATETIME NOT NULL "
+            "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),min_x DOUBLE,"
+            "min_y DOUBLE,max_x DOUBLE,max_y DOUBLE,srs_id INTEGER)")
+        con.execute(
+            "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT NULL "
+            "PRIMARY KEY,srs_id INTEGER NOT NULL,min_x DOUBLE NOT NULL,"
+            "min_y DOUBLE NOT NULL,max_x DOUBLE NOT NULL,"
+            "max_y DOUBLE NOT NULL)")
+        con.execute(
+            "CREATE TABLE gpkg_tile_matrix (table_name TEXT NOT NULL,"
+            "zoom_level INTEGER NOT NULL,matrix_width INTEGER NOT NULL,"
+            "matrix_height INTEGER NOT NULL,tile_width INTEGER NOT NULL,"
+            "tile_height INTEGER NOT NULL,pixel_x_size DOUBLE NOT NULL,"
+            "pixel_y_size DOUBLE NOT NULL,"
+            "CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))")
+        con.execute(
+            f"CREATE TABLE \"{table_name}\" (id INTEGER PRIMARY KEY "
+            "AUTOINCREMENT,zoom_level INTEGER NOT NULL,"
+            "tile_column INTEGER NOT NULL,tile_row INTEGER NOT NULL,"
+            "tile_data BLOB NOT NULL,"
+            "UNIQUE (zoom_level, tile_column, tile_row))")
+
+        n = 0
+        zooms = set()
+        ext = [None] * 4
+        batch = []
+        ins = (f"INSERT INTO \"{table_name}\" (zoom_level, tile_column, "
+               "tile_row, tile_data) VALUES (?,?,?,?)")
+        from ..oracle.mercator import tile_bounds
+
+        for row in one_per_key.select("z", "x", "y", "tile").toLocalIterator():
+            z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+            batch.append((z, x, (1 << z) - 1 - y, bytes(row["tile"])))
+            zooms.add(z)
+            b = tile_bounds(x, y, z)
+            ext[0] = b[0] if ext[0] is None else min(ext[0], b[0])
+            ext[1] = b[1] if ext[1] is None else min(ext[1], b[1])
+            ext[2] = b[2] if ext[2] is None else max(ext[2], b[2])
+            ext[3] = b[3] if ext[3] is None else max(ext[3], b[3])
+            if len(batch) >= batch_rows:
+                con.executemany(ins, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(ins, batch)
+            n += len(batch)
+
+        sh = float(ORIGIN_SHIFT)
+        con.execute(
+            "INSERT INTO gpkg_tile_matrix_set VALUES (?,3857,?,?,?,?)",
+            (table_name, -sh, -sh, sh, sh))
+        for z in sorted(zooms):
+            res = float(resolution(z))
+            con.execute(
+                "INSERT INTO gpkg_tile_matrix VALUES (?,?,?,?,256,256,?,?)",
+                (table_name, z, 1 << z, 1 << z, res, res))
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES "
+            "(?, 'tiles', ?, ?, ?, ?, ?, 3857)",
+            (table_name, table_name, ext[0], ext[1], ext[2], ext[3]))
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def read_geopackage_tiles(spark, path: str, table_name: str = "tiles",
+                          chunk_rows: int = 4096):
+    """Open a GeoPackage tile pyramid as (tiles_df in the engine's TMS y
+    convention, tile_matrix rows) — driver-chunked like read_mbtiles."""
+    import sqlite3
+
+    import pandas as pd2
+
+    con = sqlite3.connect(path)
+    try:
+        app_id = con.execute("PRAGMA application_id").fetchone()[0]
+        if app_id != 1196444487:
+            raise ValueError(f"not a GeoPackage (application_id {app_id})")
+        matrix = [dict(zip(("table_name", "zoom_level", "matrix_width",
+                            "matrix_height", "tile_width", "tile_height",
+                            "pixel_x_size", "pixel_y_size"), r))
+                  for r in con.execute(
+                      "SELECT * FROM gpkg_tile_matrix WHERE table_name = ?",
+                      (table_name,))]
+        frames = []
+        cur = con.execute(
+            f"SELECT zoom_level, tile_column, tile_row, tile_data "
+            f"FROM \"{table_name}\"")
+        while True:
+            rows = cur.fetchmany(chunk_rows)
+            if not rows:
+                break
+            frames.append(pd2.DataFrame(
+                [(z, x, (1 << z) - 1 - gy, t) for z, x, gy, t in rows],
+                columns=["z", "x", "y", "tile"]))
+    finally:
+        con.close()
+    if frames:
+        pdf = pd2.concat(frames, ignore_index=True)
+    else:
+        pdf = pd2.DataFrame({"z": [], "x": [], "y": [], "tile": []})
+    return spark.createDataFrame(
+        pdf, schema="z int, x int, y int, tile binary"), matrix

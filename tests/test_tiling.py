@@ -201,3 +201,47 @@ class TestMBTiles:
              for r in tiles.select("z", "x", "y").distinct().collect()}
         assert a == b
         tiles.unpersist()
+
+
+class TestGeoPackage:
+    def test_roundtrip_system_tables_and_row_flip(self, spark, tmp_path):
+        import sqlite3
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.tiling import (read_geopackage_tiles,
+                                                 render_base_tiles,
+                                                 write_geopackage_tiles)
+        from gdal_spark.oracle.mercator import ORIGIN_SHIFT, resolution
+
+        imgs = images_df(spark, 6)
+        tiles = render_base_tiles(imgs).persist()
+        gp = str(tmp_path / "t.gpkg")
+        n = write_geopackage_tiles(tiles, gp)
+        assert n == tiles.dropDuplicates(["z", "x", "y"]).count()
+
+        con = sqlite3.connect(gp)
+        assert con.execute("PRAGMA application_id").fetchone()[0] \
+            == 1196444487  # 'GPKG'
+        srs = dict((r[1], r[2]) for r in con.execute(
+            "SELECT srs_name, srs_id, organization FROM "
+            "gpkg_spatial_ref_sys"))
+        assert {-1: "NONE", 0: "NONE", 4326: "EPSG", 3857: "EPSG"} == srs
+        ct = con.execute("SELECT data_type, srs_id FROM gpkg_contents"
+                         ).fetchone()
+        assert ct == ("tiles", 3857)
+        tms = con.execute("SELECT min_x, max_x FROM gpkg_tile_matrix_set"
+                          ).fetchone()
+        assert tms[0] == -ORIGIN_SHIFT and tms[1] == ORIGIN_SHIFT
+        for tn, z, mw, mh, tw, th, pxs, pys in con.execute(
+                "SELECT * FROM gpkg_tile_matrix"):
+            assert mw == mh == (1 << z) and tw == th == 256
+            assert pxs == pys == float(resolution(z))
+        con.close()
+
+        back, matrix = read_geopackage_tiles(spark, gp)
+        a = {(r["z"], r["x"], r["y"]) for r in back.collect()}
+        b = {(r["z"], r["x"], r["y"])
+             for r in tiles.select("z", "x", "y").distinct().collect()}
+        assert a == b  # north-origin flip round-trips to TMS exactly
+        assert {m["zoom_level"] for m in matrix} == {z for z, _, _ in a}
+        tiles.unpersist()
