@@ -574,6 +574,29 @@ _GPKG_SRS_ROWS = [
 ]
 
 
+def _gpkg_create_system(con) -> None:
+    """The GeoPackage core system tables every GPKG carries
+    (ogrgeopackagedatasource.cpp:5120-5260): application_id pragma,
+    gpkg_spatial_ref_sys with the two required undefined SRS rows plus
+    4326/3857, and gpkg_contents."""
+    con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+    con.execute("PRAGMA user_version = 10300")         # GeoPackage 1.3
+    con.execute(
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL,"
+        "srs_id INTEGER NOT NULL PRIMARY KEY,organization TEXT NOT NULL,"
+        "organization_coordsys_id INTEGER NOT NULL,"
+        "definition TEXT NOT NULL,description TEXT)")
+    con.executemany(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+        _GPKG_SRS_ROWS)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+        "KEY,data_type TEXT NOT NULL,identifier TEXT UNIQUE,"
+        "description TEXT DEFAULT '',last_change DATETIME NOT NULL "
+        "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),min_x DOUBLE,"
+        "min_y DOUBLE,max_x DOUBLE,max_y DOUBLE,srs_id INTEGER)")
+
+
 def write_geopackage_tiles(tiles: DataFrame, path: str,
                            table_name: str = "tiles",
                            batch_rows: int = 4096) -> int:
@@ -605,22 +628,7 @@ def write_geopackage_tiles(tiles: DataFrame, path: str,
         os.remove(path)
     con = sqlite3.connect(path)
     try:
-        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
-        con.execute("PRAGMA user_version = 10300")         # GeoPackage 1.3
-        con.execute(
-            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL,"
-            "srs_id INTEGER NOT NULL PRIMARY KEY,organization TEXT NOT NULL,"
-            "organization_coordsys_id INTEGER NOT NULL,"
-            "definition TEXT NOT NULL,description TEXT)")
-        con.executemany(
-            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
-            _GPKG_SRS_ROWS)
-        con.execute(
-            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
-            "KEY,data_type TEXT NOT NULL,identifier TEXT UNIQUE,"
-            "description TEXT DEFAULT '',last_change DATETIME NOT NULL "
-            "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),min_x DOUBLE,"
-            "min_y DOUBLE,max_x DOUBLE,max_y DOUBLE,srs_id INTEGER)")
+        _gpkg_create_system(con)
         con.execute(
             "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT NULL "
             "PRIMARY KEY,srs_id INTEGER NOT NULL,min_x DOUBLE NOT NULL,"
@@ -723,3 +731,161 @@ def read_geopackage_tiles(spark, path: str, table_name: str = "tiles",
         pdf = pd2.DataFrame({"z": [], "x": [], "y": [], "tile": []})
     return spark.createDataFrame(
         pdf, schema="z int, x int, y int, tile binary"), matrix
+
+
+def _gpkg_geom_blob(wkb: bytes, srs_id: int, bbox) -> bytes:
+    """Wrap ISO WKB in the GeoPackage geometry header (GPKG spec §2.1.3
+    / ogr/ogrsf_frmts/gpkg gpb format): 'GP' magic, version 0, flags byte
+    (bit 0 = little-endian, envelope indicator 1 = [minx,maxx,miny,maxy])
+    , srs_id, envelope doubles, then the WKB unchanged."""
+    import struct
+
+    flags = 0b00000011  # envelope=1 (xy), little-endian
+    return (b"GP" + bytes([0, flags])
+            + struct.pack("<i", srs_id)
+            + struct.pack("<4d", bbox[0], bbox[2], bbox[1], bbox[3])
+            + wkb)
+
+
+def _gpkg_parse_blob(blob: bytes):
+    """Inverse of _gpkg_geom_blob -> (wkb, srs_id, envelope or None)."""
+    import struct
+
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = blob[3]
+    little = flags & 1
+    env_ind = (flags >> 1) & 0b111
+    srs_id = struct.unpack("<i" if little else ">i", blob[4:8])[0]
+    n_env = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}[env_ind]
+    off = 8 + 8 * n_env
+    env = None
+    if n_env:
+        env = struct.unpack(("<" if little else ">") + f"{n_env}d",
+                            blob[8:off])
+    return blob[off:], srs_id, env
+
+
+def write_geopackage_features(df: DataFrame, path: str,
+                              table_name: str = "features",
+                              wkb_col: str = "wkb", fid_col: str | None = None,
+                              srs_id: int = 3857,
+                              geometry_type: str = "GEOMETRY",
+                              batch_rows: int = 4096) -> int:
+    """GeoPackage FEATURES sink — the ogr2ogr-to-GPKG shape: the core
+    system tables plus gpkg_geometry_columns
+    (ogrgeopackagedatasource.cpp pszCREATE_GPKG_GEOMETRY_COLUMNS) and a
+    feature table (fid INTEGER PRIMARY KEY, geom GPKG-header-wrapped WKB,
+    remaining DataFrame columns mapped to TEXT/INTEGER/REAL).  Feature
+    envelopes and the contents bbox come from the engine's own WKB
+    parser.  Driver-streamed (single-writer SQLite).  Returns feature
+    count."""
+    import os
+    import sqlite3
+
+    from ..oracle import geom as G
+
+    attr_cols = [c for c, t in df.dtypes
+                 if c not in (wkb_col, fid_col)]
+    typemap = {}
+    for c, t in df.dtypes:
+        if c in attr_cols:
+            if t in ("int", "bigint", "smallint", "tinyint", "boolean"):
+                typemap[c] = "INTEGER"
+            elif t in ("double", "float"):
+                typemap[c] = "REAL"
+            else:
+                typemap[c] = "TEXT"
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        _gpkg_create_system(con)
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL,"
+            "column_name TEXT NOT NULL,geometry_type_name TEXT NOT NULL,"
+            "srs_id INTEGER NOT NULL,z TINYINT NOT NULL,m TINYINT NOT NULL,"
+            "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))")
+        cols_ddl = "".join(
+            f",\"{c}\" {typemap[c]}" for c in attr_cols)
+        con.execute(
+            f"CREATE TABLE \"{table_name}\" (fid INTEGER PRIMARY KEY "
+            f"AUTOINCREMENT,geom BLOB{cols_ddl})")
+
+        sel = [wkb_col] + attr_cols + ([fid_col] if fid_col else [])
+        n = 0
+        ext = [None] * 4
+        batch = []
+        fid_expr = "fid," if fid_col else ""
+        ph_n = (1 if fid_col else 0) + 1 + len(attr_cols)
+        ins = (f"INSERT INTO \"{table_name}\" ({fid_expr}geom"
+               + "".join(f",\"{c}\"" for c in attr_cols)
+               + ") VALUES (" + ",".join("?" * ph_n) + ")")
+        for row in df.select(*sel).toLocalIterator():
+            wkb = bytes(row[wkb_col])
+            g = G.parse_wkb(wkb)
+            bb = G.bbox(g)
+            ext[0] = bb[0] if ext[0] is None else min(ext[0], bb[0])
+            ext[1] = bb[1] if ext[1] is None else min(ext[1], bb[1])
+            ext[2] = bb[2] if ext[2] is None else max(ext[2], bb[2])
+            ext[3] = bb[3] if ext[3] is None else max(ext[3], bb[3])
+            vals = [_gpkg_geom_blob(wkb, srs_id, bb)]
+            if fid_col:
+                vals.insert(0, int(row[fid_col]))
+            vals += [row[c] for c in attr_cols]
+            batch.append(tuple(vals))
+            if len(batch) >= batch_rows:
+                con.executemany(ins, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(ins, batch)
+            n += len(batch)
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', ?, ?, 0, 0)",
+            (table_name, geometry_type, srs_id))
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES "
+            "(?, 'features', ?, ?, ?, ?, ?, ?)",
+            (table_name, table_name, ext[0], ext[1], ext[2], ext[3], srs_id))
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def read_geopackage_features(spark, path: str,
+                             table_name: str = "features",
+                             chunk_rows: int = 4096):
+    """Open a GPKG feature table as (df with raw WKB + attributes,
+    gpkg_geometry_columns row) — header stripped via _gpkg_parse_blob."""
+    import sqlite3
+
+    import pandas as pd2
+
+    con = sqlite3.connect(path)
+    try:
+        gc = con.execute(
+            "SELECT table_name, column_name, geometry_type_name, srs_id "
+            "FROM gpkg_geometry_columns WHERE table_name = ?",
+            (table_name,)).fetchone()
+        cur = con.execute(f"SELECT * FROM \"{table_name}\"")
+        cols = [d[0] for d in cur.description]
+        frames = []
+        while True:
+            rows = cur.fetchmany(chunk_rows)
+            if not rows:
+                break
+            pdf = pd2.DataFrame(rows, columns=cols)
+            pdf["wkb"] = pdf["geom"].map(
+                lambda b: _gpkg_parse_blob(bytes(b))[0])
+            frames.append(pdf.drop(columns=["geom"]))
+    finally:
+        con.close()
+    pdf = (pd2.concat(frames, ignore_index=True) if frames
+           else pd2.DataFrame(columns=["fid", "wkb"]))
+    return spark.createDataFrame(pdf), dict(
+        zip(("table_name", "column_name", "geometry_type_name", "srs_id"),
+            gc)) if gc else None

@@ -245,3 +245,61 @@ class TestGeoPackage:
         assert a == b  # north-origin flip round-trips to TMS exactly
         assert {m["zoom_level"] for m in matrix} == {z for z, _, _ in a}
         tiles.unpersist()
+
+
+class TestGeoPackageFeatures:
+    def test_roundtrip_header_and_attrs(self, spark, tmp_path):
+        import sqlite3
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.fixtures.tile_grid import wkb_polygon
+        from gdal_spark.operators.tiling import (read_geopackage_features,
+                                                 write_geopackage_features)
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        rows = [
+            {"fid": 1, "wkb": bytes(wkb_polygon(sq(0, 0, 10, 5))),
+             "name": "a", "score": 1.5, "n": 7},
+            {"fid": 2, "wkb": bytes(wkb_polygon(sq(20, -3, 25, 9))),
+             "name": "b", "score": -0.25, "n": 9},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        gp = str(tmp_path / "f.gpkg")
+        n = write_geopackage_features(df, gp, fid_col="fid",
+                                      geometry_type="POLYGON")
+        assert n == 2
+
+        con = sqlite3.connect(gp)
+        assert con.execute("PRAGMA application_id").fetchone()[0] \
+            == 1196444487
+        gc = con.execute("SELECT * FROM gpkg_geometry_columns").fetchone()
+        assert gc == ("features", "geom", "POLYGON", 3857, 0, 0)
+        ct = con.execute(
+            "SELECT data_type, min_x, min_y, max_x, max_y FROM "
+            "gpkg_contents").fetchone()
+        assert ct == ("features", 0.0, -3.0, 25.0, 9.0)
+        fid, blob, name, score, nn = con.execute(
+            "SELECT fid, geom, name, score, n FROM features "
+            "ORDER BY fid").fetchone()
+        assert (fid, name, score, nn) == (1, "a", 1.5, 7)
+        blob = bytes(blob)
+        assert blob[:2] == b"GP" and blob[2] == 0
+        assert blob[3] & 1 and ((blob[3] >> 1) & 0b111) == 1
+        env = struct.unpack("<4d", blob[8:40])
+        assert env == (0.0, 10.0, 0.0, 5.0)  # minx, maxx, miny, maxy
+        assert blob[40:] == rows[0]["wkb"]   # WKB payload untouched
+        con.close()
+
+        back, gcol = read_geopackage_features(spark, gp)
+        assert gcol["srs_id"] == 3857
+        got = back.orderBy("fid").collect()
+        assert bytes(got[1]["wkb"]) == rows[1]["wkb"]
+        assert got[1]["name"] == "b" and got[1]["n"] == 9
+        # parsed geometry area survives the container
+        k, d = G.parse_wkb(bytes(got[0]["wkb"]))
+        assert abs(G._ring_signed_area(d[0])) == 50.0
