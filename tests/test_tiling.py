@@ -303,3 +303,45 @@ class TestGeoPackageFeatures:
         # parsed geometry area survives the container
         k, d = G.parse_wkb(bytes(got[0]["wkb"]))
         assert abs(G._ring_signed_area(d[0])) == 50.0
+
+
+class TestGeoJSON:
+    def test_roundtrip_both_layouts(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.fixtures.tile_grid import wkb_polygon
+        from gdal_spark.io.geojson import read_geojson, write_geojson
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        pt = G.to_wkb("point", np.array([3.5, -1.25]))
+        rows = [
+            {"fid": 1, "wkb": bytes(wkb_polygon(sq(0, 0, 4, 4))),
+             "name": "sq"},
+            {"fid": 2, "wkb": bytes(pt), "name": "pt"},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+
+        fc = str(tmp_path / "a.geojson")
+        assert write_geojson(df, fc, fid_col="fid") == 2
+        doc = json.load(open(fc))
+        assert doc["type"] == "FeatureCollection"
+        by_id = {f["id"]: f for f in doc["features"]}
+        assert by_id[2]["geometry"] == {
+            "type": "Point", "coordinates": [3.5, -1.25]}
+        assert by_id[1]["geometry"]["type"] == "Polygon"
+        assert by_id[1]["properties"] == {"name": "sq"}
+
+        seq = str(tmp_path / "a.geojsonl")
+        assert write_geojson(df, seq, fid_col="fid", lines=True) == 2
+        assert len(open(seq).read().strip().split("\n")) == 2
+
+        for path in (fc, seq):
+            back = read_geojson(spark, path).orderBy("fid").collect()
+            assert bytes(back[0]["wkb"]) == rows[0]["wkb"]
+            assert bytes(back[1]["wkb"]) == bytes(pt)
+            assert back[0]["name"] == "sq"
