@@ -1227,6 +1227,48 @@ def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
     return tile_rows.withColumn("band", F.row_number().over(w))
 
 
+def raster_to_xyz(images: DataFrame, band: int = 0,
+                  skip: int = 1, srcwin=None,
+                  skip_nodata: float | None = None) -> DataFrame:
+    """gdal2xyz (apps/gdal2xyz_lib.cpp / swig gdal2xyz.py): explode each
+    raster into one row per (every ``skip``-th) pixel with the
+    georeferenced CENTER coordinates from the image's 3857 geotransform
+    (x = gt0 + (col+0.5)*gt1, y = gt3 + (row+0.5)*gt5) and the band
+    value; ``srcwin`` restricts to a pixel window, ``skip_nodata`` drops
+    matching values (the -skipnodata flag).  Map-only: the explode
+    happens inside the decode UDF, so per-pixel rows exist only past the
+    operator's own output — at corpus scale, filter/aggregate downstream
+    of this is Catalyst's job."""
+
+    def gen(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, band]
+                h, w = a.shape
+                gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+                x0, y0, ww, hh = (srcwin if srcwin is not None
+                                  else (0, 0, w, h))
+                cols = np.arange(x0, min(x0 + ww, w), skip)
+                rows = np.arange(y0, min(y0 + hh, h), skip)
+                cc, rr = np.meshgrid(cols, rows)
+                vals = a[rr, cc].astype(np.float64).ravel()
+                xg = gt[0] + (cc.ravel() + 0.5) * gt[1]
+                yg = gt[3] + (rr.ravel() + 0.5) * gt[5]
+                if skip_nodata is not None:
+                    keep = vals != skip_nodata
+                    xg, yg, vals = xg[keep], yg[keep], vals[keep]
+                frames.append(pd.DataFrame({
+                    "image_id": r.image_id, "x": xg, "y": yg, "v": vals}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame({"image_id": [], "x": [], "y": [],
+                                      "v": []}))
+
+    return images.select("image_id", "bytes", "lon", "lat", "gsd_m"
+                         ).mapInPandas(
+        gen, schema="image_id string, x double, y double, v double")
+
+
 def image_quality(images: DataFrame, band: int = 0,
                   downsample_to: int | None = None) -> DataFrame:
     """Per-image quality metrics for training-corpus filtering (the image

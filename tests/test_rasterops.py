@@ -1112,3 +1112,31 @@ class TestImageQuality:
         s_ = got.loc["sat"]
         assert s_["saturated_frac"] == 1.0   # all pixels at 0 or 255
         assert s_["entropy_bits"] == pytest.approx(1.0)
+
+
+class TestRasterToXyz:
+    def test_centers_values_skip_and_window(self, spark, imgs, imgs_pdf):
+        import numpy as np
+
+        from gdal_spark.operators.rasterops import raster_to_xyz
+        from gdal_spark.oracle.tiling import geotransform_3857
+
+        one = imgs.limit(1)
+        r = imgs_pdf.iloc[0]
+        a = decode(r.bytes)[:, :, 0]
+        h, w = a.shape
+        gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+
+        got = raster_to_xyz(one).toPandas()
+        assert len(got) == h * w
+        # spot-check a pixel: center coords + value
+        row = got[(got.x == gt[0] + 2.5 * gt[1])
+                  & (got.y == gt[3] + 3.5 * gt[5])]
+        assert len(row) == 1 and row["v"].iloc[0] == a[3, 2]
+
+        sk = raster_to_xyz(one, skip=4).toPandas()
+        assert len(sk) == ((h + 3) // 4) * ((w + 3) // 4)
+        win = raster_to_xyz(one, srcwin=(2, 3, 5, 4)).toPandas()
+        assert len(win) == 20
+        nd = raster_to_xyz(one, skip_nodata=float(a[0, 0])).toPandas()
+        assert len(nd) == h * w - (a == a[0, 0]).sum()
