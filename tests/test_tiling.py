@@ -345,3 +345,65 @@ class TestGeoJSON:
             assert bytes(back[0]["wkb"]) == rows[0]["wkb"]
             assert bytes(back[1]["wkb"]) == bytes(pt)
             assert back[0]["name"] == "sq"
+
+
+class TestShapefile:
+    def test_roundtrip_polygons_holes_and_attrs(self, spark, tmp_path):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.io.shapefile import read_shapefile, write_shapefile
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        donut = G.to_wkb("polygon", [sq(0, 0, 10, 10), sq(4, 4, 6, 6)])
+        multi = G.to_wkb("multipolygon",
+                         [[sq(20, 0, 24, 4)], [sq(30, 0, 33, 3)]])
+        df = spark.createDataFrame(pd.DataFrame([
+            {"wkb": bytes(donut), "name": "donut", "area": 96.0, "rank": 1},
+            {"wkb": bytes(multi), "name": "multi", "area": 25.0, "rank": 2},
+        ]))
+        base = str(tmp_path / "layer")
+        assert write_shapefile(df, base) == 2
+
+        blob = open(base + ".shp", "rb").read()
+        assert struct.unpack(">i", blob[:4])[0] == 9994
+        assert struct.unpack("<i", blob[28:32])[0] == 1000
+        assert struct.unpack("<i", blob[32:36])[0] == 5  # polygon
+        bbox = struct.unpack("<4d", blob[36:68])
+        assert bbox == (0.0, 0.0, 33.0, 10.0)
+        # shx record count from its header length
+        shx = open(base + ".shx", "rb").read()
+        assert (struct.unpack(">i", shx[24:28])[0] - 50) // 4 == 2
+
+        back = read_shapefile(spark, base).orderBy("rank").collect()
+        k, d = G.parse_wkb(bytes(back[0]["wkb"]))
+        assert k == "polygon" and len(d) == 2
+        # area with the hole subtracted survives the orientation fix-up
+        outer = abs(G._ring_signed_area(d[0]))
+        hole = abs(G._ring_signed_area(d[1]))
+        assert outer - hole == 96.0
+        k2, d2 = G.parse_wkb(bytes(back[1]["wkb"]))
+        assert k2 == "multipolygon" and len(d2) == 2
+        assert back[0]["name"] == "donut"
+        assert back[0]["area"] == 96.0 and back[0]["rank"] == 1
+
+    def test_points(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.io.shapefile import read_shapefile, write_shapefile
+        from gdal_spark.oracle import geom as G
+
+        pts = [G.to_wkb("point", np.array([1.5, -2.5])),
+               G.to_wkb("point", np.array([-3.0, 4.0]))]
+        df = spark.createDataFrame(pd.DataFrame(
+            [{"wkb": bytes(b), "tag": f"p{i}"} for i, b in enumerate(pts)]))
+        base = str(tmp_path / "pts")
+        write_shapefile(df, base)
+        back = read_shapefile(spark, base).orderBy("tag").collect()
+        assert bytes(back[0]["wkb"]) == bytes(pts[0])
+        assert back[1]["tag"] == "p1"
