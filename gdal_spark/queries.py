@@ -1986,6 +1986,73 @@ def raster_translate_q(spark, sf_dir):
     ).select("image_id", "w2", "h2", "cs1")
 
 
+@q("vector_container_roundtrip", None)
+def vector_container_roundtrip_q(spark, sf_dir):
+    """Vector-format interchange e2e (the could-a-reference-user-switch
+    gate): traced image footprints written to GeoPackage features,
+    GeoJSON, GeoJSONSeq, and ESRI Shapefile, read back through each
+    reader, and compared — per format: feature count, byte-identical-WKB
+    count, and the total parsed polygon area in m^2 (shapefile WKB is
+    reassembled from parts, so its byte-equality column counts geometry
+    EQUIVALENCE via area instead)."""
+    import os
+    import tempfile
+
+    from .fixtures.images import images_df
+    from .io.geojson import read_geojson, write_geojson
+    from .io.shapefile import read_shapefile, write_shapefile
+    from .operators.rasterops import footprint
+    from .operators.tiling import (read_geopackage_features,
+                                   write_geopackage_features)
+    from .oracle import geom as G
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 40))
+    feats = footprint(imgs, threshold=0).select(
+        "image_id", "wkb", "n_valid").persist()
+    src = {r["image_id"]: bytes(r["wkb"]) for r in feats.collect()}
+
+    def area_sum(df):
+        tot = 0.0
+        for r in df.collect():
+            k, d = G.parse_wkb(bytes(r["wkb"]))
+            polys = [d] if k == "polygon" else d
+            for rings in polys:
+                tot += abs(G._ring_signed_area(rings[0])) - sum(
+                    abs(G._ring_signed_area(h)) for h in rings[1:])
+        return tot
+
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        gp = os.path.join(td, "f.gpkg")
+        write_geopackage_features(feats, gp)
+        back, _ = read_geopackage_features(spark, gp)
+        rows.append(("gpkg", back.count(),
+                     sum(1 for r in back.collect()
+                         if src.get(r["image_id"]) == bytes(r["wkb"])),
+                     area_sum(back)))
+        for name, lines in (("geojson", False), ("geojsonseq", True)):
+            pth = os.path.join(td, f"f.{name}")
+            write_geojson(feats, pth, lines=lines)
+            back = read_geojson(spark, pth)
+            rows.append((name, back.count(),
+                         sum(1 for r in back.collect()
+                             if src.get(r["image_id"]) == bytes(r["wkb"])),
+                         area_sum(back)))
+        shp = os.path.join(td, "f")
+        write_shapefile(feats, shp)
+        back = read_shapefile(spark, shp)
+        rows.append(("shapefile", back.count(),
+                     sum(1 for r in back.collect()
+                         if src.get(r["image_id"]) == bytes(r["wkb"])),
+                     area_sum(back)))
+    feats.unpersist()
+    import pandas as pd2
+
+    return spark.createDataFrame(
+        pd2.DataFrame(rows, columns=["fmt", "n", "wkb_exact", "area_m2"])
+        .assign(area_m2=lambda d: d.area_m2.round(1)))
+
+
 @q("footprint", None)
 def footprint_q(spark, sf_dir):
     """gdal_footprint valid-data polygon + area
