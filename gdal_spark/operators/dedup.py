@@ -447,3 +447,50 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def pair_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                    max_iter: int = 25) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    that turns pairwise matches into dedup clusters.  Iterative min-label
+    propagation (the hash-to-min pattern): every node repeatedly adopts
+    the smallest label in its neighborhood; converges in O(diameter)
+    rounds, and near-dup graphs are unions of tiny cliques/chains, so a
+    handful of rounds closes them.  Each round is one join + one
+    aggregate on (node, label) pairs — no driver-side graph, no
+    quadratic state.  Returns (node, component) with component = the
+    minimum node id in the cluster."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"),
+                                 F.col(id_a).alias("v")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        # candidate labels: own + the label of every neighbor
+        nbr = (edges.join(labels.withColumnsRenamed(
+                   {"node": "v", "component": "nbr_comp"}), "v")
+               .select(F.col("u").alias("node"), "nbr_comp"))
+        new = (labels.join(nbr, "node", "left")
+               .groupBy("node")
+               .agg(F.least(F.min("component"),
+                            F.min("nbr_comp")).alias("component")))
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new.persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+                    ) -> DataFrame:
+    """(node, component, keep) from the pair graph: one representative
+    (the minimum id) per near-duplicate cluster — the drop list a
+    training pipeline applies with an anti-join."""
+    comps = pair_components(pairs, id_a, id_b)
+    return comps.withColumn("keep", F.col("node") == F.col("component"))

@@ -387,3 +387,25 @@ class TestIVFPQ:
         exact = cosine_topk(df, q, k=5).toPandas()
         np.testing.assert_array_equal(full["vec_id"].to_numpy(),
                                       exact["vec_id"].to_numpy())
+
+
+class TestPairComponents:
+    def test_chains_stars_and_keep_list(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.dedup import dedup_keep_list, pair_components
+
+        pairs = spark.createDataFrame(pd.DataFrame({
+            # chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21
+            "id_a": [1, 2, 3, 10, 10, 10, 20],
+            "id_b": [2, 3, 4, 11, 12, 13, 21],
+        }))
+        comps = {r["node"]: r["component"]
+                 for r in pair_components(pairs).collect()}
+        assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+        assert comps[10] == comps[11] == comps[12] == comps[13] == 10
+        assert comps[20] == comps[21] == 20
+        keep = dedup_keep_list(pairs).toPandas()
+        kept = set(keep[keep.keep]["node"])
+        assert kept == {1, 10, 20}
+        assert len(keep) == 10  # every node appears exactly once
