@@ -494,3 +494,29 @@ def dedup_keep_list(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
     training pipeline applies with an anti-join."""
     comps = pair_components(pairs, id_a, id_b)
     return comps.withColumn("keep", F.col("node") == F.col("component"))
+
+
+def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 13, min_hits: int = 1) -> DataFrame:
+    """Train/eval decontamination (the GPT-3/Pile 13-gram filter shape):
+    flag evaluation documents whose ``shingle_n``-gram set intersects the
+    training corpus.  Both sides explode to (doc, shingle-hash) rows; the
+    corpus side keeps DISTINCT hashes only (its documents never ship),
+    the join is a hash-keyed semi-ish inner join, and the per-eval-doc
+    hit count aggregates map-side.  Returns (doc_id, n_grams, n_hits,
+    contaminated) for EVERY eval doc."""
+    ev = eval_df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh"))
+    ev_ex = ev.select(id_col, F.explode("sh").alias("h"))
+    corpus_h = (corpus
+                .select(F.explode(
+                    shingle_hashes(text_col, shingle_n)).alias("h"))
+                .distinct())
+    hits = (ev_ex.join(corpus_h, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+    return (ev.select(id_col, F.size("sh").alias("n_grams"))
+            .join(hits, id_col, "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))

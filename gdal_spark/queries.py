@@ -705,6 +705,22 @@ def similarity_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, qv, k=10)
 
 
+@q("ngram_contamination", None)
+def ngram_contamination_q(spark, sf_dir):
+    """Train/eval decontamination: 13-gram overlap of the odd-id half of
+    the documents table (as the eval set) against the even-id half (as
+    the training corpus) — contaminated = any shared 13-gram."""
+    from .operators.dedup import ngram_contamination
+
+    register_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    evals = docs.where(F.col("doc_id") % 2 == 1)
+    return (ngram_contamination(corpus, evals)
+            .orderBy("doc_id")
+            .select("doc_id", "n_grams", "n_hits", "contaminated"))
+
+
 @q("similarity_ann_pq", None)
 def similarity_ann_pq(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. TPAMI 2011, the FAISS

@@ -409,3 +409,33 @@ class TestPairComponents:
         kept = set(keep[keep.keep]["node"])
         assert kept == {1, 10, 20}
         assert len(keep) == 10  # every node appears exactly once
+
+
+class TestContamination:
+    def test_planted_overlap(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.dedup import ngram_contamination
+
+        leak = ("the quick brown fox jumps over the lazy dog while the "
+                "band plays on through the night")
+        corpus = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["totally unrelated training text about mountains "
+                     "and rivers flowing to the endless sea " * 3,
+                     f"some prefix here {leak} and some suffix there"],
+        }))
+        evals = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100, 101],
+            "text": [f"benchmark question: {leak} answer below",
+                     "a clean evaluation document with no overlap "
+                     "whatsoever in any thirteen gram window at all "
+                     "because its words differ entirely"],
+        }))
+        got = ngram_contamination(corpus, evals, shingle_n=13
+                                  ).toPandas().set_index("doc_id")
+        assert bool(got.loc[100, "contaminated"])
+        assert got.loc[100, "n_hits"] >= 1
+        assert not bool(got.loc[101, "contaminated"])
+        assert got.loc[101, "n_hits"] == 0
+        assert (got["n_grams"] > 0).all()
