@@ -407,3 +407,39 @@ class TestShapefile:
         back = read_shapefile(spark, base).orderBy("tag").collect()
         assert bytes(back[0]["wkb"]) == bytes(pts[0])
         assert back[1]["tag"] == "p1"
+
+
+class TestAsciiGrid:
+    def test_roundtrip_parallel_files(self, spark, tmp_path):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.ascii_grid import (ascii_grid_bytes,
+                                              parse_ascii_grid,
+                                              read_ascii_grids,
+                                              write_ascii_grids)
+        from gdal_spark.oracle.tiling import geotransform_3857
+
+        imgs = images_df(spark, 5)
+        out = str(tmp_path / "asc")
+        n = write_ascii_grids(imgs, out)
+        assert n == 5
+        back = read_ascii_grids(spark, out).collect()
+        assert len(back) == 5
+        src = {r["image_id"]: r for r in imgs.collect()}
+        for r in back:
+            o = src[r["image_id"]]
+            a = _dec(bytes(o["bytes"]))[:, :, 0]
+            got = np.array(r["values"]).reshape(r["h"], r["w"])
+            np.testing.assert_array_equal(got, a)
+            gt = geotransform_3857(o["lon"], o["lat"], a.shape[1],
+                                   a.shape[0], o["gsd_m"])
+            np.testing.assert_allclose(r["gt"], gt, rtol=0, atol=1e-9)
+
+        # kernel-level: nodata header + float body
+        b = ascii_grid_bytes(np.array([[1.5, -2.0]]),
+                             [10.0, 2.0, 0, 20.0, 0, -2.0], nodata=-9999)
+        a2, gt2, nd = parse_ascii_grid(b)
+        assert nd == -9999 and a2[0, 1] == -2.0
+        assert gt2[0] == 10.0 and gt2[3] == 20.0
