@@ -434,7 +434,7 @@ def _convolve_irregular(src, centers, axis, kernel, radius):
 
 def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
                       fill=0, src_nodata=None, dst_nodata=None,
-                      cutline=None):
+                      cutline=None, te=None, tr=None, ts=None):
     """Warp a north-up EPSG:3857 image to EPSG:4326.
 
     ``method``: nearest, bilinear, cubic, cubicspline, or lanczos (the
@@ -458,6 +458,34 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
     masked = src_nodata is not None or cutline is not None
     arrf = _build_masked(arr, src_gt, src_nodata, cutline) if masked else None
     dst_gt, out_w, out_h = suggested_output(src_gt, w, h)
+    if te is not None or tr is not None or ts is not None:
+        # explicit target grid (gdalwarp -te/-tr/-ts,
+        # apps/gdalwarp_lib.cpp target-extent/resolution handling):
+        # -te fixes the extent (target-SRS units), -tr the resolution
+        # (size = round(extent/res)), -ts the size (res = extent/size);
+        # -tr and -ts are mutually exclusive like the reference
+        if tr is not None and ts is not None:
+            raise ValueError("-tr and -ts are mutually exclusive")
+        if te is not None:
+            xmin, ymin, xmax, ymax = (float(v) for v in te)
+        else:
+            xmin = dst_gt[0]
+            ymax = dst_gt[3]
+            xmax = dst_gt[0] + out_w * dst_gt[1]
+            ymin = dst_gt[3] + out_h * dst_gt[5]
+        if tr is not None:
+            xres, yres = float(tr[0]), abs(float(tr[1]))
+            out_w = max(1, int((xmax - xmin) / xres + 0.5))
+            out_h = max(1, int((ymax - ymin) / yres + 0.5))
+        elif ts is not None:
+            out_w, out_h = int(ts[0]), int(ts[1])
+            xres = (xmax - xmin) / out_w
+            yres = (ymax - ymin) / out_h
+        else:
+            xres, yres = dst_gt[1], -dst_gt[5]
+            out_w = max(1, int((xmax - xmin) / xres + 0.5))
+            out_h = max(1, int((ymax - ymin) / yres + 0.5))
+        dst_gt = [xmin, xres, 0.0, ymax, 0.0, -yres]
 
     # dst pixel centers -> lon/lat
     lon_c = dst_gt[0] + (np.arange(out_w) + 0.5) * dst_gt[1]

@@ -1140,3 +1140,35 @@ class TestRasterToXyz:
         assert len(win) == 20
         nd = raster_to_xyz(one, skip_nodata=float(a[0, 0])).toPandas()
         assert len(nd) == h * w - (a == a[0, 0]).sum()
+
+
+class TestWarpTargetGrid:
+    def test_te_tr_ts(self, imgs_pdf):
+        import numpy as np
+
+        from gdal_spark.oracle.warp import suggested_output, warp_3857_to_4326
+
+        r = imgs_pdf.iloc[1]
+        a = decode(r.bytes)
+        gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0], r.gsd_m)
+        base, dgt = warp_3857_to_4326(a, gt, "nearest")
+        _, ow, oh = suggested_output(gt, a.shape[1], a.shape[0])
+
+        # -ts: exact output size, same extent
+        w2, g2 = warp_3857_to_4326(a, gt, "nearest", ts=(40, 30))
+        assert w2.shape[:2] == (30, 40)
+        assert g2[0] == dgt[0] and g2[3] == dgt[3]
+        # -tr at the suggested resolution reproduces the suggested grid
+        w3, g3 = warp_3857_to_4326(a, gt, "nearest",
+                                   tr=(dgt[1], -dgt[5]))
+        assert w3.shape == base.shape and np.array_equal(w3, base)
+        # -te on a grid-aligned subwindow == the matching slice
+        x0, y0 = 4, 6
+        te = (dgt[0] + x0 * dgt[1], dgt[3] + oh * dgt[5],
+              dgt[0] + ow * dgt[1], dgt[3] + y0 * dgt[5])
+        w4, g4 = warp_3857_to_4326(a, gt, "nearest", te=te)
+        assert w4.shape[:2] == (oh - y0, ow - x0)
+        np.testing.assert_array_equal(w4, base[y0:, x0:])
+        # -tr + -ts rejected
+        with pytest.raises(ValueError):
+            warp_3857_to_4326(a, gt, "nearest", tr=(1, 1), ts=(2, 2))
