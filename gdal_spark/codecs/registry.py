@@ -63,6 +63,23 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     )
 
 
+def identify(data: bytes) -> str:
+    """Driver identify by magic bytes (gcore/gdalopeninfo.cpp probing):
+    returns the short driver name without decoding the payload."""
+    head = bytes(data[:8])
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return "PNG"
+    if head[:4] == b"FAKJ":
+        return "JPEG"
+    if head[:4] == b"FAKW":
+        return "WEBP"
+    if head[:4] == b"II*\x00":
+        return "GTiff"
+    if head[:2] == b"GP":
+        return "GPKG-geom"
+    return "UNKNOWN"
+
+
 def is_lossless(fmt: str) -> bool:
     return fmt == "png"
 

@@ -1230,6 +1230,54 @@ def mosaic_separate(tile_rows: DataFrame) -> DataFrame:
     return tile_rows.withColumn("band", F.row_number().over(w))
 
 
+def raster_info(images: DataFrame) -> DataFrame:
+    """gdalinfo -json analogue (apps/gdalinfo_lib.cpp report fields): one
+    row per image with the driver id (magic-byte dispatch), size, band
+    count, the 3857 geotransform, corner coordinates in lon/lat, native
+    tile zoom, and per-band min/max/mean/stddev
+    (GDALRasterBand::ComputeStatistics exact pass) — the metadata surface
+    a user reads before running anything else.  Map-only."""
+    from ..codecs.registry import identify
+    from ..oracle.mercator import meters_to_lonlat
+    from ..oracle.tiling import native_zoom
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.bytes)
+                drv = identify(blob)
+                a = decode(blob)
+                h, w, nb = a.shape[0], a.shape[1], a.shape[2]
+                gt = geotransform_3857(r.lon, r.lat, w, h, r.gsd_m)
+                ul = meters_to_lonlat(gt[0], gt[3])
+                lr = meters_to_lonlat(gt[0] + w * gt[1], gt[3] + h * gt[5])
+                af = a.reshape(-1, nb).astype(np.float64)
+                out.append(dict(
+                    image_id=r.image_id, driver=drv, w=w, h=h, bands=nb,
+                    gt=[float(v) for v in gt],
+                    ul_lon=float(ul[0]), ul_lat=float(ul[1]),
+                    lr_lon=float(lr[0]), lr_lat=float(lr[1]),
+                    zoom=int(native_zoom(r.gsd_m)),
+                    b1_min=float(af[:, 0].min()),
+                    b1_max=float(af[:, 0].max()),
+                    b1_mean=float(np.round(af[:, 0].mean(), 6)),
+                    b1_std=float(np.round(af[:, 0].std(), 6)),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "driver", "w", "h", "bands", "gt",
+                "ul_lon", "ul_lat", "lr_lon", "lr_lat", "zoom",
+                "b1_min", "b1_max", "b1_mean", "b1_std"])
+
+    return images.select("image_id", "bytes", "lon", "lat", "gsd_m"
+                         ).mapInPandas(
+        gen, schema="image_id string, driver string, w int, h int, "
+                    "bands int, gt array<double>, ul_lon double, "
+                    "ul_lat double, lr_lon double, lr_lat double, "
+                    "zoom int, b1_min double, b1_max double, "
+                    "b1_mean double, b1_std double")
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

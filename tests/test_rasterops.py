@@ -1172,3 +1172,28 @@ class TestWarpTargetGrid:
         # -tr + -ts rejected
         with pytest.raises(ValueError):
             warp_3857_to_4326(a, gt, "nearest", tr=(1, 1), ts=(2, 2))
+
+
+class TestRasterInfo:
+    def test_fields(self, spark, imgs, imgs_pdf):
+        import numpy as np
+
+        from gdal_spark.operators.rasterops import raster_info
+        from gdal_spark.oracle.mercator import meters_to_lonlat
+        from gdal_spark.oracle.tiling import geotransform_3857, native_zoom
+
+        got = raster_info(imgs).toPandas().set_index("image_id")
+        assert set(got["driver"]) <= {"PNG", "JPEG", "WEBP"}
+        for r in imgs_pdf.head(4).itertuples(index=False):
+            a = decode(r.bytes)
+            row = got.loc[r.image_id]
+            assert (row["w"], row["h"], row["bands"]) == (
+                a.shape[1], a.shape[0], a.shape[2])
+            gt = geotransform_3857(r.lon, r.lat, a.shape[1], a.shape[0],
+                                   r.gsd_m)
+            np.testing.assert_allclose(row["gt"], gt, rtol=1e-12)
+            ul = meters_to_lonlat(gt[0], gt[3])
+            assert row["ul_lon"] == pytest.approx(ul[0])
+            assert row["zoom"] == native_zoom(r.gsd_m)
+            assert row["b1_min"] == a[:, :, 0].min()
+            assert row["b1_max"] == a[:, :, 0].max()
