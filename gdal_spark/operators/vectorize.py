@@ -200,7 +200,7 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
     from pyspark.sql.types import ArrayType, DoubleType
 
     from ..oracle import geom as G
-    from ..oracle.rasterize import rasterize_rings
+    from ..oracle.rasterize import rasterize_lines, rasterize_rings
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def wkb_bbox(wkbs: pd.Series) -> pd.Series:
@@ -253,6 +253,13 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
         out = np.zeros((th, tw), dtype=np.float64)
         for r in pdf.sort_values("fid").itertuples(index=False):
             kind, d = G.parse_wkb(bytes(r.wkb))
+            if kind in ("linestring", "multilinestring"):
+                # GDALdllImageLine path: Bresenham (or all_touched
+                # traversal) along the polyline, no fill
+                parts = [d] if kind == "linestring" else d
+                rasterize_lines(parts, gt, tw, th, burn=float(r.bv),
+                                out=out, add=add, all_touched=all_touched)
+                continue
             rings = (d if kind == "polygon"
                      else [ring for part in d for ring in part])
             rz = None

@@ -412,3 +412,79 @@ def proximity(mask, cell: float = 1.0):
         cand[:-1] = np.minimum(cand[:-1], dn[1:] + s2)
         d[r] = _row_scan(cand)
     return d * cell
+
+
+def rasterize_lines(parts_xy, gt, w: int, h: int, burn: float = 1.0,
+                    out=None, add: bool = False, all_touched: bool = False):
+    """Burn polylines — GDALdllImageLine's integer Bresenham
+    (alg/llrasterize.cpp:256-365): vertices floor to pixel coords, the
+    error accumulator steps the minor axis, and intermediate segment
+    endpoints burn ONCE (the skip-endpoint-except-last-segment rule that
+    keeps Add mode artifact-free).  ``all_touched`` switches to the
+    Amanatides-Woo traversal (GDALdllImageLineAllTouched) with the same
+    no-double-burn seam handling."""
+    if out is None:
+        out = np.zeros((h, w), dtype=np.float64)
+    for part in parts_xy:
+        p = np.asarray(part, dtype=np.float64)
+        px = (p[:, 0] - gt[0]) / gt[1]
+        py = (p[:, 1] - gt[3]) / gt[5]
+        if all_touched:
+            prev_last = None
+            for j in range(1, len(px)):
+                cells = _traverse_cells(px[j - 1], py[j - 1], px[j], py[j])
+                if prev_last is not None and cells and cells[0] == prev_last:
+                    cells = cells[1:]
+                for cy, cx in cells:
+                    if 0 <= cy < h and 0 <= cx < w:
+                        if add:
+                            out[cy, cx] += burn
+                        else:
+                            out[cy, cx] = burn
+                if cells:
+                    prev_last = cells[-1]
+            continue
+        nseg = len(px) - 1
+        for j in range(1, len(px)):
+            ix, iy = int(np.floor(px[j - 1])), int(np.floor(py[j - 1]))
+            ix1, iy1 = int(np.floor(px[j])), int(np.floor(py[j]))
+            dx, dy = abs(ix1 - ix), abs(iy1 - iy)
+            sx = -1 if ix > ix1 else 1
+            sy = -1 if iy > iy1 else 1
+            if dx >= dy:
+                xerr = dy << 1
+                yerr = xerr - (dx << 1)
+                err = xerr - dx
+                n = dx - 1 if j != nseg else dx
+                while n >= 0:
+                    n -= 1
+                    if 0 <= ix < w and 0 <= iy < h:
+                        if add:
+                            out[iy, ix] += burn
+                        else:
+                            out[iy, ix] = burn
+                    ix += sx
+                    if err > 0:
+                        iy += sy
+                        err += yerr
+                    else:
+                        err += xerr
+            else:
+                yerr2 = dx << 1
+                xerr2 = yerr2 - (dy << 1)
+                err = yerr2 - dy
+                n = dy - 1 if j != nseg else dy
+                while n >= 0:
+                    n -= 1
+                    if 0 <= ix < w and 0 <= iy < h:
+                        if add:
+                            out[iy, ix] += burn
+                        else:
+                            out[iy, ix] = burn
+                    iy += sy
+                    if err > 0:
+                        ix += sx
+                        err += xerr2
+                    else:
+                        err += yerr2
+    return out

@@ -716,3 +716,36 @@ class TestProximityOptions:
         # DISTUNITS=GEO: distances scale with the cell size
         geo = proximity_map(df, cell_size=30.0, **kw).collect()[0]
         assert geo["dmax"] == pytest.approx(base["dmax"] * 30.0)
+
+
+class TestRasterizeLines:
+    def test_bresenham_and_operator(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.operators.vectorize import rasterize_layer
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.oracle.rasterize import rasterize_lines
+
+        gt = [0.0, 1.0, 0.0, 10.0, 0.0, -1.0]
+        # kernel: intermediate vertices burn once in add mode
+        line = np.array([[0.5, 9.5], [4.5, 9.5], [4.5, 5.5]])
+        out = rasterize_lines([line], gt, 10, 10, add=True)
+        assert out.max() == 1.0 and out.sum() == 9
+
+        # operator: linestring WKB through the tiled burn path
+        wkb = G.to_wkb("linestring", np.array([[1.5, 8.5], [20.5, 8.5]]))
+        polys = spark.createDataFrame(pd.DataFrame(
+            [{"fid": 1, "wkb": bytes(wkb)}]))
+        got = rasterize_layer(polys, minx=0.0, maxy=10.0, cell=1.0,
+                              nx=24, ny=10, tile_px=8).toPandas()
+        # one horizontal run of 20 cells on row 1 (y world 8.5)
+        assert len(got) == 20
+        assert (got["py"] == 1).all()
+        assert set(got["px"]) == set(range(1, 21))
+        # all_touched includes at least the same cells
+        at = rasterize_layer(polys, minx=0.0, maxy=10.0, cell=1.0,
+                             nx=24, ny=10, tile_px=8,
+                             all_touched=True).toPandas()
+        assert set(zip(at["px"], at["py"])) >= set(
+            zip(got["px"], got["py"]))
