@@ -253,6 +253,19 @@ def rasterize_layer(polys: DataFrame, minx: float, maxy: float, cell: float,
         out = np.zeros((th, tw), dtype=np.float64)
         for r in pdf.sort_values("fid").itertuples(index=False):
             kind, d = G.parse_wkb(bytes(r.wkb))
+            if kind in ("point", "multipoint"):
+                # gvBurnPoint: the pixel containing each point
+                pts = (np.asarray(d, dtype=np.float64).reshape(1, 2)
+                       if kind == "point"
+                       else np.asarray(d, dtype=np.float64).reshape(-1, 2))
+                cx = np.floor((pts[:, 0] - gt[0]) / gt[1]).astype(int)
+                cy = np.floor((pts[:, 1] - gt[3]) / gt[5]).astype(int)
+                ok = (cx >= 0) & (cx < tw) & (cy >= 0) & (cy < th)
+                if add:
+                    np.add.at(out, (cy[ok], cx[ok]), float(r.bv))
+                else:
+                    out[cy[ok], cx[ok]] = float(r.bv)
+                continue
             if kind in ("linestring", "multilinestring"):
                 # GDALdllImageLine path: Bresenham (or all_touched
                 # traversal) along the polyline, no fill

@@ -749,3 +749,22 @@ class TestRasterizeLines:
                              all_touched=True).toPandas()
         assert set(zip(at["px"], at["py"])) >= set(
             zip(got["px"], got["py"]))
+
+
+    def test_point_features_through_layer(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.operators.vectorize import rasterize_layer
+        from gdal_spark.oracle import geom as G
+
+        pts = [G.to_wkb("point", np.array([2.5, 7.5])),
+               G.to_wkb("multipoint", np.array([[2.5, 7.5], [5.5, 3.5]]))]
+        polys = spark.createDataFrame(pd.DataFrame(
+            [{"fid": i + 1, "wkb": bytes(b)} for i, b in enumerate(pts)]))
+        got = rasterize_layer(polys, minx=0.0, maxy=10.0, cell=1.0,
+                              nx=10, ny=10, tile_px=8,
+                              add=True).toPandas()
+        by = {(r.px, r.py): r.v for r in got.itertuples(index=False)}
+        assert by[(2, 2)] == 2.0  # both features hit (2.5, 7.5) -> adds
+        assert by[(5, 6)] == 1.0
