@@ -304,7 +304,7 @@ def pansharpen(images: DataFrame, weights=None, ratio: int = 4) -> DataFrame:
 
 def dem_metrics(images: DataFrame, operation: str = "hillshade",
                 z_factor: float = 1.0, azimuth: float = 315.0,
-                altitude: float = 45.0) -> DataFrame:
+                altitude: float = 45.0, color_mode: str = "interpolate") -> DataFrame:
     """gdaldem over band 1 treated as elevation (apps/gdaldem_lib.cpp
     3x3 kernels). operation in hillshade|slope|aspect|tri|tpi|roughness.
     Emits per-image result checksum + summary stats."""
@@ -329,17 +329,34 @@ def dem_metrics(images: DataFrame, operation: str = "hillshade",
                     v = DEM.roughness(a)
                 elif operation == "color-relief":
                     # gdaldem color-relief (apps/gdaldem_lib.cpp
-                    # GDALColorReliefProcess): piecewise-LINEAR interpolation
-                    # of a color ramp over the elevation; checksum over the
-                    # interleaved RGB result
+                    # GDALColorReliefProcess): piecewise-LINEAR ramp
+                    # interpolation by default; -nearest_color_entry takes
+                    # the closest entry's color unblended
+                    # (COLOR_SELECTION_NEAREST_ENTRY) and
+                    # -exact_color_entry matches exactly or falls to
+                    # transparent black (COLOR_SELECTION_EXACT_ENTRY)
                     ramp_e = np.array([0.0, 64.0, 128.0, 192.0, 255.0])
                     ramp_rgb = np.array([
                         [0, 0, 128], [0, 128, 255], [0, 255, 0],
                         [255, 255, 0], [255, 255, 255],
                     ], dtype=np.float64)
-                    rgb = np.stack([
-                        np.interp(a, ramp_e, ramp_rgb[:, c]) for c in range(3)
-                    ], axis=2)
+                    if color_mode == "interpolate":
+                        rgb = np.stack([
+                            np.interp(a, ramp_e, ramp_rgb[:, c])
+                            for c in range(3)
+                        ], axis=2)
+                    elif color_mode == "nearest":
+                        idx = np.abs(
+                            a[..., None] - ramp_e[None, None, :]
+                        ).argmin(axis=-1)
+                        rgb = ramp_rgb[idx]
+                    elif color_mode == "exact":
+                        idx = np.searchsorted(ramp_e, a)
+                        idx = np.clip(idx, 0, len(ramp_e) - 1)
+                        hit = ramp_e[idx] == a
+                        rgb = np.where(hit[..., None], ramp_rgb[idx], 0.0)
+                    else:
+                        raise ValueError(color_mode)
                     v = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
                 else:
                     raise ValueError(operation)

@@ -1197,3 +1197,37 @@ class TestRasterInfo:
             assert row["zoom"] == native_zoom(r.gsd_m)
             assert row["b1_min"] == a[:, :, 0].min()
             assert row["b1_max"] == a[:, :, 0].max()
+
+
+class TestColorReliefModes:
+    def test_nearest_and_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.operators.rasterops import dem_metrics
+
+        # elevations exactly on + between ramp entries; the checksum covers
+        # the R band only, so use the 128->192 segment where R ramps 0->255
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        px[..., 0] = 192         # exact ramp entry (R=255 all modes)
+        px[4:, :, 0] = 176       # between: interp R=191, nearest R=255, exact R=0
+        df = spark.createDataFrame(pd.DataFrame(
+            [{"image_id": "c0", "bytes": encode(px, "png"),
+              "lon": 0.0, "lat": 0.0, "gsd_m": 10.0}]))
+        interp = dem_metrics(df, "color-relief").collect()[0]["cs"]
+        near = dem_metrics(df, "color-relief",
+                           color_mode="nearest").collect()[0]["cs"]
+        exact = dem_metrics(df, "color-relief",
+                            color_mode="exact").collect()[0]["cs"]
+        assert len({interp, near, exact}) == 3  # three distinct outputs
+        # all-entries image: exact == nearest == interpolate
+        px2 = np.zeros((4, 4, 3), dtype=np.uint8)
+        px2[..., 0] = 128
+        df2 = spark.createDataFrame(pd.DataFrame(
+            [{"image_id": "c1", "bytes": encode(px2, "png"),
+              "lon": 0.0, "lat": 0.0, "gsd_m": 10.0}]))
+        css = {dem_metrics(df2, "color-relief",
+                           color_mode=m).collect()[0]["cs"]
+               for m in ("interpolate", "nearest", "exact")}
+        assert len(css) == 1
