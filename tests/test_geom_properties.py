@@ -169,10 +169,16 @@ class TestConvexOverlayProperties:
         # bounded above by both inputs, symmetric in its arguments
         assert inter_ab <= min(area_a, area_b) + tol
         assert abs(inter_ab - inter_ba) <= tol
-        # conservation: a = (a ∩ b) + (a − b)
+        # conservation: a = (a ∩ b) + (a − b).  subtract_convex collapses
+        # slivers thinner than _EPS*scale by design (_dedupe_ring), so the
+        # identity may miss by up to perimeter * that width.
         remainder = sum(abs(G._ring_signed_area(p))
                         for p in G.subtract_convex(a, b))
-        assert abs(inter_ab + remainder - area_a) <= tol
+        closed = np.vstack([a, a[:1]])
+        perimeter = float(np.hypot(*np.diff(closed, axis=0).T).sum())
+        scale = max(1.0, float(np.abs(a).max()), float(np.abs(b).max()))
+        sliver_tol = perimeter * 1e-9 * scale
+        assert abs(inter_ab + remainder - area_a) <= tol + sliver_tol
 
     @settings(max_examples=40, deadline=None)
     @given(st.integers(0, 10_000), st.integers(0, 10_000),
