@@ -1295,6 +1295,47 @@ def raster_info(images: DataFrame) -> DataFrame:
                     "b1_mean double, b1_std double")
 
 
+def tile_index(images: DataFrame, tileindex: str = "location",
+               src_srs_name: str | None = None,
+               src_srs: str = "EPSG:3857") -> DataFrame:
+    """gdaltindex (apps/gdaltindex_lib.cpp): one vector feature per source
+    raster with its extent polygon and a ``location`` attribute (the -lyr
+    tile-index field, default "location" per gdaltindex_lib.cpp defaults);
+    -src_srs_name adds a CRS attribute column.  The geometry is the
+    5-point extent ring as WKT plus (minx,miny,maxx,maxy) bbox columns so
+    downstream spatial filters partition-prune (SURVEY §2 row 10 / GTI
+    driver shape: the index IS a table, mosaicking joins against it).
+
+    Zero UDF, zero decode: extent math is the same closed form as
+    oracle/tiling.image_bounds_3857, evaluated JVM-side from the
+    (lon, lat, w, h, gsd_m) metadata columns."""
+    from ..sql import templates as T
+
+    mx = F.expr(T.sql_mx("lon"))
+    my = F.expr(T.sql_my("lat"))
+    hw = F.col("w") * F.col("gsd_m") / F.lit(2.0)
+    hh = F.col("h") * F.col("gsd_m") / F.lit(2.0)
+    out = (
+        images.select("image_id", "lon", "lat", "w", "h", "gsd_m")
+        .withColumn("minx", mx - hw).withColumn("miny", my - hh)
+        .withColumn("maxx", mx + hw).withColumn("maxy", my + hh)
+        .select(
+            F.col("image_id").alias(tileindex),
+            F.format_string(
+                "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+                "%.6f %.6f))",
+                "minx", "miny", "maxx", "miny", "maxx", "maxy",
+                "minx", "maxy", "minx", "miny",
+            ).alias("wkt"),
+            F.round("minx", 6).alias("minx"), F.round("miny", 6).alias("miny"),
+            F.round("maxx", 6).alias("maxx"), F.round("maxy", 6).alias("maxy"),
+        )
+    )
+    if src_srs_name:
+        out = out.withColumn(src_srs_name, F.lit(src_srs))
+    return out
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

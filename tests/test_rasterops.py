@@ -1231,3 +1231,42 @@ class TestColorReliefModes:
                            color_mode=m).collect()[0]["cs"]
                for m in ("interpolate", "nearest", "exact")}
         assert len(css) == 1
+
+
+class TestTileIndex:
+    def test_extents_match_oracle_and_wkt_closes(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import tile_index
+        from gdal_spark.oracle.tiling import image_bounds_3857
+
+        imgs = images_df(spark, 12)
+        meta = {r["image_id"]: r for r in
+                imgs.select("image_id", "lon", "lat", "w", "h",
+                            "gsd_m").collect()}
+        idx = tile_index(imgs, src_srs_name="src_srs").toPandas()
+        assert len(idx) == 12
+        assert set(idx.columns) == {"location", "wkt", "minx", "miny",
+                                    "maxx", "maxy", "src_srs"}
+        assert (idx["src_srs"] == "EPSG:3857").all()
+        for r in idx.itertuples(index=False):
+            m = meta[r.location]
+            exp = image_bounds_3857(m["lon"], m["lat"], m["w"], m["h"],
+                                    m["gsd_m"])
+            got = (r.minx, r.miny, r.maxx, r.maxy)
+            assert got == tuple(round(v, 6) for v in exp)
+            # 5-point closed ring, corners = bbox
+            coords = r.wkt[len("POLYGON (("):-2].split(", ")
+            assert len(coords) == 5 and coords[0] == coords[4]
+            xs = {float(c.split()[0]) for c in coords}
+            ys = {float(c.split()[1]) for c in coords}
+            assert xs == {round(r.minx, 6), round(r.maxx, 6)}
+            assert ys == {round(r.miny, 6), round(r.maxy, 6)}
+
+    def test_zero_udf_plan(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import tile_index
+
+        plan = tile_index(images_df(spark, 4))._jdf.queryExecution() \
+            .executedPlan().toString()
+        # metadata-only column math: no Python evaluation anywhere
+        assert "Python" not in plan and "ArrowEval" not in plan
