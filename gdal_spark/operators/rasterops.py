@@ -1336,6 +1336,75 @@ def tile_index(images: DataFrame, tileindex: str = "location",
     return out
 
 
+def raster_compare(golden: DataFrame, new: DataFrame,
+                   key: str = "image_id") -> DataFrame:
+    """gdalcompare (osgeo_utils/gdalcompare.py compare_db/compare_band):
+    golden-vs-new diff with the reference's found_diff counter — one
+    increment per differing aspect (driver, raster size, band count, band
+    size, per-band checksum), binary-identical short circuit, and on a
+    checksum mismatch the compare_image_pixels deep report
+    (pixels-differing count + maximum absolute pixel difference over the
+    float64 cast).  One row per key present in BOTH tables; found_diff == 0
+    means the images compare clean.
+
+    Distributed shape: equi-join on the key (Catalyst picks broadcast vs
+    shuffle), then a map-only Arrow decode of the two payloads side by
+    side — at corpus scale this is the golden-run regression gate run as
+    one job, not a driver loop over files."""
+    from ..codecs.registry import identify
+
+    g = golden.select(F.col(key).alias("k"), F.col("bytes").alias("gb"))
+    n = new.select(F.col(key).alias("k"), F.col("bytes").alias("nb"))
+    joined = g.join(n, "k")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                gb, nb = bytes(r.gb), bytes(r.nb)
+                if gb == nb:
+                    out.append(dict(
+                        k=r.k, same_binary=True, found_diff=0,
+                        n_bands_golden=0, n_bands_new=0,
+                        cs_diff_bands=0, pixels_differing=0, max_diff=0.0))
+                    continue
+                found = 0
+                if identify(gb) != identify(nb):
+                    found += 1
+                ga = decode(gb)
+                na = decode(nb)
+                if ga.shape[:2] != na.shape[:2]:
+                    found += 1
+                if ga.shape[2] != na.shape[2]:
+                    found += 1
+                npx_diff, mx, cs_bands = 0, 0.0, 0
+                if ga.shape[:2] == na.shape[:2]:
+                    for b in range(min(ga.shape[2], na.shape[2])):
+                        if checksum_image(ga[:, :, b])[0] != \
+                                checksum_image(na[:, :, b])[0]:
+                            d = ga[:, :, b].astype(np.float64) \
+                                - na[:, :, b].astype(np.float64)
+                            npx_diff += int(np.count_nonzero(d))
+                            mx = max(mx, float(np.abs(d).max()))
+                            cs_bands += 1
+                            found += 1
+                out.append(dict(
+                    k=r.k, same_binary=False, found_diff=found,
+                    n_bands_golden=int(ga.shape[2]), n_bands_new=int(na.shape[2]),
+                    cs_diff_bands=cs_bands, pixels_differing=npx_diff,
+                    max_diff=mx))
+            pdf_out = pd.DataFrame(out, columns=[
+                "k", "same_binary", "found_diff", "n_bands_golden",
+                "n_bands_new", "cs_diff_bands", "pixels_differing",
+                "max_diff"])
+            yield pdf_out.rename(columns={"k": key})
+
+    return joined.mapInPandas(
+        gen, schema=f"{key} string, same_binary boolean, found_diff int, "
+                    "n_bands_golden int, n_bands_new int, cs_diff_bands int, "
+                    "pixels_differing long, max_diff double")
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

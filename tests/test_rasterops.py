@@ -1270,3 +1270,38 @@ class TestTileIndex:
             .executedPlan().toString()
         # metadata-only column math: no Python evaluation anywhere
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestRasterCompare:
+    def test_clean_perturbed_and_binary(self, spark):
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.fixtures.images import generate_images_pdf
+        from gdal_spark.operators.rasterops import raster_compare
+
+        pdf = generate_images_pdf(6)
+        golden = spark.createDataFrame(pdf)
+        new_pdf = pdf.copy()
+        perturbed = {}
+        png_rows = [i for i in new_pdf.index
+                    if new_pdf.loc[i, "fmt"] == "png"][:2]
+        assert len(png_rows) == 2
+        for i in png_rows:  # bump 3 pixels of band 0 by +10
+            a = decode(new_pdf.loc[i, "bytes"]).copy()
+            a[0, 0, 0] += 10
+            a[2, 3, 0] += 10
+            a[5, 5, 0] += 10
+            new_pdf.loc[i, "bytes"] = encode(a, "png")
+            perturbed[new_pdf.loc[i, "image_id"]] = True
+        new = spark.createDataFrame(new_pdf)
+        got = raster_compare(golden, new).toPandas().set_index("image_id")
+        assert len(got) == 6
+        for iid, row in got.iterrows():
+            if iid in perturbed:
+                assert not row["same_binary"]
+                assert row["found_diff"] == 1  # one band checksum diff
+                assert row["cs_diff_bands"] == 1
+                assert row["pixels_differing"] == 3
+                assert row["max_diff"] == 10.0
+            else:
+                assert row["same_binary"]
+                assert row["found_diff"] == 0
