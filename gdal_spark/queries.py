@@ -4097,13 +4097,23 @@ def viewshed_q(spark, sf_dir):
 
 @q("dem_color_relief", None)
 def dem_color_relief_q(spark, sf_dir):
-    """gdaldem color-relief: piecewise-linear color ramp over band 1
-    (apps/gdaldem_lib.cpp GDALColorRelief)."""
+    """gdaldem color-relief over band 1 in all three color-selection modes
+    (apps/gdaldem_lib.cpp GDALColorRelief): the default piecewise-linear
+    ramp interpolation, -nearest_color_entry, and -exact_color_entry,
+    discriminated by a mode column."""
     from .fixtures.images import images_df
     from .operators.rasterops import dem_metrics
 
     imgs = images_df(spark, min(_images_n(sf_dir), 100))
-    return dem_metrics(imgs, "color-relief")
+    parts = [
+        dem_metrics(imgs, "color-relief", color_mode=m)
+        .withColumn("mode", F.lit(m))
+        for m in ("interpolate", "nearest", "exact")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
 
 
 @q("fill_nodata", None)
