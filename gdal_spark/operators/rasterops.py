@@ -1405,6 +1405,138 @@ def raster_compare(golden: DataFrame, new: DataFrame,
                     "pixels_differing long, max_diff double")
 
 
+# gdal raster neighbors named kernels (apps/gdalalg_raster_neighbors.cpp:46-77)
+_NEIGHBOR_KERNELS = {
+    ("u", 3): [0, 0, 0, -1, 0, 1, 0, 0, 0],
+    ("v", 3): [0, -1, 0, 0, 0, 0, 0, 1, 0],
+    ("edge1", 3): [0, -1, 0, -1, 4, -1, 0, -1, 0],
+    ("edge2", 3): [-1, -1, -1, -1, 8, -1, -1, -1, -1],
+    ("sharpen", 3): [0, -1, 0, -1, 5, -1, 0, -1, 0],
+    ("gaussian", 3): [1, 2, 1, 2, 4, 2, 1, 2, 1],
+    ("gaussian", 5): [1, 4, 6, 4, 1, 4, 16, 24, 16, 4, 6, 24, 36, 24, 6,
+                      4, 16, 24, 16, 4, 1, 4, 6, 4, 1],
+    ("unsharp-masking", 5): [1, 4, 6, 4, 1, 4, 16, 24, 16, 4,
+                             6, 24, -476, 24, 6, 4, 16, 24, 16, 4,
+                             1, 4, 6, 4, 1],
+}
+
+
+def _neighbors_filter(a: np.ndarray, coefs: np.ndarray, size: int,
+                      method: str, nodata: float | None) -> np.ndarray:
+    """VRTKernelFilteredSource::FilterData (frmts/vrt/vrtfilters.cpp) over
+    one band: per output pixel, scan the size x size window in row-major
+    order; skip nodata/NaN sources and zero coefficients entirely; every
+    surviving value enters WEIGHTED (val * coef) — including for the order
+    statistics, the reference's documented quirk.  Borders use edge
+    replication (vrtfilters.cpp RasterIO 'we replicate the edge valid
+    values out').  No valid neighbor -> nodata (or 0 without one); a
+    nodata center pixel stays nodata."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    r = size // 2
+    src = a.astype(np.float64)
+    pad = np.pad(src, r, mode="edge")
+    win = sliding_window_view(pad, (size, size)).reshape(
+        a.shape[0], a.shape[1], size * size)
+    cf = coefs.reshape(-1)
+    valid = np.broadcast_to(cf != 0.0, win.shape) & ~np.isnan(win)
+    if nodata is not None:
+        valid = valid & (win != nodata)
+    w = np.where(valid, win * cf, np.nan)
+    nvalid = valid.sum(axis=2)
+    fill = nodata if nodata is not None else 0.0
+    with np.errstate(invalid="ignore"):
+        if method == "sum":
+            out = np.nansum(w, axis=2)
+        elif method == "mean":
+            ksum = np.where(valid, cf, 0.0).sum(axis=2)
+            out = np.where((nvalid == 0) | (ksum == 0.0), fill,
+                           np.nansum(w, axis=2)
+                           / np.where(ksum == 0.0, 1.0, ksum))
+        elif method in ("min", "max"):
+            red = np.nanmin if method == "min" else np.nanmax
+            out = np.where(nvalid == 0, fill,
+                           red(np.where(nvalid[..., None] == 0, 0.0, w),
+                               axis=2))
+        elif method == "stddev":
+            m1 = np.nanmean(np.where(nvalid[..., None] == 0, 0.0, w), axis=2)
+            m2 = np.nanmean(np.where(nvalid[..., None] == 0, 0.0, w) ** 2,
+                            axis=2)
+            out = np.where(nvalid == 0, fill,
+                           np.sqrt(np.maximum(m2 - m1 * m1, 0.0)))
+        elif method == "median":
+            out = np.where(nvalid == 0, fill,
+                           np.nanmedian(
+                               np.where(nvalid[..., None] == 0, 0.0, w),
+                               axis=2))
+        elif method == "mode":
+            # running-count semantics: the winner is the value whose count
+            # FIRST reaches the maximum in scan order (strictly-greater
+            # update, vrtfilters.cpp mapValToCount loop)
+            k = size * size
+            best_cnt = np.zeros(a.shape, dtype=np.int64)
+            best_val = np.full(a.shape, fill, dtype=np.float64)
+            for p in range(k):
+                vp = w[..., p]
+                okp = valid[..., p]
+                run = np.zeros(a.shape, dtype=np.int64)
+                for qq in range(p + 1):
+                    run += (valid[..., qq] & (w[..., qq] == vp)).astype(
+                        np.int64)
+                upd = okp & (run > best_cnt)
+                best_cnt = np.where(upd, run, best_cnt)
+                best_val = np.where(upd, vp, best_val)
+            out = best_val
+        else:
+            raise ValueError(method)
+    if nodata is not None:
+        out = np.where(src == nodata, nodata, out)
+    return out
+
+
+def neighbors(images: DataFrame, method: str | None = None,
+              size: int = 3, kernel: str = "equal",
+              nodata: float | None = None) -> DataFrame:
+    """gdal raster neighbors (apps/gdalalg_raster_neighbors.cpp): focal /
+    moving-window filter of band 1 with a named kernel (u, v, equal,
+    edge1, edge2, sharpen, gaussian, unsharp-masking) and a combine
+    method (mean, sum, min, max, stddev, median, mode).  Defaults mirror
+    the reference: method omitted -> 'sum' for zero-sum kernels else
+    'mean' (:453-462); the 'equal' kernel is all-ones (1/n^2 for mean,
+    :489-499).  Map-only mapInPandas — at scale this is one pass over the
+    corpus with no shuffle."""
+    if (kernel, size) in _NEIGHBOR_KERNELS:
+        coefs = np.array(_NEIGHBOR_KERNELS[(kernel, size)], dtype=np.float64)
+    elif kernel == "equal":
+        coefs = np.ones(size * size, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r} at size {size}")
+    if method is None:
+        method = "sum" if coefs.sum() == 0.0 else "mean"
+    if kernel == "equal" and method == "mean":
+        coefs = coefs / (size * size)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0]
+                v = _neighbors_filter(a, coefs, size, method, nodata)
+                out.append(dict(
+                    image_id=r.image_id,
+                    cs=checksum_image(v)[0],
+                    vmin=float(np.round(np.min(v), 6)),
+                    vmax=float(np.round(np.max(v), 6)),
+                    vmean=float(np.round(np.mean(v), 6)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "cs", "vmin", "vmax", "vmean"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, cs long, vmin double, vmax double, "
+                    "vmean double")
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

@@ -1305,3 +1305,104 @@ class TestRasterCompare:
             else:
                 assert row["same_binary"]
                 assert row["found_diff"] == 0
+
+
+def _filterdata_twin(a, coefs, size, method, nodata):
+    """Literal per-pixel transcription of VRTKernelFilteredSource::
+    FilterData (frmts/vrt/vrtfilters.cpp) with edge replication."""
+    r = size // 2
+    src = a.astype(np.float64)
+    pad = np.pad(src, r, mode="edge")
+    h, w = a.shape
+    fill = nodata if nodata is not None else 0.0
+    out = np.empty((h, w))
+    for y in range(h):
+        for x in range(w):
+            if nodata is not None and src[y, x] == nodata:
+                out[y, x] = nodata
+                continue
+            vals, ksum = [], 0.0
+            best_val, best_cnt, counts = fill, 0, {}
+            for ii in range(size):
+                for jj in range(size):
+                    v = pad[y + ii, x + jj]
+                    c = coefs[ii * size + jj]
+                    if nodata is not None and (v == nodata or np.isnan(v)):
+                        continue
+                    if c == 0.0:
+                        continue
+                    wv = v * c
+                    vals.append(wv)
+                    ksum += c
+                    counts[wv] = counts.get(wv, 0) + 1
+                    if counts[wv] > best_cnt:
+                        best_cnt, best_val = counts[wv], wv
+            if not vals:
+                out[y, x] = fill
+                continue
+            if method == "sum":
+                out[y, x] = sum(vals)
+            elif method == "mean":
+                out[y, x] = fill if ksum == 0 else sum(vals) / ksum
+            elif method == "min":
+                out[y, x] = min(vals)
+            elif method == "max":
+                out[y, x] = max(vals)
+            elif method == "stddev":
+                m = sum(vals) / len(vals)
+                out[y, x] = np.sqrt(
+                    sum((v - m) ** 2 for v in vals) / len(vals))
+            elif method == "median":
+                out[y, x] = float(np.median(vals))
+            elif method == "mode":
+                out[y, x] = best_val
+    return out
+
+
+class TestNeighbors:
+    def test_all_methods_match_filterdata_twin(self):
+        from gdal_spark.operators.rasterops import (_NEIGHBOR_KERNELS,
+                                                    _neighbors_filter)
+
+        rng = np.random.default_rng(42)
+        a = rng.integers(0, 40, (12, 13)).astype(np.float64)
+        a[3, 4] = 7.0  # nodata holes
+        a[8, 2] = 7.0
+        for kernel, size in [("equal", 3), ("gaussian", 3), ("edge1", 3),
+                             ("gaussian", 5)]:
+            coefs = (np.ones(size * size)
+                     if kernel == "equal"
+                     else np.array(_NEIGHBOR_KERNELS[(kernel, size)],
+                                   dtype=np.float64))
+            for method in ("mean", "sum", "min", "max", "stddev",
+                           "median", "mode"):
+                for nd in (None, 7.0):
+                    got = _neighbors_filter(a, coefs, size, method, nd)
+                    exp = _filterdata_twin(a, coefs, size, method, nd)
+                    np.testing.assert_allclose(
+                        got, exp, atol=1e-9,
+                        err_msg=f"{kernel}/{size}/{method}/nd={nd}")
+
+    def test_defaults_and_constant_image(self):
+        from gdal_spark.operators.rasterops import (_NEIGHBOR_KERNELS,
+                                                    _neighbors_filter)
+
+        flat = np.full((9, 9), 50.0)
+        # zero-sum kernel (edge1) defaults to sum -> 0 everywhere
+        e1 = np.array(_NEIGHBOR_KERNELS[("edge1", 3)], dtype=np.float64)
+        assert (_neighbors_filter(flat, e1, 3, "sum", None) == 0).all()
+        # equal/mean keeps the constant
+        eq = np.ones(9) / 9.0
+        np.testing.assert_allclose(
+            _neighbors_filter(flat, eq, 3, "mean", None), 50.0)
+
+    def test_spark_operator(self, spark, imgs):
+        from gdal_spark.operators.rasterops import neighbors
+
+        got = neighbors(imgs, method="median", size=3).toPandas()
+        assert len(got) == imgs.count()
+        assert (got["vmin"] <= got["vmean"]).all()
+        assert (got["vmean"] <= got["vmax"]).all()
+        # zero-sum named kernel picks method=sum by default
+        got2 = neighbors(imgs, kernel="u").toPandas()
+        assert len(got2) == imgs.count()
