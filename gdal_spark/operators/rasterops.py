@@ -1537,6 +1537,98 @@ def neighbors(images: DataFrame, method: str | None = None,
                     "vmean double")
 
 
+def _parse_reclass_mapping(mapping: str, nodata: float | None):
+    """gdal raster reclassify mapping grammar (frmts/vrt/vrtreclassifier.cpp
+    Interval::Parse / Init): ';'-separated "interval=dest" terms.  interval
+    is a constant, "[a,b]" / "(a,b)" with -inf/inf and open bounds realized
+    by nextafter (:46-157), or the specials DEFAULT and NO_DATA (:221-231).
+    dest is a number, NO_DATA, or PASS_THROUGH (:273-297).  Returns
+    (intervals, default, nan_value) where intervals is a list of
+    (lo, hi, dest-or-None-for-passthrough)."""
+    intervals, default, nan_value = [], None, None
+    for term in mapping.split(";"):
+        term = term.strip()
+        if not term:
+            continue
+        src_s, dst_s = (p.strip() for p in term.split("=", 1))
+        if dst_s.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError("Value mapped to NO_DATA, but NoData value "
+                                 "is not set")
+            dst = float(nodata)
+        elif dst_s.upper() == "PASS_THROUGH":
+            dst = None
+        else:
+            dst = float(dst_s)
+        if src_s.upper() == "DEFAULT":
+            default = ("value", dst)
+        elif src_s.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError("Value mapped from NO_DATA, but NoData "
+                                 "value is not set")
+            intervals.append((float(nodata), float(nodata), dst))
+            nan_value = dst  # NaN nodata handled via the NaN slot
+        elif src_s[0] in "([":
+            lo_s, hi_s = src_s[1:-1].split(",")
+            lo = float(lo_s.strip())   # float() accepts -inf/inf spellings
+            hi = float(hi_s.strip())
+            if src_s[0] == "(":
+                lo = np.nextafter(lo, np.inf)
+            if src_s[-1] == ")":
+                hi = np.nextafter(hi, -np.inf)
+            if lo > hi:
+                raise ValueError("Lower bound of interval must be lower or "
+                                 "equal to upper bound")
+            intervals.append((lo, hi, dst))
+        else:
+            v = float(src_s)
+            intervals.append((v, v, dst))
+    return intervals, default, nan_value
+
+
+def reclassify(images: DataFrame, mapping: str,
+               nodata: float | None = None) -> DataFrame:
+    """gdal raster reclassify (apps/gdalalg_raster_reclassify.cpp +
+    frmts/vrt/vrtreclassifier.cpp): map band-1 pixel values through
+    interval rules, e.g. "[0,100)=1;[100,200)=2;DEFAULT=0".  Matched
+    intervals emit their destination (or the source value for
+    PASS_THROUGH); unmatched values take DEFAULT, and with no DEFAULT an
+    unmatched value is an error (Reclassify's bFoundInterval=false path).
+    Map-only over the corpus."""
+    intervals, default, _ = _parse_reclass_mapping(mapping, nodata)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)[:, :, 0].astype(np.float64)
+                res = np.empty_like(a)
+                matched = np.zeros(a.shape, dtype=bool)
+                for lo, hi, dst in intervals:
+                    sel = (~matched) & (a >= lo) & (a <= hi)
+                    res[sel] = a[sel] if dst is None else dst
+                    matched |= sel
+                if default is not None:
+                    dst = default[1]
+                    res[~matched] = (a[~matched] if dst is None else dst)
+                elif not matched.all():
+                    bad = float(a[~matched].flat[0])
+                    raise ValueError(
+                        f"Encountered value {bad} with no specified mapping")
+                out.append(dict(
+                    image_id=r.image_id,
+                    cs=checksum_image(res)[0],
+                    vmin=float(np.min(res)), vmax=float(np.max(res)),
+                    vmean=float(np.round(np.mean(res), 6)),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "cs", "vmin", "vmax", "vmean"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, cs long, vmin double, vmax double, "
+                    "vmean double")
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

@@ -1406,3 +1406,36 @@ class TestNeighbors:
         # zero-sum named kernel picks method=sum by default
         got2 = neighbors(imgs, kernel="u").toPandas()
         assert len(got2) == imgs.count()
+
+
+class TestReclassify:
+    def test_intervals_default_passthrough(self, spark, imgs, imgs_pdf):
+        from gdal_spark.operators.rasterops import reclassify
+
+        got = reclassify(
+            imgs, "[0,100)=1;[100,200)=2;DEFAULT=0"
+        ).toPandas().set_index("image_id")
+        for r in imgs_pdf.head(3).itertuples(index=False):
+            a = decode(r.bytes)[:, :, 0].astype(np.float64)
+            exp = np.where(a < 100, 1.0, np.where(a < 200, 2.0, 0.0))
+            assert got.loc[r.image_id, "cs"] == checksum_image(exp)[0]
+        # PASS_THROUGH keeps source values in range; open/closed bounds
+        got2 = reclassify(
+            imgs, "(100,inf]=200;DEFAULT=PASS_THROUGH"
+        ).toPandas().set_index("image_id")
+        for r in imgs_pdf.head(3).itertuples(index=False):
+            a = decode(r.bytes)[:, :, 0].astype(np.float64)
+            exp = np.where(a > 100, 200.0, a)  # 100 itself stays (open bound)
+            assert got2.loc[r.image_id, "cs"] == checksum_image(exp)[0]
+
+    def test_unmatched_raises_and_nodata(self, spark, imgs):
+        import pytest as _pytest
+        from gdal_spark.operators.rasterops import reclassify
+
+        with _pytest.raises(Exception, match="no specified mapping"):
+            reclassify(imgs, "[0,1]=5").toPandas()
+        with _pytest.raises(ValueError, match="NoData value is not set"):
+            reclassify(imgs, "[0,10]=NO_DATA")
+        # NO_DATA on both sides with a nodata value set
+        got = reclassify(imgs, "NO_DATA=0;[0,inf]=1", nodata=255.0).toPandas()
+        assert (got["vmax"] <= 1.0).all()
