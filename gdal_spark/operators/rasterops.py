@@ -1629,6 +1629,43 @@ def reclassify(images: DataFrame, mapping: str,
                     "vmean double")
 
 
+def nodata_to_alpha(images: DataFrame, nodata) -> DataFrame:
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_nodata_to_alpha.cpp):
+    append an alpha band that is 0 where the pixel is nodata and 255
+    elsewhere.  ``nodata`` is one value for every band or a per-band list —
+    the multi-band case follows the NODATA_VALUES convention the reference
+    delegates to (:74-81): a pixel is transparent only when EVERY band
+    equals its respective nodata value.  Emits the RGBA re-encode plus the
+    alpha checksum and transparent-pixel count.  Map-only."""
+    nd = [float(v) for v in (nodata if hasattr(nodata, "__len__")
+                             else [nodata])]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(r.bytes)
+                nb = a.shape[2]
+                vals = nd if len(nd) == nb else [nd[0]] * nb
+                mask = np.ones(a.shape[:2], dtype=bool)
+                for b in range(nb):
+                    mask &= a[:, :, b] == vals[b]
+                alpha = np.where(mask, 0, 255).astype(np.uint8)
+                rgba = np.dstack([a, alpha])
+                out.append(dict(
+                    image_id=r.image_id, bytes=encode(rgba, "png"),
+                    n_transparent=int(mask.sum()),
+                    alpha_cs=checksum_image(alpha)[0],
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "n_transparent",
+                              "alpha_cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, bytes binary, n_transparent long, "
+                    "alpha_cs long")
+
+
 def raster_to_xyz(images: DataFrame, band: int = 0,
                   skip: int = 1, srcwin=None,
                   skip_nodata: float | None = None) -> DataFrame:

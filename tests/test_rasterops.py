@@ -1439,3 +1439,25 @@ class TestReclassify:
         # NO_DATA on both sides with a nodata value set
         got = reclassify(imgs, "NO_DATA=0;[0,inf]=1", nodata=255.0).toPandas()
         assert (got["vmax"] <= 1.0).all()
+
+
+class TestNodataToAlpha:
+    def test_alpha_band_and_counts(self, spark):
+        from gdal_spark.codecs.registry import encode
+        from gdal_spark.operators.rasterops import nodata_to_alpha
+
+        a = np.full((8, 8, 3), 100, dtype=np.uint8)
+        a[0:2, 0:3] = 255            # nodata block (all bands)
+        a[5, 5, 0] = 255             # only band 1 at nodata -> stays opaque
+        df = spark.createDataFrame(pd.DataFrame(
+            [{"image_id": "nd0", "bytes": encode(a, "png")}]))
+        row = nodata_to_alpha(df, 255.0).collect()[0]
+        assert row["n_transparent"] == 6
+        rgba = decode(row["bytes"])
+        assert rgba.shape == (8, 8, 4)
+        assert (rgba[0:2, 0:3, 3] == 0).all()
+        assert rgba[5, 5, 3] == 255
+        assert rgba[4, 4, 3] == 255
+        # per-band NODATA_VALUES: transparent only where (255,100,100)
+        row2 = nodata_to_alpha(df, [255.0, 100.0, 100.0]).collect()[0]
+        assert row2["n_transparent"] == 1  # only the (5,5) pixel
