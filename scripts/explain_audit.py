@@ -147,6 +147,16 @@ def main():
     check("PQ ADC top-k has zero shuffles", "Exchange" not in p,
           f"{p.count('Exchange')} Exchange nodes")
 
+    # --- gdaltindex: pure metadata column math, map-only -----------------
+    from gdal_spark.fixtures.images import images_df
+    from gdal_spark.operators.rasterops import tile_index
+
+    p = plan_of(tile_index(images_df(spark, 64)))
+    check("tile_index extent math has no Python nodes beyond the source scan",
+          "BatchEvalPython" not in p and "ArrowEvalPython" not in p)
+    check("tile_index is map-only", "Exchange" not in p,
+          f"{p.count('Exchange')} Exchange nodes")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
