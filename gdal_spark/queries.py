@@ -4116,6 +4116,42 @@ def dem_color_relief_q(spark, sf_dir):
     return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
 
 
+@q("tile_index", None)
+def tile_index_q(spark, sf_dir):
+    """gdaltindex (apps/gdaltindex_lib.cpp): extent-polygon index layer of
+    the image corpus — location field, WKT extent ring, bbox columns;
+    zero-UDF column math (plan-audited map-only)."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import tile_index
+
+    return tile_index(images_df(spark, _images_n(sf_dir)),
+                      src_srs_name="src_srs")
+
+
+@q("raster_tools", None)
+def raster_tools_q(spark, sf_dir):
+    """gdal raster neighbors + reclassify in one tagged suite
+    (apps/gdalalg_raster_neighbors.cpp focal filter with
+    VRTKernelFilteredSource semantics; apps/gdalalg_raster_reclassify.cpp
+    interval mapping), per-image checksum + stats per mode."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import neighbors, reclassify
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    parts = [
+        neighbors(imgs, method="median", size=3)
+        .withColumn("mode", F.lit("neighbors_median")),
+        neighbors(imgs, kernel="gaussian", size=5)
+        .withColumn("mode", F.lit("neighbors_gaussian5")),
+        reclassify(imgs, "[0,64)=0;[64,128)=1;[128,192)=2;DEFAULT=3")
+        .withColumn("mode", F.lit("reclassify")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
+
+
 @q("fill_nodata", None)
 def fill_nodata_q(spark, sf_dir):
     """GDALFillNodata IDW hole filling (alg/rasterfill.cpp)."""
