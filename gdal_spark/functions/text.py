@@ -115,6 +115,150 @@ def quality_score(col) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality/repetition rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+# public filter set): duplicate-line fractions, symbol-to-word ratio,
+# bullet/ellipsis line fractions, alphabetic-word fraction, the 8-stopword
+# presence test, and the top word-2-gram character fraction. Everything per
+# document is pure JVM column math (split/filter/aggregate higher-order
+# functions, zero Python); ratios are emitted as micro-unit BIGINTs so the
+# DuckDB oracle compares exact integers.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+BULLET_CHARS = ["-", "*", "•", "‣", "▪"]
+
+
+def doc_lines(col) -> Column:
+    """Non-blank lines (split on newline, drop whitespace-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+
+
+def _char_sum(arr: Column) -> Column:
+    """Total characters over a string array (0 for empty)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+
+def _micro(ratio: Column) -> Column:
+    return F.round(ratio * 1_000_000.0).cast("long")
+
+
+def gopher_metrics(col) -> dict[str, Column]:
+    """Named Gopher filter signals as micro-unit (1e6) BIGINT columns.
+
+    dup_line_frac: duplicate lines beyond first occurrence / lines;
+    dup_line_char_frac: characters in those repeats / line characters;
+    symbol_word_ratio: ('#' + '...' + '…') occurrences / words;
+    bullet/ellipsis_line_frac: lines starting with a bullet / ending with
+    an ellipsis; alpha_word_frac: words containing an alphabetic char;
+    mean_word_len; stop_hits: how many of the 8 Gopher stopwords appear.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lns = doc_lines(c)
+    w = tokens(c)
+    dist = F.array_distinct(lns)
+    n_lines = F.size(lns)
+    n_words = F.size(w)
+    line_chars = _char_sum(lns)
+    dist_chars = _char_sum(dist)
+    word_chars = _char_sum(w)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell3 = ((F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+              ).cast("long")
+    n_ell1 = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    bullets = F.array(*[F.lit(b) for b in BULLET_CHARS])
+    n_bullet = F.size(F.filter(
+        lns, lambda x: F.array_contains(bullets, F.substring(F.ltrim(x), 1, 1))))
+    n_endell = F.size(F.filter(
+        lns, lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(w, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    g, one = F.greatest, F.lit(1)
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac_u": _micro((n_lines - F.size(dist)) / g(n_lines, one)),
+        "dup_line_char_frac_u": _micro(
+            (line_chars - dist_chars) / g(line_chars, one.cast("long"))),
+        "bullet_line_frac_u": _micro(n_bullet / g(n_lines, one)),
+        "ellipsis_line_frac_u": _micro(n_endell / g(n_lines, one)),
+        "symbol_word_ratio_u": _micro((n_hash + n_ell3 + n_ell1) / g(n_words, one)),
+        "alpha_word_frac_u": _micro(n_alpha / g(n_words, one)),
+        "mean_word_len_u": _micro(word_chars / g(n_words, one)),
+        "stop_hits": stop_hits.cast("long"),
+    }
+
+
+def top_bigram_frac(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document fraction of word characters covered by the most frequent
+    word 2-gram (micro-units), the Gopher top-2-gram repetition rule.
+
+    One partial-aggregated shuffle keyed (id, bigram) + a per-doc top-1
+    window; ties break on the lexicographically largest bigram. Documents
+    with <2 words are absent (callers left-join and fill 0).
+    """
+    from pyspark.sql import Window
+
+    w = tokens(text_col)
+    base = docs.select(F.col(id_col), w.alias("w")).where(F.size("w") >= 2)
+    bg = base.select(
+        id_col,
+        _char_sum(F.col("w")).alias("word_chars"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat(F.get("w", i - 1), F.lit(" "), F.get("w", i)),
+        )).alias("bigram"),
+    )
+    cnt = bg.groupBy(id_col, "word_chars", "bigram").agg(F.count("*").alias("c"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("c"), F.desc("bigram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            _micro((F.col("c") * (F.length("bigram") - 1))
+                   / F.greatest(F.col("word_chars"), F.lit(1).cast("long"))
+                   ).alias("top_bigram_frac_u"),
+        )
+    )
+
+
+# Thresholds from the Gopher paper's quality-filter table (§A1.1).
+GOPHER_RULES = {
+    "min_words": 50, "max_words": 100_000,
+    "mean_word_len_u": (3_000_000, 10_000_000),
+    "symbol_word_ratio_u": 100_000,
+    "bullet_line_frac_u": 900_000,
+    "ellipsis_line_frac_u": 300_000,
+    "alpha_word_frac_u": 800_000,
+    "min_stop_hits": 2,
+    "dup_line_frac_u": 300_000,
+    "dup_line_char_frac_u": 200_000,
+    "top_bigram_frac_u": 200_000,
+}
+
+
+def gopher_keep(n_words: Column) -> Column:
+    """Boolean keep decision over the micro-unit metric COLUMNS (expects the
+    gopher_metrics + top_bigram_frac_u columns already in scope)."""
+    r = GOPHER_RULES
+    c = F.col
+    return (
+        n_words.between(r["min_words"], r["max_words"])
+        & c("mean_word_len_u").between(*r["mean_word_len_u"])
+        & (c("symbol_word_ratio_u") <= r["symbol_word_ratio_u"])
+        & (c("bullet_line_frac_u") <= r["bullet_line_frac_u"])
+        & (c("ellipsis_line_frac_u") <= r["ellipsis_line_frac_u"])
+        & (c("alpha_word_frac_u") >= r["alpha_word_frac_u"])
+        & (c("stop_hits") >= r["min_stop_hits"])
+        & (c("dup_line_frac_u") <= r["dup_line_frac_u"])
+        & (c("dup_line_char_frac_u") <= r["dup_line_char_frac_u"])
+        & (c("top_bigram_frac_u") <= r["top_bigram_frac_u"])
+    ).cast("int")
+
+
 def fingerprint(col) -> Column:
     """64-bit document fingerprint over whitespace-normalized lowercase text
     (the exact-dedup key; xxhash64 = JVM-side, zero Python)."""

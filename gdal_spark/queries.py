@@ -539,32 +539,115 @@ GROUP BY 1
     )
 
 
-@q(
-    "text_metrics",
-    r"""
-SELECT doc_id,
-       length(text) AS n_chars2,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-       length(text) - length(replace(text, ' ', '')) AS n_spaces
-FROM documents
-""",
+# text_metrics: token counts + the full Gopher (arXiv:2112.11446 §A1.1)
+# repetition/quality rule set, replayed exactly in DuckDB. Ratios are
+# micro-unit BIGINTs; the keep flag re-derives from the same integers.
+_TEXT_METRICS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars2,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(ROUND((len(lns) - len(list_distinct(lns)))
+         / greatest(len(lns), 1) * 1000000.0) AS BIGINT) AS dup_line_frac_u,
+    CAST(ROUND((COALESCE(list_sum(list_transform(lns, x -> length(x))), 0)
+         - COALESCE(list_sum(list_transform(list_distinct(lns),
+                                            x -> length(x))), 0))
+         / greatest(COALESCE(list_sum(list_transform(lns, x -> length(x))),
+                             0), 1)
+         * 1000000.0) AS BIGINT) AS dup_line_char_frac_u,
+    CAST(ROUND(len(list_filter(lns, x -> list_contains(
+           ['-','*','•','‣','▪'], substr(ltrim(x), 1, 1))))
+         / greatest(len(lns), 1) * 1000000.0) AS BIGINT) AS bullet_line_frac_u,
+    CAST(ROUND(len(list_filter(lns, x -> ends_with(rtrim(x), '...')
+                                          OR ends_with(rtrim(x), '…')))
+         / greatest(len(lns), 1) * 1000000.0) AS BIGINT)
+      AS ellipsis_line_frac_u,
+    CAST(ROUND(((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))))
+         / greatest(len(w), 1) * 1000000.0) AS BIGINT) AS symbol_word_ratio_u,
+    CAST(ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         / greatest(len(w), 1) * 1000000.0) AS BIGINT) AS alpha_word_frac_u,
+    CAST(ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+         / greatest(len(w), 1) * 1000000.0) AS BIGINT) AS mean_word_len_u,
+    CAST(len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+         ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS stop_hits,
+    COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS word_chars
+  FROM base
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         i -> w[i] || ' ' || w[CAST(i AS BIGINT) + 1])) AS bigram
+  FROM base WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id AS tdoc, bigram, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, bigram DESC) AS rn
+  FROM cnt
 )
+SELECT m.doc_id, m.n_chars2, m.n_tokens, m.n_spaces, m.n_lines,
+       m.dup_line_frac_u, m.dup_line_char_frac_u, m.bullet_line_frac_u,
+       m.ellipsis_line_frac_u, m.symbol_word_ratio_u, m.alpha_word_frac_u,
+       m.mean_word_len_u, m.stop_hits,
+       CAST(COALESCE(ROUND(top.c * (length(top.bigram) - 1)
+            / greatest(m.word_chars, 1) * 1000000.0), 0) AS BIGINT)
+         AS top_bigram_frac_u,
+       CAST(CASE WHEN m.n_tokens BETWEEN 50 AND 100000
+                  AND m.mean_word_len_u BETWEEN 3000000 AND 10000000
+                  AND m.symbol_word_ratio_u <= 100000
+                  AND m.bullet_line_frac_u <= 900000
+                  AND m.ellipsis_line_frac_u <= 300000
+                  AND m.alpha_word_frac_u >= 800000
+                  AND m.stop_hits >= 2
+                  AND m.dup_line_frac_u <= 300000
+                  AND m.dup_line_char_frac_u <= 200000
+                  AND CAST(COALESCE(ROUND(top.c * (length(top.bigram) - 1)
+                        / greatest(m.word_chars, 1) * 1000000.0), 0) AS BIGINT)
+                      <= 200000
+            THEN 1 ELSE 0 END AS INT) AS gopher_keep
+FROM m LEFT JOIN top ON m.doc_id = top.tdoc AND top.rn = 1
+"""
+
+
+@q("text_metrics", _TEXT_METRICS_SQL)
 def text_metrics(spark, sf_dir):
-    """Token counting + basic text metrics (JVM split/length only)."""
-    from .functions.text import token_count
+    """Token counting + the Gopher repetition/quality rule set (Rae et al.
+    2021 §A1.1): duplicate-line fractions, symbol/bullet/ellipsis ratios,
+    alpha-word fraction, stopword presence, top word-2-gram character
+    fraction, and the composite keep flag. Per-doc signals are zero-shuffle
+    JVM column math; the top-2-gram adds one partial-aggregated shuffle.
+    Every ratio is a micro-unit BIGINT replayed exactly in DuckDB."""
+    from .functions.text import (
+        gopher_keep, gopher_metrics, token_count, top_bigram_frac)
 
     register_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    gm = gopher_metrics("text")
+    metrics = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars2"),
+        token_count("text").cast("long").alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("long").alias("n_spaces"),
+        *[v.alias(k) for k, v in gm.items()],
+    )
+    tb = top_bigram_frac(docs)
     return (
-        spark.table("documents")
-        .select(
-            "doc_id",
-            F.length("text").alias("n_chars2"),
-            token_count("text").alias("n_tokens"),
-            (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias(
-                "n_spaces"
-            ),
-        )
+        metrics.join(tb, "doc_id", "left")
+        .fillna({"top_bigram_frac_u": 0})
+        .withColumn("gopher_keep", gopher_keep(F.col("n_tokens")))
     )
 
 

@@ -65,6 +65,75 @@ class TestTextFunctions:
         assert got["fp"][0] != got["fp"][2]
 
 
+class TestGopherRules:
+    """Gopher quality filters (arXiv:2112.11446 §A1.1) on crafted docs with
+    Python-computed expectations."""
+
+    def _metrics(self, spark, texts):
+        from gdal_spark.functions.text import (
+            gopher_keep, gopher_metrics, token_count, top_bigram_frac)
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        gm = gopher_metrics("text")
+        m = docs.select(
+            "doc_id", token_count("text").cast("long").alias("n_tokens"),
+            *[v.alias(k) for k, v in gm.items()])
+        out = (m.join(top_bigram_frac(docs), "doc_id", "left")
+                .fillna({"top_bigram_frac_u": 0})
+                .withColumn("gopher_keep", gopher_keep(F.col("n_tokens"))))
+        return out.toPandas().set_index("doc_id").sort_index()
+
+    def test_duplicate_lines(self, spark):
+        text = "aaa\nbbb\naaa\n\n  \nccc"
+        got = self._metrics(spark, [text]).loc[0]
+        # 4 non-blank lines, one duplicate beyond first (aaa)
+        assert got["n_lines"] == 4
+        assert got["dup_line_frac_u"] == round(1 / 4 * 1e6)
+        # chars in repeats beyond first = 3 of 12 line chars
+        assert got["dup_line_char_frac_u"] == round(3 / 12 * 1e6)
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        text = "- item one\n* item two\nplain\ntrails off...\nand more…"
+        got = self._metrics(spark, [text]).loc[0]
+        assert got["bullet_line_frac_u"] == round(2 / 5 * 1e6)
+        assert got["ellipsis_line_frac_u"] == round(2 / 5 * 1e6)
+
+    def test_symbol_ratio_and_alpha(self, spark):
+        text = "alpha ## beta ... 123 …"
+        got = self._metrics(spark, [text]).loc[0]
+        # symbols: 2 hashes + 1 '...' + 1 '…' over 6 words
+        assert got["symbol_word_ratio_u"] == round(4 / 6 * 1e6)
+        # words with an alphabetic char: alpha, beta = 2 of 6
+        assert got["alpha_word_frac_u"] == round(2 / 6 * 1e6)
+
+    def test_top_bigram_tie_break(self, spark):
+        # "the cat" and "cat the" both occur twice; tie -> lexicographically
+        # largest bigram ("the cat")
+        text = "the cat the cat the"
+        got = self._metrics(spark, [text]).loc[0]
+        word_chars = 3 * 5  # 15 chars over 5 words
+        assert got["top_bigram_frac_u"] == round(2 * 6 / word_chars * 1e6)
+
+    def test_keep_flag(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog with gusto"] * 6)
+        too_short = "the cat sat"
+        gibberish = " ".join(["zxqv"] * 80)  # no stopwords
+        spammy = "\n".join(["buy now..."] * 60) + " " + good
+        got = self._metrics(spark, [good, too_short, gibberish, spammy])
+        assert got.loc[0, "gopher_keep"] == 1
+        assert got.loc[1, "gopher_keep"] == 0  # < 50 words
+        assert got.loc[2, "gopher_keep"] == 0  # no stopwords, top-bigram dup
+        assert got.loc[3, "gopher_keep"] == 0  # ellipsis lines + dup lines
+
+    def test_empty_and_single_word(self, spark):
+        got = self._metrics(spark, ["", "   ", "word"])
+        assert (got["n_lines"] == [0, 0, 1]).all()
+        assert (got["top_bigram_frac_u"] == 0).all()
+        assert (got["gopher_keep"] == 0).all()
+
+
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):
     """Real doc texts + crafted near/exact duplicates."""
