@@ -259,6 +259,53 @@ def gopher_keep(n_words: Column) -> Column:
     ).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 — public):
+# line-level keep rules + page-level discard rules. The cross-corpus
+# three-sentence-span dedup lives in operators/dedup.c4_span_dedup (it
+# shuffles); everything here is per-row JVM column math.
+# ---------------------------------------------------------------------------
+
+_SENTENCE_SPLIT = r"(?<=[.!?])\s+"
+
+
+def sentences(col) -> Column:
+    """Sentence array: split on whitespace following terminal punctuation,
+    blank pieces dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, _SENTENCE_SPLIT), lambda s: F.trim(s) != "")
+
+
+def c4_line_clean(col) -> dict[str, Column]:
+    """C4 line + page rules: keep lines ending in terminal punctuation
+    ([.!?\"]) with >= 5 words and no 'javascript'; a page survives when the
+    cleaned text has >= 3 sentences, no 'lorem ipsum', and no '{'.
+
+    Returns named columns: text_clean, n_kept_lines, n_sentences, page_ok.
+    """
+    lns = doc_lines(col)
+    kept = F.filter(
+        lns,
+        lambda x: F.rtrim(x).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(sentences(cleaned))
+    low = F.lower(cleaned)
+    page_ok = (
+        (n_sent >= 3)
+        & ~low.contains("lorem ipsum")
+        & ~cleaned.contains("{")
+    )
+    return {
+        "text_clean": cleaned,
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sent.cast("long"),
+        "page_ok": page_ok.cast("int"),
+    }
+
+
 def fingerprint(col) -> Column:
     """64-bit document fingerprint over whitespace-normalized lowercase text
     (the exact-dedup key; xxhash64 = JVM-side, zero Python)."""

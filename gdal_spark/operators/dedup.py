@@ -520,3 +520,63 @@ def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
             .join(hits, id_col, "left")
             .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
             .withColumn("contaminated", F.col("n_hits") >= min_hits))
+
+
+def c4_span_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", span: int = 3) -> DataFrame:
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2): any
+    ``span``-sentence window occurring more than once in the corpus is
+    removed from every document except the first occurrence (global order
+    = (doc id, position)).
+
+    Shape at scale: spans explode to (doc, pos, xxhash64-of-span) rows;
+    the keeper per hash is a partial-aggregated ``min(struct(doc, pos))``
+    groupBy (no window sort), duplicates join back on the 64-bit hash, and
+    removed sentence indices aggregate per doc. Only ids/positions/hashes
+    shuffle — never sentence text.
+
+    Returns (id, text_dedup, n_sentences, n_removed_sentences).
+    """
+    from ..functions.text import sentences
+
+    base = docs.select(F.col(id_col), sentences(text_col).alias("sent"))
+    n = F.size("sent")
+    norm = lambda c: F.xxhash64(
+        F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+    spans = (
+        base.where(n >= span)
+        .select(
+            id_col,
+            F.explode(F.transform(
+                F.sequence(F.lit(0), n - span),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    norm(F.concat_ws(" ", F.slice("sent", i + 1, span)))
+                    .alias("h")),
+            )).alias("sp"))
+        .select(id_col, F.col("sp.pos").alias("pos"), F.col("sp.h").alias("h"))
+    )
+    keepers = (spans.groupBy("h")
+               .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+                    F.count("*").alias("c"))
+               .where(F.col("c") > 1))
+    dup_occ = (spans.join(keepers, "h")
+               .where(~((F.col(id_col) == F.col(f"keep.{id_col}"))
+                        & (F.col("pos") == F.col("keep.pos")))))
+    removed = (dup_occ
+               .select(id_col, F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + span - 1))
+                   .alias("idx"))
+               .groupBy(id_col)
+               .agg(F.collect_set("idx").alias("rm")))
+    empty = F.array().cast("array<int>")
+    rm = F.coalesce(F.col("rm"), empty)
+    return (base.join(removed, id_col, "left")
+            .select(
+                id_col,
+                F.array_join(
+                    F.filter("sent",
+                             lambda s, i: ~F.array_contains(rm, i)),
+                    " ").alias("text_dedup"),
+                F.size("sent").cast("long").alias("n_sentences"),
+                F.size(rm).cast("long").alias("n_removed_sentences")))

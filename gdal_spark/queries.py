@@ -804,6 +804,47 @@ def ngram_contamination_q(spark, sf_dir):
             .select("doc_id", "n_grams", "n_hits", "contaminated"))
 
 
+@q("c4_clean", None)
+def c4_clean_q(spark, sf_dir):
+    """C4 cleaning pipeline (Raffel et al. 2020 §2.2): line keep rules
+    (terminal punctuation, >= 5 words, no 'javascript'), page discard
+    rules (>= 3 sentences, no 'lorem ipsum', no '{'), then the corpus-
+    wide three-sentence-span dedup on the surviving pages. Returns
+    per-doc counters (text itself stays executor-side)."""
+    from .functions.text import c4_line_clean, tokens
+    from .operators.dedup import c4_span_dedup
+
+    register_tpch_views(spark, sf_dir)
+    # The synthetic corpus has no sentence punctuation, so sentence-ify it
+    # deterministically (a period every 8th word) — the exact duplicates the
+    # generator plants then become duplicate 3-sentence spans, exercising
+    # the corpus-wide dedup, not just the line rules.
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.transform(
+                    tokens("text"),
+                    lambda x, i: F.when(i % 8 == 7, F.concat(x, F.lit(".")))
+                    .otherwise(x)),
+                " "),
+            F.lit("."),
+        ).alias("text"),
+    )
+    lc = c4_line_clean("text")
+    cleaned = docs.select("doc_id", *[v.alias(k) for k, v in lc.items()])
+    surviving = cleaned.where(F.col("page_ok") == 1)
+    dd = c4_span_dedup(surviving, text_col="text_clean")
+    return (
+        cleaned.select("doc_id", "n_kept_lines", "n_sentences", "page_ok")
+        .join(dd.select("doc_id", F.length("text_dedup").cast("long")
+                        .alias("n_chars_dedup"), "n_removed_sentences"),
+              "doc_id", "left")
+        .fillna({"n_chars_dedup": 0, "n_removed_sentences": 0})
+        .orderBy("doc_id")
+    )
+
+
 @q("similarity_ann_pq", None)
 def similarity_ann_pq(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. TPAMI 2011, the FAISS

@@ -134,6 +134,74 @@ class TestGopherRules:
         assert (got["gopher_keep"] == 0).all()
 
 
+class TestC4Clean:
+    def test_line_rules(self, spark):
+        from gdal_spark.functions.text import c4_line_clean
+
+        text = "\n".join([
+            "This sentence has enough words and ends well.",   # kept
+            "Too short line.",                                  # < 5 words
+            "This line has plenty of words but no terminal punct",  # no punct
+            "Enable javascript to view this content please.",   # javascript
+            "Another perfectly fine sentence sits right here!", # kept
+        ])
+        lc = c4_line_clean("text")
+        got = (spark.createDataFrame(pd.DataFrame({"text": [text]}))
+               .select(*[v.alias(k) for k, v in lc.items()]).toPandas().iloc[0])
+        assert got["n_kept_lines"] == 2
+        lines = got["text_clean"].split("\n")
+        assert lines[0].startswith("This sentence") and lines[1].startswith("Another")
+
+    def test_page_rules(self, spark):
+        from gdal_spark.functions.text import c4_line_clean
+
+        good = ("One good sentence is sitting here. Another good sentence "
+                "is also here. A third keeps the page alive.")
+        lorem = good + " And now some lorem ipsum filler text appears."
+        brace = good + " Code tokens like { break pages."
+        short = "Only one proper sentence lives on this page."
+        pdf = pd.DataFrame({"doc_id": range(4),
+                            "text": [good, lorem, brace, short]})
+        lc = c4_line_clean("text")
+        got = (spark.createDataFrame(pdf)
+               .select("doc_id", *[v.alias(k) for k, v in lc.items()])
+               .toPandas().set_index("doc_id").sort_index())
+        assert got["page_ok"].tolist() == [1, 0, 0, 0]
+
+    def test_span_dedup_cross_doc(self, spark):
+        from gdal_spark.operators.dedup import c4_span_dedup
+
+        dup = ("The quick brown fox jumps. A lazy dog sleeps nearby. "
+               "Rivers flow to the sea.")
+        doc_a = dup + " Mountains rise in the west."
+        doc_b = "Fresh opening line here. " + dup
+        doc_c = "Totally unrelated one. Totally unrelated two. Unrelated three."
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                            "text": [doc_a, doc_b, doc_c]})
+        got = (c4_span_dedup(spark.createDataFrame(pdf))
+               .toPandas().set_index("doc_id").sort_index())
+        # doc 1 holds the first occurrence -> untouched
+        assert got.loc[1, "n_removed_sentences"] == 0
+        # doc 2 loses exactly the 3 duplicated sentences
+        assert got.loc[2, "n_removed_sentences"] == 3
+        assert got.loc[2, "text_dedup"] == "Fresh opening line here."
+        assert got.loc[3, "n_removed_sentences"] == 0
+        assert got.loc[3, "n_sentences"] == 3
+
+    def test_span_dedup_normalized_match(self, spark):
+        from gdal_spark.operators.dedup import c4_span_dedup
+
+        base = "Alpha one ends. Beta two ends. Gamma three ends."
+        shouty = "ALPHA ONE ENDS. BETA   TWO ENDS. GAMMA THREE ENDS."
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, shouty]})
+        got = (c4_span_dedup(spark.createDataFrame(pdf))
+               .toPandas().set_index("doc_id").sort_index())
+        # case/whitespace-normalized hash: doc 2 is a duplicate of doc 1
+        assert got.loc[1, "n_removed_sentences"] == 0
+        assert got.loc[2, "n_removed_sentences"] == 3
+        assert got.loc[2, "text_dedup"] == ""
+
+
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):
     """Real doc texts + crafted near/exact duplicates."""
