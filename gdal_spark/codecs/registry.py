@@ -24,12 +24,16 @@ try:  # pragma: no cover - not available in this container
 except ImportError:
     _HAVE_PIL = False
 
-FORMATS = ("png", "jpeg", "webp", "cog")
+FORMATS = ("png", "jpeg", "webp", "cog", "pnm")
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
+    if fmt in ("pnm", "pgm", "ppm"):
+        from .pnm import encode_pnm
+
+        return encode_pnm(arr)
     if fmt in ("cog", "tiff"):
         from .cog import encode_cog
 
@@ -55,6 +59,10 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from .cog import decode_cog
 
         return decode_cog(bytes(data))[0]
+    if head[:2] in (b"P5", b"P6"):
+        from .pnm import decode_pnm
+
+        return decode_pnm(bytes(data))
     if _HAVE_PIL:  # pragma: no cover
         return np.asarray(Image.open(io.BytesIO(bytes(data))))
     raise NotImplementedError(
@@ -75,6 +83,8 @@ def identify(data: bytes) -> str:
         return "WEBP"
     if head[:4] == b"II*\x00":
         return "GTiff"
+    if head[:2] in (b"P5", b"P6"):
+        return "PNM"
     if head[:2] == b"GP":
         return "GPKG-geom"
     return "UNKNOWN"

@@ -2126,6 +2126,65 @@ def raster_translate_q(spark, sf_dir):
     ).select("image_id", "w2", "h2", "cs1")
 
 
+@q("raster_container_roundtrip", None)
+def raster_container_roundtrip_q(spark, sf_dir):
+    """Raster-format interchange e2e: the same images written to
+    Arc/Info ASCII Grid, ENVI raw (all three interleaves), XYZ ASCII,
+    and PNM, then read back through each reader and compared
+    pixel-exact. Per format: files written, images read, pixel-exact
+    count — the per-image-file analogues of the reference's frmts/
+    aaigrid, frmts/raw/envidataset.cpp, frmts/xyz, frmts/pnm drivers."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .codecs.registry import decode as _dec
+    from .codecs.registry import encode as _enc
+    from .fixtures.images import images_df
+    from .io.ascii_grid import read_ascii_grids, write_ascii_grids
+    from .io.raw_formats import read_envi, read_xyz, write_envi, write_xyz
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 20)).persist()
+    src = {r["image_id"]: _dec(bytes(r["bytes"])) for r in imgs.collect()}
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        n = write_ascii_grids(imgs, os.path.join(td, "asc"))
+        back = read_ascii_grids(spark, os.path.join(td, "asc")).collect()
+        exact = sum(
+            int(np.array_equal(
+                np.array(r["values"]).reshape(r["h"], r["w"]),
+                src[r["image_id"]][:, :, 0]))
+            for r in back)
+        rows.append(("aaigrid", n, len(back), exact))
+        for il in ("bsq", "bil", "bip"):
+            d = os.path.join(td, f"envi_{il}")
+            n = write_envi(imgs, d, interleave=il)
+            back = read_envi(spark, d).collect()
+            exact = sum(
+                int(np.array_equal(_dec(bytes(r["png"])), src[r["image_id"]]))
+                for r in back)
+            rows.append((f"envi_{il}", n, len(back), exact))
+        n = write_xyz(imgs, os.path.join(td, "xyz"))
+        back = read_xyz(spark, os.path.join(td, "xyz")).collect()
+        exact = sum(
+            int(np.array_equal(
+                np.array(r["values"]).reshape(r["h"], r["w"]),
+                src[r["image_id"]][:, :, 0]))
+            for r in back)
+        rows.append(("xyz", n, len(back), exact))
+    # PNM codec roundtrip (in-memory format, no directory)
+    pnm_exact = sum(
+        int(np.array_equal(_dec(_enc(px, "pnm" if px.shape[2] == 1
+                                     else "ppm")), px))
+        for px in src.values())
+    rows.append(("pnm", len(src), len(src), pnm_exact))
+    imgs.unpersist()
+    return spark.createDataFrame(
+        rows, "fmt string, n_written long, n_read long, n_pixel_exact long"
+    ).orderBy("fmt")
+
+
 @q("vector_container_roundtrip", None)
 def vector_container_roundtrip_q(spark, sf_dir):
     """Vector-format interchange e2e (the could-a-reference-user-switch

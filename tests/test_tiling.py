@@ -443,3 +443,72 @@ class TestAsciiGrid:
         a2, gt2, nd = parse_ascii_grid(b)
         assert nd == -9999 and a2[0, 1] == -2.0
         assert gt2[0] == 10.0 and gt2[3] == 20.0
+
+
+class TestRawFormats:
+    def test_pnm_codec_identify(self):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode, encode, identify
+
+        g = (np.arange(20, dtype=np.uint8).reshape(4, 5) * 11)[:, :, None]
+        b = encode(g, "pnm")
+        assert identify(b) == "PNM"
+        np.testing.assert_array_equal(decode(b), g)
+        rgb = np.random.default_rng(3).integers(
+            0, 256, (6, 4, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode(encode(rgb, "ppm")), rgb)
+
+    def test_envi_roundtrip_all_interleaves(self, spark, tmp_path):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.raw_formats import read_envi, write_envi
+        from gdal_spark.oracle.tiling import geotransform_3857
+
+        imgs = images_df(spark, 4)
+        src = {r["image_id"]: r for r in imgs.collect()}
+        for il in ("bsq", "bil", "bip"):
+            out = str(tmp_path / f"envi_{il}")
+            n = write_envi(imgs, out, interleave=il)
+            assert n == 4
+            back = read_envi(spark, out).collect()
+            assert len(back) == 4
+            for r in back:
+                o = src[r["image_id"]]
+                exp = _dec(bytes(o["bytes"]))
+                got = _dec(bytes(r["png"]))
+                np.testing.assert_array_equal(got, exp)
+                gt = geotransform_3857(o["lon"], o["lat"], exp.shape[1],
+                                       exp.shape[0], o["gsd_m"])
+                np.testing.assert_allclose(r["gt"], gt, rtol=0, atol=1e-9)
+
+    def test_xyz_roundtrip(self, spark, tmp_path):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.raw_formats import (parse_xyz, read_xyz,
+                                               write_xyz, xyz_bytes)
+        from gdal_spark.oracle.tiling import geotransform_3857
+
+        imgs = images_df(spark, 3)
+        out = str(tmp_path / "xyz")
+        assert write_xyz(imgs, out) == 3
+        src = {r["image_id"]: r for r in imgs.collect()}
+        for r in read_xyz(spark, out).collect():
+            o = src[r["image_id"]]
+            a = _dec(bytes(o["bytes"]))[:, :, 0]
+            got = np.array(r["values"]).reshape(r["h"], r["w"])
+            np.testing.assert_array_equal(got, a)
+            gt = geotransform_3857(o["lon"], o["lat"], a.shape[1],
+                                   a.shape[0], o["gsd_m"])
+            np.testing.assert_allclose(r["gt"], gt, rtol=0, atol=1e-6)
+
+        # kernel-level: centers back out to the corner-anchored gt
+        band = np.array([[1, 2], [3, 4]], dtype=np.int32)
+        gt0 = [100.0, 10.0, 0.0, 200.0, 0.0, -10.0]
+        a2, gt2 = parse_xyz(xyz_bytes(band, gt0))
+        np.testing.assert_array_equal(a2, band)
+        np.testing.assert_allclose(gt2, gt0, atol=1e-9)
