@@ -157,6 +157,21 @@ def main():
     check("tile_index is map-only", "Exchange" not in p,
           f"{p.count('Exchange')} Exchange nodes")
 
+    # --- Gopher text rules: per-doc signals map-only, top-bigram partial --
+    from gdal_spark.functions.text import gopher_metrics, top_bigram_frac
+
+    docs = spark.table("documents")
+    gm = gopher_metrics("text")
+    p = plan_of(docs.select("doc_id", *[v.alias(k) for k, v in gm.items()]))
+    check("gopher per-doc metrics are map-only JVM column math",
+          "Exchange" not in p and "BatchEvalPython" not in p
+          and "ArrowEvalPython" not in p)
+    p = plan_of(top_bigram_frac(docs))
+    check("gopher top-bigram count has partial aggregation",
+          p.count("HashAggregate") >= 2)
+    check("gopher top-bigram has no Python nodes",
+          "BatchEvalPython" not in p and "ArrowEvalPython" not in p)
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
