@@ -561,3 +561,51 @@ def poly_sym_difference(a: DataFrame, b: DataFrame, a_id: str = "aid",
     ).where(F.col("n_pieces") > 0).drop("n_pieces")
     cols = [a_id, b_id, "wkb", "area"]
     return a_only.select(cols).unionByName(b_only.select(cols))
+
+
+def vector_info(features: DataFrame, wkb_col: str = "wkb",
+                layer_name: str = "layer") -> DataFrame:
+    """``ogrinfo -so`` summary analogue (apps/ogrinfo_lib.cpp report
+    surface): one row with the feature count, the layer extent (the
+    union of per-feature envelopes, OGRLayer::GetExtent), per-geometry-
+    type counts, and the attribute schema (from the DataFrame schema —
+    the OGRFeatureDefn role).
+
+    One Arrow pass computes per-feature (type, envelope); the reduce is
+    a single partial-aggregated global agg — no per-feature data
+    reaches the driver."""
+    import pandas as _pd2
+
+    from ..oracle import geom as _G2
+
+    def env_gen(batches):
+        for pdf in batches:
+            kinds, bxs = [], []
+            for blob in pdf[wkb_col]:
+                g = _G2.parse_wkb(bytes(blob))
+                kinds.append(g[0])
+                bxs.append(_G2.bbox(g))
+            b = _pd2.DataFrame(bxs, columns=["minx", "miny", "maxx", "maxy"])
+            b.insert(0, "gtype", kinds)
+            yield b
+
+    per_feat = features.select(wkb_col).mapInPandas(
+        env_gen, schema="gtype string, minx double, miny double, "
+                        "maxx double, maxy double")
+    fields = ",".join(f"{n}:{t}" for n, t in features.dtypes
+                      if n != wkb_col)
+    return (per_feat
+            .groupBy("gtype")
+            .agg(F.count("*").alias("n"), F.min("minx").alias("minx"),
+                 F.min("miny").alias("miny"), F.max("maxx").alias("maxx"),
+                 F.max("maxy").alias("maxy"))
+            .groupBy()
+            .agg(F.sum("n").alias("n_features"),
+                 F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                 F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+                 F.array_join(F.sort_array(F.collect_list(
+                     F.concat_ws(":", "gtype", "n"))), ",")
+                 .alias("geom_types"))
+            .select(F.lit(layer_name).alias("layer"), "n_features",
+                    "minx", "miny", "maxx", "maxy", "geom_types",
+                    F.lit(fields).alias("fields")))

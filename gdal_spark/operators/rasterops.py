@@ -1996,3 +1996,65 @@ def warp_rpc(images: DataFrame, height: float = 0.0,
 
     return images.select("image_id", "bytes", rpc_col).mapInPandas(
         gen, schema="image_id string, w2 int, h2 int, n_valid long, cs long")
+
+
+def retile(images: DataFrame, tile_px: int = 128, levels: int = 1,
+           method: str = "nearest", emit_bytes: bool = False) -> DataFrame:
+    """gdal_retile analogue (osgeo_utils/gdal_retile.py): split each image
+    into fixed ``tile_px`` × ``tile_px`` PIXEL-space tiles (edge tiles
+    keep their partial size, like the reference's leftover columns/rows),
+    and optionally build ``levels-1`` pyramid levels where each level
+    halves resolution before re-tiling (gdal_retile -levels).
+
+    Map-only: an image's whole tile set — every level — is a pure
+    function of its own row, so the explode happens inside one Arrow
+    batch with zero shuffles at any corpus size. Emits per-tile
+    georeferencing (the tile's own geotransform) + checksum; set
+    ``emit_bytes`` for PNG payloads.
+    """
+    from ..codecs.png import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = decode(bytes(r.bytes))
+                gt0 = geotransform_3857(r.lon, r.lat, base.shape[1],
+                                        base.shape[0], r.gsd_m)
+                a = base
+                for level in range(1, levels + 1):
+                    if level > 1:
+                        nh = max(1, (a.shape[0] + 1) // 2)
+                        nw = max(1, (a.shape[1] + 1) // 2)
+                        a = _resample_any(a, nh, nw, method)
+                    scale = base.shape[1] / a.shape[1]
+                    h, w = a.shape[0], a.shape[1]
+                    for ty in range((h + tile_px - 1) // tile_px):
+                        for tx in range((w + tile_px - 1) // tile_px):
+                            t = a[ty * tile_px:(ty + 1) * tile_px,
+                                  tx * tile_px:(tx + 1) * tile_px]
+                            cs = checksum_image(t)
+                            rows.append(dict(
+                                image_id=r.image_id, level=level,
+                                tx=tx, ty=ty,
+                                w=int(t.shape[1]), h=int(t.shape[0]),
+                                ulx=float(gt0[0] + tx * tile_px
+                                          * gt0[1] * scale),
+                                uly=float(gt0[3] + ty * tile_px
+                                          * gt0[5] * scale),
+                                px_size=float(gt0[1] * scale),
+                                cs=int(cs[0] if hasattr(cs, "__len__")
+                                       else cs),
+                                png=(bytearray(encode_png(t))
+                                     if emit_bytes else None),
+                            ))
+            cols = ["image_id", "level", "tx", "ty", "w", "h", "ulx",
+                    "uly", "px_size", "cs", "png"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = images.select("image_id", "bytes", "lon", "lat", "gsd_m"
+                        ).mapInPandas(
+        gen, schema="image_id string, level int, tx int, ty int, w int, "
+                    "h int, ulx double, uly double, px_size double, "
+                    "cs long, png binary")
+    return out if emit_bytes else out.drop("png")

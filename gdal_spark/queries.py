@@ -4335,6 +4335,36 @@ def raster_tools_q(spark, sf_dir):
     return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
 
 
+@q("retile_pyramid", None)
+def retile_pyramid_q(spark, sf_dir):
+    """gdal_retile analogue: fixed 64-px pixel-space tiles over 2 levels
+    (level 2 at half resolution), per-level tile counts + checksum sum —
+    map-only, the whole per-image tile set from one Arrow batch."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import retile
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    t = retile(imgs, tile_px=64, levels=2)
+    return (t.groupBy("level")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.sum("cs").alias("cs_sum"),
+                 F.sum(F.col("w").cast("long") * F.col("h")).alias("px"))
+            .orderBy("level"))
+
+
+@q("vector_layer_info", None)
+def vector_layer_info_q(spark, sf_dir):
+    """ogrinfo -so analogue over the traced image footprints: feature
+    count, layer extent, geometry-type counts, field schema."""
+    from .fixtures.images import images_df
+    from .operators.layer_algebra import vector_info
+    from .operators.rasterops import footprint
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    feats = footprint(imgs, threshold=0).select("image_id", "wkb", "n_valid")
+    return vector_info(feats, layer_name="footprints")
+
+
 @q("fill_nodata", None)
 def fill_nodata_q(spark, sf_dir):
     """GDALFillNodata IDW hole filling (alg/rasterfill.cpp)."""

@@ -1461,3 +1461,93 @@ class TestNodataToAlpha:
         # per-band NODATA_VALUES: transparent only where (255,100,100)
         row2 = nodata_to_alpha(df, [255.0, 100.0, 100.0]).collect()[0]
         assert row2["n_transparent"] == 1  # only the (5,5) pixel
+
+
+class TestRetile:
+    def test_tiles_reassemble(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import retile
+
+        imgs = images_df(spark, 3)
+        src = {r["image_id"]: _dec(bytes(r["bytes"])) for r in imgs.collect()}
+        tiles = retile(imgs, tile_px=48, levels=1, emit_bytes=True).collect()
+        by_img = {}
+        for t in tiles:
+            by_img.setdefault(t["image_id"], []).append(t)
+        for iid, ts in by_img.items():
+            a = src[iid]
+            h, w = a.shape[0], a.shape[1]
+            ntx = (w + 47) // 48
+            nty = (h + 47) // 48
+            assert len(ts) == ntx * nty
+            out = np.zeros_like(a)
+            for t in ts:
+                px = _dec(bytes(t["png"]))
+                assert px.shape[0] == t["h"] and px.shape[1] == t["w"]
+                out[t["ty"] * 48:t["ty"] * 48 + t["h"],
+                    t["tx"] * 48:t["tx"] * 48 + t["w"]] = px
+            np.testing.assert_array_equal(out, a)
+
+    def test_levels_halve(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import retile
+
+        imgs = images_df(spark, 2)
+        t = retile(imgs, tile_px=64, levels=3).toPandas()
+        for (iid, lvl), grp in t.groupby(["image_id", "level"]):
+            pass  # smoke grouping
+        # pixel size doubles per level; total pixels shrink ~4x per level
+        for iid in t["image_id"].unique():
+            sub = t[t["image_id"] == iid]
+            p1 = sub[sub["level"] == 1]["px_size"].iloc[0]
+            p2 = sub[sub["level"] == 2]["px_size"].iloc[0]
+            assert 1.8 <= p2 / p1 <= 2.2
+            n1 = (sub[sub["level"] == 1]["w"] * sub[sub["level"] == 1]["h"]).sum()
+            n2 = (sub[sub["level"] == 2]["w"] * sub[sub["level"] == 2]["h"]).sum()
+            assert n2 <= n1 / 3
+
+    def test_georef_continuity(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import retile
+        from gdal_spark.oracle.tiling import geotransform_3857
+        from gdal_spark.codecs.registry import decode as _dec
+
+        imgs = images_df(spark, 1)
+        r = imgs.collect()[0]
+        a = _dec(bytes(r["bytes"]))
+        gt = geotransform_3857(r["lon"], r["lat"], a.shape[1], a.shape[0],
+                               r["gsd_m"])
+        t = retile(imgs, tile_px=32, levels=1).toPandas()
+        for row in t.itertuples():
+            assert abs(row.ulx - (gt[0] + row.tx * 32 * gt[1])) < 1e-9
+            assert abs(row.px_size - gt[1]) < 1e-12
+
+
+class TestVectorInfo:
+    def test_summary(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.layer_algebra import vector_info
+        from gdal_spark.operators.rasterops import footprint
+        from gdal_spark.oracle import geom as G
+
+        imgs = images_df(spark, 8)
+        feats = footprint(imgs, threshold=0).select(
+            "image_id", "wkb", "n_valid")
+        info = vector_info(feats, layer_name="fp").collect()[0]
+        rows = feats.collect()
+        assert info["layer"] == "fp"
+        assert info["n_features"] == len(rows)
+        envs = [G.bbox(G.parse_wkb(bytes(r["wkb"]))) for r in rows]
+        assert abs(info["minx"] - min(e[0] for e in envs)) < 1e-9
+        assert abs(info["maxy"] - max(e[3] for e in envs)) < 1e-9
+        kinds = {}
+        for r in rows:
+            k = G.parse_wkb(bytes(r["wkb"]))[0]
+            kinds[k] = kinds.get(k, 0) + 1
+        exp = ",".join(f"{k}:{v}" for k, v in sorted(kinds.items()))
+        assert info["geom_types"] == exp
+        assert "image_id:string" in info["fields"]
+        assert "wkb" not in info["fields"]
