@@ -4335,6 +4335,39 @@ def raster_tools_q(spark, sf_dir):
     return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
 
 
+@q("gdaltransform_points", None)
+def gdaltransform_points_q(spark, sf_dir):
+    """gdaltransform batch point transforms, one tagged suite per CRS
+    family: 3857 (JVM column math), UTM zone 31 (Krüger series), LCC
+    Europe 2SP, south polar stereographic. Fixture lon/lats are scaled
+    into each family's valid domain; rt_err_udeg pins forward/inverse
+    self-consistency (micro-degrees, ~0 for all closed forms)."""
+    from .fixtures.images import images_df
+    from .functions.crs import transform_points
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200)).select(
+        "image_id", "lon", "lat")
+    modes = {
+        # (family, lon -> domain, lat -> domain)
+        "3857": (F.col("lon"), F.col("lat")),
+        "utm31": (F.col("lon") / 60.0 + 3.0, F.col("lat") * 0.4),
+        "lcc_eu": (F.col("lon") / 12.0 + 10.0, F.col("lat") / 8.0 + 48.0),
+        "stereo_s": (F.col("lon"), -70.0 + F.col("lat") / 20.0),
+    }
+    parts = []
+    for fam, (lo, la) in modes.items():
+        src = imgs.select("image_id", lo.alias("lon"), la.alias("lat"))
+        parts.append(
+            transform_points(src, fam).select(
+                F.lit(fam).alias("family"), "image_id",
+                F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+                F.round("rt_err_udeg", 3).alias("rt_err_udeg")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @q("retile_pyramid", None)
 def retile_pyramid_q(spark, sf_dir):
     """gdal_retile analogue: fixed 64-px pixel-space tiles over 2 levels

@@ -74,3 +74,41 @@ class TestConicTransforms:
         assert dst_gt[3] + 40 * dst_gt[5] < 50.0 < dst_gt[3]
         # same-resolution nearest warp keeps the value population
         assert abs(float(out.mean()) - float(a.mean())) < 8.0
+
+
+class TestTransformPoints:
+    def test_all_families_roundtrip(self, spark):
+        import numpy as np
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.functions.crs import transform_points
+
+        imgs = images_df(spark, 20).select("image_id", "lon", "lat")
+        from pyspark.sql import functions as F
+
+        domains = {
+            "3857": imgs,
+            "utm31": imgs.select("image_id", (F.col("lon") / 60 + 3).alias("lon"),
+                                 (F.col("lat") * 0.4).alias("lat")),
+            "lcc_eu": imgs.select("image_id", (F.col("lon") / 12 + 10).alias("lon"),
+                                  (F.col("lat") / 8 + 48).alias("lat")),
+            "stereo_s": imgs.select("image_id", "lon",
+                                    (-70 + F.col("lat") / 20).alias("lat")),
+        }
+        for fam, src in domains.items():
+            got = transform_points(src, fam).toPandas()
+            assert (got["rt_err_udeg"] < 1e-3).all(), fam
+            assert got["x"].nunique() > 1, fam
+
+    def test_3857_matches_oracle(self, spark):
+        import numpy as np
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.functions.crs import transform_points
+        from gdal_spark.oracle.mercator import lonlat_to_meters
+
+        imgs = images_df(spark, 10).select("image_id", "lon", "lat")
+        got = transform_points(imgs, "3857").toPandas()
+        ex, ey = lonlat_to_meters(got["lon"].to_numpy(), got["lat"].to_numpy())
+        np.testing.assert_allclose(got["x"], ex, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(got["y"], ey, rtol=0, atol=1e-6)
