@@ -2058,3 +2058,49 @@ def retile(images: DataFrame, tile_px: int = 128, levels: int = 1,
                     "h int, ulx double, uly double, px_size double, "
                     "cs long, png binary")
     return out if emit_bytes else out.drop("png")
+
+
+def perceptual_hash(images: DataFrame, hash_size: int = 8,
+                    resize_to: int = 32) -> DataFrame:
+    """DCT perceptual hash (the public pHash algorithm — Zauner 2010,
+    "Implementation and Benchmarking of Perceptual Image Hash
+    Functions"): luma -> nearest resize to ``resize_to``² -> 2-D DCT-II
+    (orthonormal matrix form) -> top-left ``hash_size``² low-frequency
+    block -> median threshold -> bits packed row-major into int64.
+
+    Map-only Arrow batches; the DCT basis is built once per batch. The
+    output column `phash_px` is drop-in for `dedup.hamming_near_pairs`,
+    giving an image near-dup pipeline from raw pixels (decode -> hash ->
+    banded Hamming LSH) with no reliance on a precomputed phash column."""
+
+    def gen(batches):
+        k = np.arange(resize_to, dtype=np.float64)
+        # orthonormal DCT-II basis: C[u, n] = s(u) cos(pi (2n+1) u / 2N)
+        C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None]
+                   / (2 * resize_to))
+        C[0] *= 1 / np.sqrt(2)
+        C *= np.sqrt(2.0 / resize_to)
+        weights = np.array([0.299, 0.587, 0.114])
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(bytes(r.bytes)).astype(np.float64)
+                if a.shape[2] == 1:
+                    luma = a[:, :, 0]
+                elif a.shape[2] == 2:  # gray + alpha
+                    luma = a[:, :, 0]
+                else:
+                    luma = a[:, :, :3] @ weights
+                small = resample_nearest(luma[:, :, None], resize_to,
+                                         resize_to)[:, :, 0]
+                d = C @ small @ C.T
+                block = d[:hash_size, :hash_size].ravel()
+                bits = block > np.median(block)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | np.uint64(bool(b))
+                out.append((r.image_id, int(h.astype(np.int64))))
+            yield pd.DataFrame(out, columns=["image_id", "phash_px"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, phash_px long")

@@ -4335,6 +4335,33 @@ def raster_tools_q(spark, sf_dir):
     return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
 
 
+@q("phash_pixel_dedup", None)
+def phash_pixel_dedup_q(spark, sf_dir):
+    """Image near-dup from RAW PIXELS: decode -> DCT perceptual hash
+    (map-only) -> banded Hamming LSH pairs -> connected components ->
+    keep list. The fixture generator reuses the pixel pattern per
+    (w, h), so pixel-identical images form phash-0 clusters; reports
+    per-Hamming-distance pair counts + cluster stats."""
+    from .fixtures.images import images_df
+    from .operators.dedup import hamming_near_pairs, pair_components
+    from .operators.rasterops import perceptual_hash
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 300))
+    hashes = perceptual_hash(imgs)
+    pairs = hamming_near_pairs(hashes, "phash_px", "image_id",
+                               max_hamming=2)
+    comps = pair_components(pairs, "id_a", "id_b")
+    dist = (pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+            .withColumn("mode", F.concat(F.lit("dist_"), F.col("hamming")))
+            .select("mode", F.col("n_pairs").alias("n")))
+    clus = (comps.groupBy("component").count()
+            .groupBy().agg(F.count("*").alias("n_clusters"),
+                           F.max("count").alias("max_size"))
+            .select(F.lit("clusters").alias("mode"),
+                    F.col("n_clusters").alias("n")))
+    return dist.unionByName(clus).orderBy("mode")
+
+
 @q("gdaltransform_points", None)
 def gdaltransform_points_q(spark, sf_dir):
     """gdaltransform batch point transforms, one tagged suite per CRS

@@ -1551,3 +1551,45 @@ class TestVectorInfo:
         assert info["geom_types"] == exp
         assert "image_id:string" in info["fields"]
         assert "wkb" not in info["fields"]
+
+
+class TestPerceptualHash:
+    def test_identical_pixels_same_hash(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import perceptual_hash
+
+        imgs = images_df(spark, 40)
+        meta = imgs.select("image_id", "w", "h", "fmt").toPandas()
+        got = perceptual_hash(imgs).toPandas().merge(meta, on="image_id")
+        # the fixture reuses the pixel pattern per (w, h): every PNG pair
+        # with equal dims must hash identically (lossy codecs may flip
+        # borderline bits)
+        png = got[got["fmt"] == "png"]
+        for (_, _), grp in png.groupby(["w", "h"]):
+            assert grp["phash_px"].nunique() == 1
+
+    def test_scale_invariance_and_discrimination(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.png import encode_png
+        from gdal_spark.fixtures.images import make_pixels
+        from gdal_spark.operators.rasterops import perceptual_hash
+        from gdal_spark.oracle.resample import resample_nearest
+
+        base = make_pixels(64, 64)
+        up = resample_nearest(base, 128, 128)
+        rng = np.random.default_rng(7)
+        noise = rng.integers(0, 256, base.shape, dtype=np.uint8)
+        pdf = pd.DataFrame({
+            "image_id": ["base", "up2x", "noise"],
+            "bytes": [bytearray(encode_png(a)) for a in (base, up, noise)],
+        })
+        got = (perceptual_hash(spark.createDataFrame(pdf))
+               .toPandas().set_index("image_id")["phash_px"])
+
+        def ham(a, b):
+            return bin(np.uint64(a) ^ np.uint64(b)).count("1")
+
+        assert ham(got["base"], got["up2x"]) <= 6     # scale-invariant-ish
+        assert ham(got["base"], got["noise"]) >= 16   # discriminates
