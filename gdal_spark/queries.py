@@ -2244,6 +2244,17 @@ def vector_container_roundtrip_q(spark, sf_dir):
                      sum(1 for r in back.collect()
                          if src.get(r["image_id"]) == bytes(r["wkb"])),
                      area_sum(back)))
+        from .io.geoparquet import read_geoparquet, write_geoparquet
+
+        gpq = os.path.join(td, "gpq")
+        write_geoparquet(feats, gpq)
+        back, geo = read_geoparquet(spark, gpq)
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        back = back.withColumnRenamed("geometry", "wkb")
+        rows.append(("geoparquet", back.count(),
+                     sum(1 for r in back.collect()
+                         if src.get(r["image_id"]) == bytes(r["wkb"])),
+                     area_sum(back)))
     feats.unpersist()
     import pandas as pd2
 

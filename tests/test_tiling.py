@@ -512,3 +512,54 @@ class TestRawFormats:
         a2, gt2 = parse_xyz(xyz_bytes(band, gt0))
         np.testing.assert_array_equal(a2, band)
         np.testing.assert_allclose(gt2, gt0, atol=1e-9)
+
+
+class TestGeoParquet:
+    def test_roundtrip_with_geo_metadata(self, spark, tmp_path):
+        import json
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.geoparquet import read_geoparquet, write_geoparquet
+        from gdal_spark.operators.rasterops import footprint
+        from gdal_spark.oracle import geom as G
+
+        imgs = images_df(spark, 10)
+        feats = footprint(imgs, threshold=0).select(
+            "image_id", "wkb", "n_valid")
+        out = str(tmp_path / "gpq")
+        n = write_geoparquet(feats, out)
+        assert n >= 1
+        back, geo = read_geoparquet(spark, out)
+        assert geo["version"] == "1.0.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert set(col["geometry_types"]) <= {"Polygon", "MultiPolygon"}
+        # data round-trips byte-exact
+        src = {r["image_id"]: bytes(r["wkb"]) for r in feats.collect()}
+        got = {r["image_id"]: bytes(r["geometry"]) for r in back.collect()}
+        assert got == src
+        # per-file bbox covers that file's rows
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))[0]
+        t = pq.read_table(os.path.join(out, f))
+        meta = json.loads(t.schema.metadata[b"geo"])
+        bb = meta["columns"]["geometry"]["bbox"]
+        for blob in t.column("geometry").to_pylist():
+            e = G.bbox(G.parse_wkb(bytes(blob)))
+            assert bb[0] <= e[0] and bb[1] <= e[1]
+            assert bb[2] >= e[2] and bb[3] >= e[3]
+
+    def test_rejects_plain_parquet(self, spark, tmp_path):
+        import pytest as _pt
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.geoparquet import read_geoparquet
+
+        out = str(tmp_path / "plain")
+        images_df(spark, 3).select("image_id", "w", "h").write.parquet(out)
+        with _pt.raises(ValueError, match="geo"):
+            read_geoparquet(spark, out)
