@@ -259,6 +259,50 @@ def gopher_keep(n_words: Column) -> Column:
     ).cast("int")
 
 
+def gopher_dup_ngram_fracs(col, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
+    """Gopher §A1.1 duplicate word-n-gram character fractions for each n
+    in ``ns``: the fraction of characters (in the whitespace-joined word
+    stream) covered by ANY occurrence of an n-gram that appears more than
+    once in the document. Position-exact (overlapping duplicate n-grams
+    are not double-counted), returned as micro-unit longs in ``ns`` order.
+
+    One Arrow batch pass per row — per-document repetition needs position
+    sets, which is genuinely per-row work; it stays a map-only stage at
+    any corpus size."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            words = str(text).split() if text is not None else []
+            if not words:
+                out.append([0] * len(ns))
+                continue
+            # char offsets of each word in the space-joined stream
+            lens = np.fromiter((len(w) for w in words), dtype=np.int64)
+            ends = np.cumsum(lens + 1)  # word i spans [ends[i]-lens[i]-1, ends[i]-1)
+            starts = ends - lens - 1
+            total = int(ends[-1] - 1)
+            fracs = []
+            for n in ns:
+                if len(words) < n:
+                    fracs.append(0)
+                    continue
+                grams: dict = {}
+                for i in range(len(words) - n + 1):
+                    grams.setdefault(tuple(words[i:i + n]), []).append(i)
+                mask = np.zeros(total, dtype=bool)
+                for pos in grams.values():
+                    if len(pos) > 1:
+                        for i in pos:
+                            mask[starts[i]:ends[i + n - 1] - 1] = True
+                fracs.append(int(round(mask.sum() / total * 1_000_000)))
+            out.append(fracs)
+        return pd.Series(out)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
 # ---------------------------------------------------------------------------
 # C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 — public):
 # line-level keep rules + page-level discard rules. The cross-corpus

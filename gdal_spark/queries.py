@@ -804,6 +804,22 @@ def ngram_contamination_q(spark, sf_dir):
             .select("doc_id", "n_grams", "n_hits", "contaminated"))
 
 
+@q("gopher_dup_ngrams", None)
+def gopher_dup_ngrams_q(spark, sf_dir):
+    """Gopher duplicate word-n-gram character fractions (n = 5..10,
+    position-exact) per document — the remaining §A1.1 repetition family
+    beyond dup-lines and top-2-gram. Map-only Arrow pass."""
+    from .functions.text import gopher_dup_ngram_fracs
+
+    register_tpch_views(spark, sf_dir)
+    fr = gopher_dup_ngram_fracs("text")
+    return spark.table("documents").select(
+        "doc_id",
+        *[fr[i].alias(f"dup_{n}gram_frac_u")
+          for i, n in enumerate((5, 6, 7, 8, 9, 10))],
+    )
+
+
 @q("c4_clean", None)
 def c4_clean_q(spark, sf_dir):
     """C4 cleaning pipeline (Raffel et al. 2020 §2.2): line keep rules

@@ -134,6 +134,39 @@ class TestGopherRules:
         assert (got["gopher_keep"] == 0).all()
 
 
+class TestGopherDupNgrams:
+    def test_planted_repetition(self, spark):
+        from gdal_spark.functions.text import gopher_dup_ngram_fracs
+
+        rep = "a b c d e f a b c d e f x"   # dup 5/6-grams, none longer
+        clean = "the quick brown fox jumps over a lazy dog near town"
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": [rep, clean]})
+        fr = gopher_dup_ngram_fracs("text")
+        got = (spark.createDataFrame(pdf)
+               .select("doc_id", *[fr[i].alias(f"n{n}")
+                                   for i, n in enumerate((5, 6, 7, 8, 9, 10))])
+               .toPandas().set_index("doc_id").sort_index())
+        # words 0..11 duplicated via 5-grams, minus the uncovered gap space
+        # between the two halves: 22 of 25 chars
+        assert got.loc[1, "n5"] == round(22 / 25 * 1e6)
+        # the full 6-gram "a b c d e f" repeats at words 0 and 6: the two
+        # 11-char spans again exclude the gap space -> 22 of 25 chars
+        assert got.loc[1, "n6"] == round(22 / 25 * 1e6)
+        assert got.loc[1, "n7"] == 0
+        assert (got.loc[2] == 0).all()
+
+    def test_short_and_empty(self, spark):
+        from gdal_spark.functions.text import gopher_dup_ngram_fracs
+
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["", "one two"]})
+        fr = gopher_dup_ngram_fracs("text")
+        got = (spark.createDataFrame(pdf)
+               .select(*[fr[i].alias(f"n{n}")
+                         for i, n in enumerate((5, 6, 7, 8, 9, 10))])
+               .toPandas())
+        assert (got.to_numpy() == 0).all()
+
+
 class TestC4Clean:
     def test_line_rules(self, spark):
         from gdal_spark.functions.text import c4_line_clean
