@@ -4422,6 +4422,37 @@ def gdaltransform_points_q(spark, sf_dir):
     return out
 
 
+@q("vrt_mosaic", None)
+def vrt_mosaic_q(spark, sf_dir):
+    """VRT round trip (frmts/vrt, the gdalbuildvrt output format): build
+    a .vrt index from source metadata (no decode), parse it back, and
+    materialize the mosaic DISTRIBUTED through the engine's render +
+    last-wins merge; reports the source count, dataset grid, and the
+    materialized tile count + checksum sum."""
+    import os
+    import tempfile
+
+    from .fixtures.images import images_df
+    from .io.vrt import materialize_vrt, parse_vrt, write_vrt
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).persist()
+    with tempfile.TemporaryDirectory() as td:
+        pth = os.path.join(td, "mosaic.vrt")
+        info = write_vrt(imgs, pth)
+        spec = parse_vrt(pth)
+        tiles = materialize_vrt(spark, imgs, pth, reducer="last")
+        agg = tiles.agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(F.col("cs1") + F.col("cs2") + F.col("cs3")).alias("cs_sum"),
+        ).collect()[0]
+    imgs.unpersist()
+    return spark.createDataFrame(
+        [(len(spec["sources"]), spec["xsize"], spec["ysize"], info["zoom"],
+          agg["n_tiles"], agg["cs_sum"])],
+        "n_sources long, xsize long, ysize long, zoom long, "
+        "n_tiles long, cs_sum long")
+
+
 @q("retile_pyramid", None)
 def retile_pyramid_q(spark, sf_dir):
     """gdal_retile analogue: fixed 64-px pixel-space tiles over 2 levels

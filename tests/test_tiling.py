@@ -563,3 +563,56 @@ class TestGeoParquet:
         images_df(spark, 3).select("image_id", "w", "h").write.parquet(out)
         with _pt.raises(ValueError, match="geo"):
             read_geoparquet(spark, out)
+
+
+class TestVrt:
+    def test_write_parse_alignment(self, spark, tmp_path):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.vrt import parse_vrt, write_vrt
+        from gdal_spark.oracle.tiling import image_bounds_3857
+
+        imgs = images_df(spark, 6)
+        pth = str(tmp_path / "m.vrt")
+        info = write_vrt(imgs, pth)
+        spec = parse_vrt(pth)
+        assert spec["srs"] == "EPSG:3857"
+        assert spec["xsize"] == info["xsize"]
+        assert len(spec["sources"]) == 6
+        res = spec["gt"][1]
+        minx, maxy = spec["gt"][0], spec["gt"][3]
+        src = {r["image_id"]: r for r in imgs.collect()}
+        for s in spec["sources"]:
+            o = src[s["id"]]
+            bx = image_bounds_3857(o["lon"], o["lat"], o["w"], o["h"],
+                                   o["gsd_m"])
+            assert abs(s["dst_rect"][0] - (bx[0] - minx) / res) < 1e-4
+            assert abs(s["dst_rect"][1] - (maxy - bx[3]) / res) < 1e-4
+            assert abs(s["dst_rect"][2] - (bx[2] - bx[0]) / res) < 1e-4
+            assert s["src_rect"] == [0.0, 0.0, float(o["w"]), float(o["h"])]
+
+    def test_materialize_equals_direct_mosaic(self, spark, tmp_path):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.vrt import materialize_vrt, parse_vrt, write_vrt
+        from gdal_spark.operators.rasterops import (mosaic_resolution_zoom,
+                                                    mosaic_tiles)
+
+        imgs = images_df(spark, 6)
+        pth = str(tmp_path / "m.vrt")
+        write_vrt(imgs, pth)
+        got = materialize_vrt(spark, imgs, pth, reducer="last")
+        z = mosaic_resolution_zoom(imgs, "highest")
+        exp = mosaic_tiles(imgs, zoom=z, reducer="last")
+        key = lambda df: sorted(
+            (r["z"], r["x"], r["y"], r["cs1"], r["cs2"], r["cs3"])
+            for r in df.collect())
+        assert key(got) == key(exp)
+
+    def test_nodata_source_roundtrip(self, spark, tmp_path):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.io.vrt import parse_vrt, write_vrt
+
+        imgs = images_df(spark, 3)
+        pth = str(tmp_path / "n.vrt")
+        write_vrt(imgs, pth, src_nodata=0)
+        spec = parse_vrt(pth)
+        assert all(s["nodata"] == 0.0 for s in spec["sources"])
