@@ -1,0 +1,223 @@
+"""``gdal raster pipeline`` analogue — chained raster steps fused into
+ONE distributed pass.
+
+The reference chains algorithms with ``gdal raster pipeline read ... !
+step ! ... ! write ...`` and can serialize the chain as a GDALG JSON
+file (``frmts/gdalg/gdalgdataset.cpp``: ``{"type": "gdal_streamed_alg",
+"command_line": ...}``) that re-executes lazily. The Spark-native
+equivalent of that lazy streaming is kernel FUSION: the parsed chain
+becomes a single ``mapInPandas`` stage that decodes each image once,
+applies every numpy kernel in order, and encodes once — zero
+intermediate materialization, zero shuffles, at any corpus size.
+
+Steps (a practical subset of apps/gdalalg_raster_*.cpp, each delegating
+to the engine's existing kernels):
+
+  resize w=<int> h=<int> [r=nearest|bilinear|cubic|...]
+  scale [src_min= src_max= dst_min= dst_max=]   (gdal_translate -scale)
+  reclassify mapping=<grammar>                   (vrtreclassifier rules)
+  neighbors [kernel=] [size=] [method=]          (focal filter)
+  hillshade|slope|aspect|tri|tpi|roughness [z=] [azimuth=] [altitude=]
+  reproject [r=]                                 (3857 -> 4326 warp)
+  nodata-to-alpha nodata=<v>
+  expand bands=rgb                               (gray -> rgb)
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def parse_pipeline(text: str) -> list[tuple[str, dict]]:
+    """CLI string -> [(step, args)]. Accepts the reference's full form
+    ('gdal raster pipeline read ! resize w=64 h=64 ! write') or just the
+    '!'-chain; read/write bookends are optional and ignored here (the
+    DataFrame is the read, the caller owns the write)."""
+    body = text.strip()
+    for prefix in ("gdal raster pipeline", "gdal pipeline"):
+        if body.startswith(prefix):
+            body = body[len(prefix):]
+            break
+    steps = []
+    for part in body.split("!"):
+        toks = shlex.split(part.strip())
+        if not toks or toks[0] in ("read", "write"):
+            continue
+        args = {}
+        for t in toks[1:]:
+            if "=" not in t:
+                raise ValueError(f"bad step argument {t!r} in {part!r}")
+            k, v = t.split("=", 1)
+            args[k] = v
+        steps.append((toks[0], args))
+    return steps
+
+
+def to_gdalg(text: str) -> str:
+    """Serialize a pipeline as the reference's GDALG JSON
+    (frmts/gdalg: {"type": "gdal_streamed_alg", "command_line": ...})."""
+    parse_pipeline(text)  # validate
+    return json.dumps({"type": "gdal_streamed_alg", "command_line": text})
+
+
+def from_gdalg(blob: str | bytes) -> list[tuple[str, dict]]:
+    d = json.loads(blob)
+    if d.get("type") != "gdal_streamed_alg":
+        raise ValueError("not a GDALG pipeline")
+    return parse_pipeline(d["command_line"])
+
+
+def _f(args, key, default):
+    return float(args[key]) if key in args else default
+
+
+_DEM_OPS = ("hillshade", "slope", "aspect", "tri", "tpi", "roughness")
+KNOWN_STEPS = ("resize", "scale", "reclassify", "neighbors", "reproject",
+               "nodata-to-alpha", "expand") + _DEM_OPS
+
+
+def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
+                ) -> np.ndarray:
+    """One kernel: float64 HxWxC in/out; ctx carries gsd_m/lon/lat and is
+    updated when a step changes the grid."""
+    from .oracle import dem as DEM
+    from .operators.rasterops import (_neighbors_filter, _parse_reclass_mapping,
+                                      _resample_any)
+
+    if name == "resize":
+        w, h = int(args["w"]), int(args["h"])
+        out = _resample_any(a, h, w, args.get("r", "nearest"))
+        ctx["gsd_m"] *= a.shape[1] / w
+        return out
+    if name == "scale":
+        smin = _f(args, "src_min", float(a.min()))
+        smax = _f(args, "src_max", float(a.max()))
+        dmin, dmax = _f(args, "dst_min", 0.0), _f(args, "dst_max", 255.0)
+        den = (smax - smin) or 1.0
+        return (a - smin) * (dmax - dmin) / den + dmin
+    if name == "reclassify":
+        intervals, default, _ = _parse_reclass_mapping(
+            args["mapping"], _f(args, "nodata", None) if "nodata" in args
+            else None)
+        v = a[:, :, 0]
+        res = np.empty_like(v)
+        matched = np.zeros(v.shape, dtype=bool)
+        for lo, hi, dst in intervals:
+            sel = (~matched) & (v >= lo) & (v <= hi)
+            res[sel] = v[sel] if dst is None else dst
+            matched |= sel
+        if default is not None:
+            dst = default[1]
+            res[~matched] = v[~matched] if dst is None else dst
+        elif not matched.all():
+            raise ValueError("value with no specified mapping")
+        return res[:, :, None]
+    if name == "neighbors":
+        from .operators.rasterops import _NEIGHBOR_KERNELS
+
+        size = int(args.get("size", 3))
+        kernel = args.get("kernel", "equal")
+        if (kernel, size) in _NEIGHBOR_KERNELS:
+            coefs = np.array(_NEIGHBOR_KERNELS[(kernel, size)],
+                             dtype=np.float64)
+        elif kernel == "equal":
+            coefs = np.ones(size * size, dtype=np.float64)
+        else:
+            raise ValueError(f"unknown kernel {kernel!r}")
+        method = args.get("method",
+                          "sum" if coefs.sum() == 0.0 else "mean")
+        if kernel == "equal" and method == "mean":
+            coefs = coefs / (size * size)
+        return _neighbors_filter(a[:, :, 0], coefs, size, method,
+                                 _f(args, "nodata", None)
+                                 if "nodata" in args else None)[:, :, None]
+    if name in _DEM_OPS:
+        v = a[:, :, 0]
+        res = ctx["gsd_m"]
+        if name == "hillshade":
+            out = DEM.hillshade(v, res, res, _f(args, "z", 1.0),
+                                _f(args, "azimuth", 315.0),
+                                _f(args, "altitude", 45.0))
+        elif name == "slope":
+            out = DEM.slope_degrees(v, res, res, _f(args, "z", 1.0))
+        elif name == "aspect":
+            out = DEM.aspect_degrees(v, res, res)
+        else:
+            out = getattr(DEM, name)(v)
+        return np.asarray(out, dtype=np.float64)[:, :, None]
+    if name == "reproject":
+        from .oracle.tiling import geotransform_3857
+        from .oracle.warp import warp_3857_to_4326
+
+        gt = geotransform_3857(ctx["lon"], ctx["lat"], a.shape[1],
+                               a.shape[0], ctx["gsd_m"])
+        out, _ = warp_3857_to_4326(np.clip(a, 0, 255).astype(np.uint8), gt,
+                                   method=args.get("r", "nearest"))
+        return np.asarray(out, dtype=np.float64)
+    if name == "nodata-to-alpha":
+        nd = float(args["nodata"])
+        rgb = a[:, :, :3] if a.shape[2] >= 3 else a[:, :, :1]
+        alpha = np.where((rgb == nd).all(axis=2), 0.0, 255.0)
+        return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+    if name == "expand":
+        if args.get("bands", "rgb") != "rgb":
+            raise ValueError("expand supports bands=rgb")
+        return np.repeat(a[:, :, :1], 3, axis=2) if a.shape[2] == 1 else a
+    raise ValueError(f"unknown pipeline step {name!r}")
+
+
+def run_pipeline(images: DataFrame, pipeline: str | list,
+                 emit_bytes: bool = False) -> DataFrame:
+    """Execute a step chain over the image table as ONE fused map stage:
+    decode -> kernels -> (optional PNG encode) + checksum/stats. Accepts
+    the CLI string, a GDALG JSON blob, or a parsed [(step, args)] list."""
+    from .codecs.png import encode_png
+    from .codecs.registry import decode
+    from .oracle.checksum import checksum_image
+
+    if isinstance(pipeline, (str, bytes)) and str(pipeline).lstrip().startswith("{"):
+        steps = from_gdalg(pipeline)
+    elif isinstance(pipeline, str):
+        steps = parse_pipeline(pipeline)
+    else:
+        steps = list(pipeline)
+    if not steps:
+        raise ValueError("empty pipeline")
+    for name, _args in steps:
+        if name not in KNOWN_STEPS:
+            raise ValueError(f"unknown pipeline step {name!r}")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(bytes(r.bytes)).astype(np.float64)
+                ctx = {"gsd_m": float(r.gsd_m), "lon": float(r.lon),
+                       "lat": float(r.lat)}
+                for name, args in steps:
+                    a = _apply_step(name, args, a, ctx)
+                u8 = np.clip(np.round(a), 0, 255).astype(np.uint8)
+                # checksum the float chain result (matches the standalone
+                # operators' convention); u8 is only the PNG payload
+                cs = checksum_image(a)
+                out.append(dict(
+                    image_id=r.image_id, w2=int(a.shape[1]),
+                    h2=int(a.shape[0]), bands=int(a.shape[2]),
+                    cs=int(cs[0] if hasattr(cs, "__len__") else cs),
+                    vmin=float(np.round(a.min(), 6)),
+                    vmax=float(np.round(a.max(), 6)),
+                    png=bytearray(encode_png(u8)) if emit_bytes else None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w2", "h2", "bands", "cs", "vmin", "vmax",
+                "png"])
+
+    out = images.select("image_id", "bytes", "lon", "lat", "gsd_m"
+                        ).mapInPandas(
+        gen, schema="image_id string, w2 int, h2 int, bands int, cs long, "
+                    "vmin double, vmax double, png binary")
+    return out if emit_bytes else out.drop("png")

@@ -4422,6 +4422,25 @@ def gdaltransform_points_q(spark, sf_dir):
     return out
 
 
+@q("raster_pipeline", None)
+def raster_pipeline_q(spark, sf_dir):
+    """gdal raster pipeline (GDALG streamed-alg analogue): a 4-step chain
+    (resize -> scale -> gaussian neighbors -> hillshade) FUSED into one
+    map stage — decode once, numpy kernels in order, encode once; zero
+    shuffles, zero intermediate materialization. The chain text round-
+    trips through the GDALG JSON form before execution."""
+    from .fixtures.images import images_df
+    from .pipeline import run_pipeline, to_gdalg
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    cli = ("gdal raster pipeline read ! resize w=64 h=64 r=bilinear ! "
+           "scale dst_min=0 dst_max=255 ! neighbors kernel=gaussian "
+           "size=3 ! hillshade azimuth=315 altitude=45 ! write")
+    return run_pipeline(imgs, to_gdalg(cli)).select(
+        "image_id", "w2", "h2", "bands", "cs",
+        F.round("vmin", 4).alias("vmin"), F.round("vmax", 4).alias("vmax"))
+
+
 @q("vrt_mosaic", None)
 def vrt_mosaic_q(spark, sf_dir):
     """VRT round trip (frmts/vrt, the gdalbuildvrt output format): build

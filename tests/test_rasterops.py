@@ -1593,3 +1593,61 @@ class TestPerceptualHash:
 
         assert ham(got["base"], got["up2x"]) <= 6     # scale-invariant-ish
         assert ham(got["base"], got["noise"]) >= 16   # discriminates
+
+
+class TestPipeline:
+    def test_step_parity_with_operators(self, spark):
+        """Fused pipeline steps must equal the standalone operators."""
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import neighbors, reclassify
+        from gdal_spark.pipeline import run_pipeline
+
+        imgs = images_df(spark, 6)
+        got = (run_pipeline(imgs, "reclassify mapping=[0,128)=0;[128,256)=1")
+               .toPandas().set_index("image_id"))
+        exp = (reclassify(imgs, "[0,128)=0;[128,256)=1")
+               .toPandas().set_index("image_id"))
+        assert (got["cs"] == exp["cs"]).all()
+
+        got = (run_pipeline(imgs, "neighbors kernel=gaussian size=5")
+               .toPandas().set_index("image_id"))
+        exp = (neighbors(imgs, kernel="gaussian", size=5)
+               .toPandas().set_index("image_id"))
+        assert (got["cs"] == exp["cs"]).all()
+
+    def test_chain_and_gdalg(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.pipeline import from_gdalg, run_pipeline, to_gdalg
+
+        imgs = images_df(spark, 4)
+        cli = ("gdal raster pipeline read ! resize w=32 h=32 ! "
+               "scale dst_min=10 dst_max=200 ! expand bands=rgb ! write")
+        out = run_pipeline(imgs, cli, emit_bytes=True).toPandas()
+        assert (out["w2"] == 32).all() and (out["bands"] == 3).all()
+        for b in out["png"]:
+            px = _dec(bytes(b))
+            assert px.shape == (32, 32, 3)
+            assert px.min() >= 9 and px.max() <= 201
+        # GDALG JSON round trip reproduces the parse
+        assert from_gdalg(to_gdalg(cli)) == [
+            ("resize", {"w": "32", "h": "32"}),
+            ("scale", {"dst_min": "10", "dst_max": "200"}),
+            ("expand", {"bands": "rgb"})]
+
+    def test_errors(self, spark):
+        import pytest as _pt
+
+        from gdal_spark.pipeline import from_gdalg, parse_pipeline
+
+        with _pt.raises(ValueError, match="unknown pipeline step"):
+            from gdal_spark.fixtures.images import images_df
+            from gdal_spark.pipeline import run_pipeline
+
+            run_pipeline(images_df(spark, 1), "frobnicate x=1")
+        with _pt.raises(ValueError, match="bad step argument"):
+            parse_pipeline("resize 64")
+        with _pt.raises(ValueError, match="not a GDALG"):
+            from_gdalg('{"type": "other"}')
