@@ -172,6 +172,19 @@ def main():
     check("gopher top-bigram has no Python nodes",
           "BatchEvalPython" not in p and "ArrowEvalPython" not in p)
 
+    # --- fused raster pipeline: one map stage, zero shuffles --------------
+    from gdal_spark.pipeline import run_pipeline
+
+    src = images_df(spark, 32)
+    base_py = plan_of(src).count("MapInPandas")  # the fixture generator
+    p = plan_of(run_pipeline(
+        src, "resize w=64 h=64 ! neighbors kernel=gaussian size=3 ! hillshade"))
+    check("fused raster pipeline is map-only", "Exchange" not in p,
+          f"{p.count('Exchange')} Exchange nodes")
+    check("fused raster pipeline adds exactly ONE Python stage for 3 steps",
+          p.count("MapInPandas") == base_py + 1,
+          f"{p.count('MapInPandas')} vs source {base_py}")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
