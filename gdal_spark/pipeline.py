@@ -39,7 +39,8 @@ def parse_pipeline(text: str) -> list[tuple[str, dict]]:
     '!'-chain; read/write bookends are optional and ignored here (the
     DataFrame is the read, the caller owns the write)."""
     body = text.strip()
-    for prefix in ("gdal raster pipeline", "gdal pipeline"):
+    for prefix in ("gdal raster pipeline", "gdal vector pipeline",
+                   "gdal pipeline"):
         if body.startswith(prefix):
             body = body[len(prefix):]
             break
@@ -221,3 +222,122 @@ def run_pipeline(images: DataFrame, pipeline: str | list,
         gen, schema="image_id string, w2 int, h2 int, bands int, cs long, "
                     "vmin double, vmax double, png binary")
     return out if emit_bytes else out.drop("png")
+
+
+# ---------------------------------------------------------------------------
+# gdal vector pipeline (apps/gdalalg_vector_pipeline.cpp + the per-step
+# gdalalg_vector_*.cpp algorithms): declarative step chains over a feature
+# DataFrame. Attribute steps compile to native Catalyst ops (filter/select/
+# sort/limit — zero Python); geometry steps run through the engine's WKB
+# kernels (Arrow-batched). The same '!' grammar and GDALG JSON wrapper as
+# the raster pipeline.
+# ---------------------------------------------------------------------------
+
+VECTOR_STEPS = ("filter", "select", "sort", "limit", "simplify", "buffer",
+                "centroid", "convex-hull", "make-valid", "swap-xy",
+                "explode-collections")
+
+
+def _swap_xy_udf():
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+
+    def _swap(g):
+        kind, d = g
+        if kind == "point":
+            return G.to_wkb("point", (d[1], d[0]))
+        if kind in ("linestring", "multipoint"):
+            return G.to_wkb(kind, [(y, x) for x, y in d])
+        if kind == "polygon":
+            return G.to_wkb(kind, [[(y, x) for x, y in ring] for ring in d])
+        if kind == "multilinestring":
+            return G.to_wkb(kind, [[(y, x) for x, y in part] for part in d])
+        return G.to_wkb(kind, [[[(y, x) for x, y in ring] for ring in p]
+                               for p in d])
+
+    @F.pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([_swap(G.parse_wkb(bytes(b))) for b in s])
+
+    return _udf
+
+
+def _explode_parts_udf():
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, BinaryType
+
+    from .oracle import geom as G
+
+    def _parts(g):
+        kind, d = g
+        if kind == "multipoint":
+            return [G.to_wkb("point", p) for p in d]
+        if kind == "multilinestring":
+            return [G.to_wkb("linestring", p) for p in d]
+        if kind == "multipolygon":
+            return [G.to_wkb("polygon", p) for p in d]
+        return [G.to_wkb(kind, d)]
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([_parts(G.parse_wkb(bytes(b))) for b in s])
+
+    return _udf
+
+
+def run_vector_pipeline(features: DataFrame, pipeline: str | list,
+                        wkb_col: str = "wkb") -> DataFrame:
+    """Execute a vector step chain. Attribute steps stay in whole-stage
+    codegen; geometry steps are one Arrow pass each."""
+    from pyspark.sql import functions as F
+
+    from .sql.ogr_compat import register_st_functions
+
+    if isinstance(pipeline, (str, bytes)) and str(pipeline).lstrip().startswith("{"):
+        steps = from_gdalg(pipeline)
+    elif isinstance(pipeline, str):
+        steps = parse_pipeline(pipeline)
+    else:
+        steps = list(pipeline)
+    if not steps:
+        raise ValueError("empty pipeline")
+    for name, _a in steps:
+        if name not in VECTOR_STEPS:
+            raise ValueError(f"unknown vector pipeline step {name!r}")
+
+    df = features
+    register_st_functions(df.sparkSession)
+    for name, args in steps:
+        if name == "filter":
+            df = df.where(args["where"])
+        elif name == "select":
+            keep = [c.strip() for c in args["fields"].split(",")]
+            if wkb_col not in keep:
+                keep.append(wkb_col)
+            df = df.select(*keep)
+        elif name == "sort":
+            cols = [F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                    for c in args["by"].split(",")]
+            df = df.orderBy(*cols)
+        elif name == "limit":
+            df = df.limit(int(args["n"]))
+        elif name == "simplify":
+            df = df.withColumn(wkb_col, F.expr(
+                f"ST_Simplify({wkb_col}, {float(args['tol'])})"))
+        elif name == "buffer":
+            df = df.withColumn(wkb_col, F.expr(
+                f"ST_Buffer({wkb_col}, {float(args['dist'])})"))
+        elif name == "centroid":
+            df = df.withColumn(wkb_col, F.expr(f"ST_Centroid({wkb_col})"))
+        elif name == "convex-hull":
+            df = df.withColumn(wkb_col, F.expr(f"ST_ConvexHull({wkb_col})"))
+        elif name == "make-valid":
+            df = df.withColumn(wkb_col, F.expr(f"ST_MakeValid({wkb_col})"))
+        elif name == "swap-xy":
+            df = df.withColumn(wkb_col, _swap_xy_udf()(F.col(wkb_col)))
+        elif name == "explode-collections":
+            df = (df.withColumn(wkb_col,
+                                F.explode(_explode_parts_udf()(F.col(wkb_col)))))
+    return df

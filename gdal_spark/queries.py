@@ -4441,6 +4441,29 @@ def raster_pipeline_q(spark, sf_dir):
         F.round("vmin", 4).alias("vmin"), F.round("vmax", 4).alias("vmax"))
 
 
+@q("vector_pipeline", None)
+def vector_pipeline_q(spark, sf_dir):
+    """gdal vector pipeline over traced footprints: attribute steps
+    (filter/sort/limit/select) compile to native Catalyst ops, geometry
+    steps (simplify -> convex-hull) run as Arrow WKB kernels; reports
+    per-feature area of the final hulls."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import footprint
+    from .pipeline import run_vector_pipeline
+    from .sql.ogr_compat import register_st_functions
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 60))
+    feats = footprint(imgs, threshold=0).select("image_id", "wkb", "n_valid")
+    out = run_vector_pipeline(
+        feats,
+        "gdal vector pipeline read ! filter where='n_valid > 0' ! "
+        "simplify tol=0.5 ! convex-hull ! sort by=image_id ! write")
+    register_st_functions(spark)
+    return out.select(
+        "image_id", "n_valid",
+        F.round(F.expr("ST_Area(wkb)"), 1).alias("hull_area"))
+
+
 @q("vrt_mosaic", None)
 def vrt_mosaic_q(spark, sf_dir):
     """VRT round trip (frmts/vrt, the gdalbuildvrt output format): build

@@ -1651,3 +1651,59 @@ class TestPipeline:
             parse_pipeline("resize 64")
         with _pt.raises(ValueError, match="not a GDALG"):
             from_gdalg('{"type": "other"}')
+
+
+class TestVectorPipeline:
+    def _layer(self, spark):
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+
+        rows = [
+            (1, 5.0, G.to_wkb("polygon",
+                              [[(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]])),
+            (2, 1.0, G.to_wkb("multipoint", [(1, 2), (3, 4)])),
+            (3, 9.0, G.to_wkb("linestring", [(0, 0), (2, 2), (4, 0)])),
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "score", "wkb"]))
+
+    def test_attribute_steps_native(self, spark):
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        df = self._layer(spark)
+        out = run_vector_pipeline(
+            df, "gdal vector pipeline read ! filter where='score > 0.5' ! "
+                "sort by=-score ! limit n=2 ! select fields=fid ! write")
+        got = out.toPandas()
+        assert got["fid"].tolist() == [3, 1]
+        assert set(got.columns) == {"fid", "wkb"}
+        # attribute steps stay JVM-side: no Python eval in the plan
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    def test_geometry_steps(self, spark):
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        df = self._layer(spark)
+        # swap-xy twice is identity
+        twice = run_vector_pipeline(df, "swap-xy ! swap-xy").collect()
+        src = {r["fid"]: bytes(r["wkb"]) for r in df.collect()}
+        assert all(bytes(r["wkb"]) == src[r["fid"]] for r in twice)
+        # explode-collections: multipoint fans out to 2 points
+        ex = run_vector_pipeline(df, "explode-collections")
+        kinds = [G.parse_wkb(bytes(r["wkb"]))[0] for r in ex.collect()]
+        assert sorted(kinds) == ["linestring", "point", "point", "polygon"]
+        # centroid then swap
+        c = run_vector_pipeline(df.where("fid = 1"), "centroid ! swap-xy")
+        k, d = G.parse_wkb(bytes(c.collect()[0]["wkb"]))
+        assert k == "point" and tuple(d) == (1.5, 2.0)
+
+    def test_unknown_step(self, spark):
+        import pytest as _pt
+
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        with _pt.raises(ValueError, match="unknown vector pipeline step"):
+            run_vector_pipeline(self._layer(spark), "resize w=2 h=2")
