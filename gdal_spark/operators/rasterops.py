@@ -2104,3 +2104,53 @@ def perceptual_hash(images: DataFrame, hash_size: int = 8,
 
     return images.select("image_id", "bytes").mapInPandas(
         gen, schema="image_id string, phash_px long")
+
+
+def gdal_calc(images: DataFrame, calc: str,
+              band_map: dict | None = None,
+              emit_bytes: bool = False) -> DataFrame:
+    """gdal_calc analogue (osgeo_utils/gdal_calc.py): evaluate an
+    arbitrary whitelisted numpy expression over lettered band inputs of
+    each image — ``(A - B) / (A + B)``, ``where(A > 128, A, 0)`` — with
+    letters bound to band indices (default A,B,C,... = bands 0,1,2,...,
+    override via ``band_map={'A': 2}``). The expression parses once
+    driver-side (strict ast whitelist, no eval) and fails fast; pixels
+    evaluate map-only in Arrow batches. Emits per-image stats (+ PNG of
+    the clipped result when ``emit_bytes``)."""
+    from ..oracle.calcexpr import calc_eval
+
+    calc_eval(calc, {chr(65 + i): np.zeros((1, 1)) for i in range(26)})
+
+    def gen(batches):
+        from ..codecs.png import encode_png
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(bytes(r.bytes)).astype(np.float64)
+                if a.ndim == 2:
+                    a = a[:, :, None]
+                nb = a.shape[2]
+                # default: A,B,C,... = bands 0,1,2,..., clamped to the last
+                # band for images with fewer bands (gray inputs alias all
+                # letters to band 0, so cross-band formulas still evaluate)
+                bm = band_map or {chr(65 + i): i for i in range(26)}
+                bindings = {k: a[:, :, min(v, nb - 1)]
+                            for k, v in bm.items()}
+                v = calc_eval(calc, bindings)
+                v = np.broadcast_to(v, a.shape[:2]).astype(np.float64)
+                u8 = np.clip(np.round(v), 0, 255).astype(np.uint8)
+                out.append(dict(
+                    image_id=r.image_id, cs=int(checksum_image(v)[0]),
+                    vmin=float(np.round(np.nanmin(v), 6)),
+                    vmax=float(np.round(np.nanmax(v), 6)),
+                    vmean=float(np.round(np.nanmean(v), 6)),
+                    png=bytearray(encode_png(u8[:, :, None]))
+                    if emit_bytes else None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "cs", "vmin", "vmax", "vmean", "png"])
+
+    out = images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, cs long, vmin double, vmax double, "
+                    "vmean double, png binary")
+    return out if emit_bytes else out.drop("png")

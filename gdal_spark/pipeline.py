@@ -79,7 +79,7 @@ def _f(args, key, default):
 
 _DEM_OPS = ("hillshade", "slope", "aspect", "tri", "tpi", "roughness")
 KNOWN_STEPS = ("resize", "scale", "reclassify", "neighbors", "reproject",
-               "nodata-to-alpha", "expand") + _DEM_OPS
+               "nodata-to-alpha", "expand", "calc") + _DEM_OPS
 
 
 def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
@@ -169,6 +169,13 @@ def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
         if args.get("bands", "rgb") != "rgb":
             raise ValueError("expand supports bands=rgb")
         return np.repeat(a[:, :, :1], 3, axis=2) if a.shape[2] == 1 else a
+    if name == "calc":
+        from .oracle.calcexpr import calc_eval
+
+        nb = a.shape[2]
+        bindings = {chr(65 + i): a[:, :, min(i, nb - 1)] for i in range(26)}
+        v = calc_eval(args["expr"], bindings)
+        return np.broadcast_to(v, a.shape[:2]).astype(np.float64)[:, :, None]
     raise ValueError(f"unknown pipeline step {name!r}")
 
 

@@ -4441,6 +4441,28 @@ def raster_pipeline_q(spark, sf_dir):
         F.round("vmin", 4).alias("vmin"), F.round("vmax", 4).alias("vmax"))
 
 
+@q("gdal_calc_expr", None)
+def gdal_calc_expr_q(spark, sf_dir):
+    """gdal_calc analogue: whitelisted numpy expressions over lettered
+    bands, three modes in one tagged suite — NDVI-style normalized
+    difference, a where() threshold mask, and a clipped sqrt brighten."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import gdal_calc
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 100))
+    parts = []
+    for tag, expr in (
+        ("norm_diff", "(A - B) / (A + B + 1)"),
+        ("threshold", "where(A > 128, 255, 0)"),
+        ("brighten", "clip(sqrt(A) * 16, 0, 255)"),
+    ):
+        parts.append(gdal_calc(imgs, expr).withColumn("mode", F.lit(tag)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("mode", "image_id", "cs", "vmin", "vmax", "vmean")
+
+
 @q("vector_pipeline", None)
 def vector_pipeline_q(spark, sf_dir):
     """gdal vector pipeline over traced footprints: attribute steps

@@ -1707,3 +1707,62 @@ class TestVectorPipeline:
 
         with _pt.raises(ValueError, match="unknown vector pipeline step"):
             run_vector_pipeline(self._layer(spark), "resize w=2 h=2")
+
+
+class TestGdalCalc:
+    def test_ndvi_style_expression(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import gdal_calc
+
+        imgs = images_df(spark, 5)
+        got = (gdal_calc(imgs, "(A - B) / (A + B + 1)")
+               .toPandas().set_index("image_id"))
+        for r in imgs.collect():
+            a = _dec(bytes(r["bytes"])).astype(np.float64)
+            if a.shape[2] == 1:
+                a = np.repeat(a, 2, axis=2)
+            exp = (a[:, :, 0] - a[:, :, 1]) / (a[:, :, 0] + a[:, :, 1] + 1)
+            row = got.loc[r["image_id"]]
+            assert abs(row["vmean"] - round(float(exp.mean()), 6)) < 1e-9
+
+    def test_where_and_band_map(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import gdal_calc
+
+        imgs = images_df(spark, 3)
+        got = (gdal_calc(imgs, "where(X > 128, 255, 0)",
+                         band_map={"X": 0})
+               .toPandas().set_index("image_id"))
+        for r in imgs.collect():
+            b0 = _dec(bytes(r["bytes"]))[:, :, 0].astype(np.float64)
+            exp = np.where(b0 > 128, 255.0, 0.0)
+            assert got.loc[r["image_id"], "vmean"] == round(float(exp.mean()), 6)
+
+    def test_bad_expression_fails_fast(self, spark):
+        import pytest as _pt
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import gdal_calc
+
+        with _pt.raises(ValueError):
+            gdal_calc(images_df(spark, 1), "__import__('os').system('x')")
+        with _pt.raises(ValueError):
+            gdal_calc(images_df(spark, 1), "A.shape")
+
+    def test_calc_pipeline_step(self, spark):
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import gdal_calc
+        from gdal_spark.pipeline import run_pipeline
+
+        imgs = images_df(spark, 4)
+        got = (run_pipeline(imgs, 'calc expr="(A + B) / 2"')
+               .toPandas().set_index("image_id"))
+        exp = (gdal_calc(imgs, "(A + B) / 2").toPandas()
+               .set_index("image_id"))
+        assert (got["cs"] == exp["cs"]).all()
