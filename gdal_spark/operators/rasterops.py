@@ -2154,3 +2154,48 @@ def gdal_calc(images: DataFrame, calc: str,
         gen, schema="image_id string, cs long, vmin double, vmax double, "
                     "vmean double, png binary")
     return out if emit_bytes else out.drop("png")
+
+
+def raster_blend(base_images: DataFrame, overlay_images: DataFrame,
+                 operator: str = "src-over", opacity: int = 100,
+                 emit_bytes: bool = False) -> DataFrame:
+    """gdal raster blend (apps/gdalalg_raster_blend.cpp): composite an
+    overlay table onto a base table, matched by image_id, with the
+    reference's premultiplied Porter-Duff integer math — src-over,
+    multiply, screen, overlay, hard-light, darken, lighten, color-dodge,
+    color-burn, and hsv-value (hsv_merge.py: base hue/saturation +
+    overlay value). ``opacity`` is the 0-100 percentage applied to the
+    overlay's alpha ((opacity*255+50)//100, :2791).
+
+    One equi-join on image_id + one Arrow kernel pass — the join is the
+    only shuffle, keyed by the id both tables already carry."""
+    from ..oracle.blend import blend
+
+    ov = overlay_images.select(
+        F.col("image_id"), F.col("bytes").alias("overlay_bytes"))
+    joined = base_images.select("image_id", "bytes").join(ov, "image_id")
+
+    def gen(batches):
+        from ..codecs.png import encode_png
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(bytes(r.bytes))
+                b = decode(bytes(r.overlay_bytes))
+                if b.shape[:2] != a.shape[:2]:
+                    b = resample_nearest(b, a.shape[0], a.shape[1])
+                v = blend(a, b, mode=operator, opacity=opacity)
+                cs = checksum_image(v)
+                out.append(dict(
+                    image_id=r.image_id, bands=int(v.shape[2]),
+                    cs1=int(cs[0]), cs2=int(cs[min(1, len(cs) - 1)]),
+                    cs3=int(cs[min(2, len(cs) - 1)]),
+                    png=bytearray(encode_png(v)) if emit_bytes else None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bands", "cs1", "cs2", "cs3", "png"])
+
+    out = joined.mapInPandas(
+        gen, schema="image_id string, bands int, cs1 long, cs2 long, "
+                    "cs3 long, png binary")
+    return out if emit_bytes else out.drop("png")

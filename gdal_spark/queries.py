@@ -4441,6 +4441,27 @@ def raster_pipeline_q(spark, sf_dir):
         F.round("vmin", 4).alias("vmin"), F.round("vmax", 4).alias("vmax"))
 
 
+@q("raster_blend_modes", None)
+def raster_blend_modes_q(spark, sf_dir):
+    """gdal raster blend: all 10 composition modes over (image, image)
+    pairs with 70% opacity — the reference's premultiplied Porter-Duff
+    integer math (apps/gdalalg_raster_blend.cpp), per-mode checksums."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import raster_blend
+    from .oracle.blend import MODES
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 40)).persist()
+    parts = [
+        raster_blend(imgs, imgs, operator=m, opacity=70)
+        .withColumn("mode", F.lit(m))
+        for m in MODES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("mode", "image_id", "bands", "cs1", "cs2", "cs3")
+
+
 @q("gdal_calc_expr", None)
 def gdal_calc_expr_q(spark, sf_dir):
     """gdal_calc analogue: whitelisted numpy expressions over lettered

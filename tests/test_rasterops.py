@@ -1766,3 +1766,143 @@ class TestGdalCalc:
         exp = (gdal_calc(imgs, "(A + B) / 2").toPandas()
                .set_index("image_id"))
         assert (got["cs"] == exp["cs"]).all()
+
+
+# ---------------------------------------------------------------------------
+# gdal raster blend
+# ---------------------------------------------------------------------------
+
+def mul255(a, b): return (a * b + 255) >> 8
+def div255(a, b):
+    if a == 0: return 0
+    if b == 0: return 255
+    return (a * 255) // b
+
+INV = [0] + [((255 << 8) + k // 2) // k for k in range(1, 256)]
+
+def _scalar_blend(base, overlay, mode, opacity):
+    h, w = base.shape[:2]
+    op = (opacity * 255 + 50) // 100
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    def planes(img, y, x):
+        c = img.shape[2]
+        px = [int(v) for v in img[y, x]]
+        if c == 1: return px[0], px[0], px[0], 255
+        if c == 2: return px[0], px[0], px[0], px[1]
+        if c == 3: return px[0], px[1], px[2], 255
+        return px
+    for y in range(h):
+        for x in range(w):
+            R, G, B, A = planes(base, y, x)
+            oR, oG, oB, oA = planes(overlay, y, x)
+            if mode == "hard-light":
+                # swap roles, swapped opacity applies to (new) base
+                R, G, B, A, oR, oG, oB, oA = oR, oG, oB, oA, R, G, B, A
+                A = mul255(A, op)
+            else:
+                oA = mul255(oA, op)
+            if mode == "src-over":
+                sm = mul255(A, 255 - oA)
+                dA = oA + sm
+                px = []
+                for C, OC in ((R, oR), (G, oG), (B, oB)):
+                    d = (OC * oA + C * sm + 255) >> 8
+                    # saturating store (the reference's SSE packus path;
+                    # its scalar tail wraps -- we follow the SSE behavior)
+                    px.append(min(255, (d * INV[dA] + 255) >> 8))
+                out[y, x] = px + [min(255, dA)]
+                continue
+            fa = oA + A - mul255(oA, A)
+            # premultiply
+            pR, pG, pB = [c if A == 255 else mul255(c, A) for c in (R, G, B)]
+            qR, qG, qB = [c if oA == 255 else mul255(c, oA) for c in (oR, oG, oB)]
+            px = []
+            for C, OC in ((pR, qR), (pG, qG), (pB, qB)):
+                if mode == "multiply":
+                    v = div255(mul255(C, OC) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                elif mode == "screen":
+                    v = div255(C + OC - mul255(C, OC), fa)
+                elif mode in ("overlay", "hard-light"):
+                    am = mul255(oA, A)
+                    if 2 * C < A:
+                        v = div255(2 * mul255(C, OC) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                    else:
+                        v = div255(am - 2 * mul255(A - C, oA - OC) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                elif mode == "darken":
+                    v = div255(min(mul255(OC, A), mul255(C, oA)) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                elif mode == "lighten":
+                    v = div255(max(mul255(OC, A), mul255(C, oA)) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                elif mode == "color-dodge":
+                    am = mul255(oA, A)
+                    if mul255(OC, A) + mul255(C, oA) >= am:
+                        v = div255(am + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                    else:
+                        v = div255(div255(mul255(C, oA), 255 - div255(OC, oA)) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                elif mode == "color-burn":
+                    am = mul255(oA, A)
+                    if mul255(OC, A) + mul255(C, oA) <= am:
+                        v = div255(mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                    else:
+                        cu, ou = div255(C, A), div255(OC, oA)
+                        v = div255(mul255(am, cu + ou - 255) + mul255(C, 255 - oA) + mul255(OC, 255 - A), fa)
+                else:
+                    raise AssertionError(mode)
+                px.append(max(0, min(255, v)))
+            out[y, x] = px + [max(0, min(255, fa))]
+    return out
+
+
+
+class TestRasterBlend:
+    def test_vectorized_matches_scalar_transliteration(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import MODES, blend
+
+        rng = np.random.default_rng(42)
+        for mode in [m for m in MODES if m != "hsv-value"]:
+            for (cb, co) in [(4, 4), (3, 3), (3, 4), (1, 3), (2, 4)]:
+                base = rng.integers(0, 256, (5, 4, cb), dtype=np.uint8)
+                over = rng.integers(0, 256, (5, 4, co), dtype=np.uint8)
+                for opacity in (100, 60, 0):
+                    got = blend(base, over, mode, opacity)
+                    exp = _scalar_blend(base, over, mode, opacity)
+                    np.testing.assert_array_equal(
+                        got, exp, err_msg=f"{mode} {cb}/{co} op={opacity}")
+
+    def test_hsv_value_replaces_value_only(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import blend
+
+        # pure red base at full value; overlay value 128 -> darker red
+        base = np.zeros((2, 2, 3), dtype=np.uint8)
+        base[:, :, 0] = 255
+        over = np.full((2, 2, 1), 128, dtype=np.uint8)
+        got = blend(base, over, "hsv-value")
+        assert got.shape == (2, 2, 3)
+        np.testing.assert_array_equal(got[:, :, 0], 128)  # value scaled
+        np.testing.assert_array_equal(got[:, :, 1], 0)    # hue kept red
+        np.testing.assert_array_equal(got[:, :, 2], 0)
+        # gray base keeps gray at the new value
+        gray = np.full((2, 2, 3), 77, dtype=np.uint8)
+        got = blend(gray, over, "hsv-value")
+        np.testing.assert_array_equal(got, np.full((2, 2, 3), 128))
+
+    def test_blend_operator_hsv_merge_usecase(self, spark):
+        import numpy as np
+
+        from gdal_spark.codecs.registry import decode as _dec
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import raster_blend
+        from gdal_spark.oracle.blend import blend
+
+        imgs = images_df(spark, 4)
+        got = (raster_blend(imgs, imgs, operator="multiply", opacity=70,
+                            emit_bytes=True)
+               .toPandas().set_index("image_id"))
+        for r in imgs.collect():
+            a = _dec(bytes(r["bytes"]))
+            exp = blend(a, a, "multiply", 70)
+            px = _dec(bytes(got.loc[r["image_id"], "png"]))
+            np.testing.assert_array_equal(px, exp)
