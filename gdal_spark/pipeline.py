@@ -242,7 +242,43 @@ def run_pipeline(images: DataFrame, pipeline: str | list,
 
 VECTOR_STEPS = ("filter", "select", "sort", "limit", "simplify", "buffer",
                 "centroid", "convex-hull", "make-valid", "swap-xy",
-                "explode-collections")
+                "explode-collections", "segmentize", "concave-hull")
+
+
+def segmentize_coords(pts, max_length: float):
+    """OGRSimpleCurve::segmentize (ogr/ogrlinestring.cpp:2648): insert
+    evenly spaced intermediate vertices so no segment exceeds
+    ``max_length``. Reference quirks kept: the vertex order is
+    normalized (reverse when first < last by (x, y)) so a line followed
+    in both directions segmentizes identically, the per-segment count is
+    ``floor(sqrt(d²/max²) - 0.01)`` and only kicks in when
+    ``d² - max² > 1e-5·max²``."""
+    import numpy as np
+
+    if max_length <= 0:
+        raise ValueError("max_length must be strictly positive")
+    p = [(float(x), float(y)) for x, y in pts]
+    if len(p) < 2:
+        return p
+    flip = (p[0][0] < p[-1][0]
+            or (p[0][0] == p[-1][0] and p[0][1] < p[-1][1]))
+    if flip:
+        p = p[::-1]
+    sq_max = max_length * max_length
+    out = []
+    for i in range(len(p)):
+        out.append(p[i])
+        if i == len(p) - 1:
+            break
+        dx = p[i + 1][0] - p[i][0]
+        dy = p[i + 1][1] - p[i][1]
+        sq = dx * dx + dy * dy
+        if sq - sq_max > 1e-5 * sq_max:
+            n = int(np.floor(np.sqrt(sq / sq_max) - 1e-2))
+            for j in range(1, n + 1):
+                t = j / (n + 1)
+                out.append((p[i][0] + dx * t, p[i][1] + dy * t))
+    return out[::-1] if flip else out
 
 
 def _swap_xy_udf():
@@ -347,4 +383,77 @@ def run_vector_pipeline(features: DataFrame, pipeline: str | list,
         elif name == "explode-collections":
             df = (df.withColumn(wkb_col,
                                 F.explode(_explode_parts_udf()(F.col(wkb_col)))))
+        elif name == "segmentize":
+            df = df.withColumn(
+                wkb_col,
+                _segmentize_udf(float(args["max_length"]))(F.col(wkb_col)))
+        elif name == "concave-hull":
+            df = df.withColumn(
+                wkb_col,
+                _concave_hull_udf(float(args.get("ratio", "0.3")))(
+                    F.col(wkb_col)))
     return df
+
+
+def _concave_hull_udf(ratio: float):
+    """Per-feature chi-shape concave hull (gdal vector concave-hull /
+    GEOS ConcaveHull role; Duckham et al. 2008 — see oracle/chishape.py)
+    over the geometry's vertex set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+    from .oracle.chishape import concave_hull
+
+    def _verts(g):
+        kind, d = g
+        if kind == "point":
+            return np.asarray([d])
+        if kind in ("linestring", "multipoint"):
+            return np.asarray(d)
+        if kind in ("polygon", "multilinestring"):
+            return np.vstack(d)
+        return np.vstack([np.vstack(p) for p in d])
+
+    @F.pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            pts = np.unique(_verts(G.parse_wkb(bytes(b))), axis=0)
+            if len(pts) < 3:
+                out.append(bytes(b))
+                continue
+            ring = concave_hull(pts, ratio=ratio)
+            out.append(G.to_wkb("polygon", [[tuple(p) for p in ring]]))
+        return pd.Series(out)
+
+    return _udf
+
+
+def _segmentize_udf(max_length: float):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+
+    def _seg(g):
+        kind, d = g
+        if kind in ("point", "multipoint"):
+            return G.to_wkb(kind, d)
+        if kind == "linestring":
+            return G.to_wkb(kind, segmentize_coords(d, max_length))
+        if kind == "polygon":
+            return G.to_wkb(kind, [segmentize_coords(r, max_length)
+                                   for r in d])
+        if kind == "multilinestring":
+            return G.to_wkb(kind, [segmentize_coords(p, max_length)
+                                   for p in d])
+        return G.to_wkb(kind, [[segmentize_coords(r, max_length)
+                                for r in poly] for poly in d])
+
+    @F.pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([_seg(G.parse_wkb(bytes(b))) for b in s])
+
+    return _udf

@@ -1906,3 +1906,58 @@ class TestRasterBlend:
             exp = blend(a, a, "multiply", 70)
             px = _dec(bytes(got.loc[r["image_id"], "png"]))
             np.testing.assert_array_equal(px, exp)
+
+
+class TestSegmentizeConcaveHull:
+    def test_segmentize_reference_semantics(self, spark):
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.pipeline import run_vector_pipeline, segmentize_coords
+
+        # kernel-level: count rule floor(sqrt(d^2/max^2) - 0.01)
+        assert segmentize_coords([(0, 0), (10, 0)], 3.0) == [
+            (0.0, 0.0), (2.5, 0.0), (5.0, 0.0), (7.5, 0.0), (10.0, 0.0)]
+        # direction invariance (the reference's reversal normalization)
+        fwd = segmentize_coords([(0, 0), (10, 0), (10, 7)], 3.0)
+        rev = segmentize_coords([(10, 7), (10, 0), (0, 0)], 3.0)
+        assert fwd == rev[::-1]
+        # through the pipeline step
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1],
+            "wkb": [G.to_wkb("linestring", [(0, 0), (9, 0)])]}))
+        out = run_vector_pipeline(df, "segmentize max_length=3").collect()
+        k, d = G.parse_wkb(bytes(out[0]["wkb"]))
+        assert k == "linestring" and len(d) == 4
+
+    def test_concave_hull_tighter_than_convex(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.oracle.chishape import concave_hull
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        rng = np.random.default_rng(5)
+        pts = np.unique(np.vstack([
+            rng.uniform([0, 0], [10, 3], (120, 2)),
+            rng.uniform([0, 0], [3, 10], (120, 2))]), axis=0)
+
+        def ring_area(r):
+            x, y = r[:-1, 0], r[:-1, 1]
+            return 0.5 * abs(np.sum(x * np.roll(y, -1)
+                                    - np.roll(x, -1) * y))
+
+        cv = concave_hull(pts, ratio=1.0)
+        cc = concave_hull(pts, ratio=0.2)
+        assert ring_area(cc) < ring_area(cv)
+        # simple ring, closed
+        assert tuple(cc[0]) == tuple(cc[-1])
+        assert len(set(map(tuple, cc[:-1]))) == len(cc) - 1
+        # pipeline step over a multipoint feature
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1],
+            "wkb": [G.to_wkb("multipoint", [tuple(p) for p in pts[:60]])]}))
+        out = run_vector_pipeline(df, "concave-hull ratio=0.4").collect()
+        k, d = G.parse_wkb(bytes(out[0]["wkb"]))
+        assert k == "polygon" and len(d[0]) >= 4
