@@ -4441,6 +4441,27 @@ def raster_pipeline_q(spark, sf_dir):
         F.round("vmin", 4).alias("vmin"), F.round("vmax", 4).alias("vmax"))
 
 
+@q("raster_as_features", None)
+def raster_as_features_q(spark, sf_dir):
+    """gdal raster as-features: per-pixel polygon features with band
+    values, aggregated per image (count + value sum + total polygon
+    area via ST_Area) — explode stays inside the Arrow pass."""
+    from .fixtures.images import images_df
+    from .operators.vectorize import raster_as_features
+    from .sql.ogr_compat import register_st_functions
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 12))
+    feats = raster_as_features(imgs, geometry="polygon")
+    register_st_functions(spark)
+    return (feats
+            .withColumn("area", F.expr("ST_Area(wkb)"))
+            .groupBy("image_id")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.sum(F.col("bands")[0]).cast("long").alias("band1_sum"),
+                 F.round(F.sum("area"), 1).alias("area_m2"))
+            .orderBy("image_id"))
+
+
 @q("raster_blend_modes", None)
 def raster_blend_modes_q(spark, sf_dir):
     """gdal raster blend: all 10 composition modes over (image, image)

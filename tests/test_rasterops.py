@@ -1961,3 +1961,53 @@ class TestSegmentizeConcaveHull:
         out = run_vector_pipeline(df, "concave-hull ratio=0.4").collect()
         k, d = G.parse_wkb(bytes(out[0]["wkb"]))
         assert k == "polygon" and len(d[0]) >= 4
+
+
+class TestRasterAsFeatures:
+    def test_polygon_and_point_features(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.png import encode_png
+        from gdal_spark.operators.vectorize import raster_as_features
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.oracle.tiling import geotransform_3857
+
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)[:, :, None]
+        imgs = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["t"], "bytes": [bytearray(encode_png(px))],
+            "lon": [10.0], "lat": [20.0], "gsd_m": [100.0]}))
+        feats = raster_as_features(imgs, geometry="polygon").toPandas()
+        assert len(feats) == 12
+        gt = geotransform_3857(10.0, 20.0, 4, 3, 100.0)
+        row = feats[(feats["px"] == 1) & (feats["py"] == 2)].iloc[0]
+        k, d = G.parse_wkb(bytes(row["wkb"]))
+        assert k == "polygon"
+        xs = [p[0] for p in d[0]]
+        ys = [p[1] for p in d[0]]
+        assert abs(min(xs) - (gt[0] + 1 * gt[1])) < 1e-6
+        assert abs(max(xs) - (gt[0] + 2 * gt[1])) < 1e-6
+        assert row["bands"][0] == float(px[2, 1, 0])
+        # point mode: center coordinates
+        pts = raster_as_features(imgs, geometry="point").toPandas()
+        row = pts[(pts["px"] == 0) & (pts["py"] == 0)].iloc[0]
+        k, d = G.parse_wkb(bytes(row["wkb"]))
+        assert k == "point"
+        assert abs(d[0] - (gt[0] + 0.5 * gt[1])) < 1e-6
+
+    def test_skip_nodata_and_none_geometry(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.png import encode_png
+        from gdal_spark.operators.vectorize import raster_as_features
+
+        px = np.zeros((2, 2, 1), dtype=np.uint8)
+        px[0, 0, 0] = 7
+        imgs = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["t"], "bytes": [bytearray(encode_png(px))],
+            "lon": [0.0], "lat": [0.0], "gsd_m": [10.0]}))
+        feats = raster_as_features(imgs, geometry="none",
+                                   skip_nodata=0).toPandas()
+        assert len(feats) == 1 and feats.iloc[0]["bands"][0] == 7.0
+        assert feats.iloc[0]["wkb"] is None
