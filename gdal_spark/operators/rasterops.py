@@ -304,9 +304,13 @@ def pansharpen(images: DataFrame, weights=None, ratio: int = 4) -> DataFrame:
 
 def dem_metrics(images: DataFrame, operation: str = "hillshade",
                 z_factor: float = 1.0, azimuth: float = 315.0,
-                altitude: float = 45.0, color_mode: str = "interpolate") -> DataFrame:
+                altitude: float = 45.0, color_mode: str = "interpolate",
+                variant: str = "regular", alg: str = "horn") -> DataFrame:
     """gdaldem over band 1 treated as elevation (apps/gdaldem_lib.cpp
     3x3 kernels). operation in hillshade|slope|aspect|tri|tpi|roughness.
+    ``alg`` selects Horn or ZevenbergenThorne gradients (-alg, :1390);
+    ``variant`` selects the hillshade shading: regular, combined (:1151),
+    multidirectional (:1255 USGS weights), igor (:947).
     Emits per-image result checksum + summary stats."""
 
     def gen(batches):
@@ -316,11 +320,20 @@ def dem_metrics(images: DataFrame, operation: str = "hillshade",
                 a = decode(r.bytes)[:, :, 0].astype(np.float64)
                 res = float(r.gsd_m)
                 if operation == "hillshade":
-                    v = DEM.hillshade(a, res, res, z_factor, azimuth, altitude)
+                    if variant == "regular" and alg == "horn":
+                        v = DEM.hillshade(a, res, res, z_factor, azimuth,
+                                          altitude)
+                    else:
+                        v = DEM.hillshade_variant(a, res, res, z_factor,
+                                                  azimuth, altitude,
+                                                  variant, alg)
                 elif operation == "slope":
-                    v = DEM.slope_degrees(a, res, res, z_factor)
+                    v = (DEM.slope_degrees_zt(a, res, res, z_factor)
+                         if alg == "zt"
+                         else DEM.slope_degrees(a, res, res, z_factor))
                 elif operation == "aspect":
-                    v = DEM.aspect_degrees(a, res, res)
+                    v = (DEM.aspect_degrees_zt(a, res, res) if alg == "zt"
+                         else DEM.aspect_degrees(a, res, res))
                 elif operation == "tri":
                     v = DEM.tri(a)
                 elif operation == "tpi":

@@ -96,3 +96,123 @@ def roughness(dem):
     ]
     s = np.stack(stack)
     return s.max(axis=0) - s.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem algorithm variants (apps/gdaldem_lib.cpp): the ZevenbergenThorne
+# gradient (z/2, 4-neighbor — GDALSlopeZevenbergenThorneAlg :1390) and the
+# hillshade shading variants — combined (:1151), multidirectional (:1255,
+# USGS OF 92-422 weights), Igor (:947). Formulas transcribed exactly from
+# the reference in ITS sign conventions: x = west-east sums * 1/ew_res,
+# y = south-north sums * 1/gt5 (gt5 = -ns_res), z folded as z/8 (Horn) or
+# z/2 (ZT).
+# ---------------------------------------------------------------------------
+
+
+def _win(dem):
+    p = _pad(dem)
+    return [p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
+            p[1:-1, :-2], p[1:-1, 1:-1], p[1:-1, 2:],
+            p[2:, :-2], p[2:, 1:-1], p[2:, 2:]]
+
+
+def _grad_ref(dem, ew_res, ns_res, alg):
+    """(x, y, denom) in the reference's convention."""
+    w = _win(dem)
+    inv_ew = 1.0 / ew_res
+    inv_ns = 1.0 / (-ns_res)  # geotransform gt5 is negative north-up
+    if alg == "horn":
+        x = ((w[0] + 2 * w[3] + w[6]) - (w[2] + 2 * w[5] + w[8])) * inv_ew
+        y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) * inv_ns
+        return x, y, 8.0
+    if alg == "zt":  # ZevenbergenThorne
+        x = (w[3] - w[5]) * inv_ew
+        y = (w[7] - w[1]) * inv_ns
+        return x, y, 2.0
+    raise ValueError(f"unknown gradient alg {alg!r}")
+
+
+def slope_degrees_zt(dem, ew_res=1.0, ns_res=1.0, z_factor=1.0):
+    """gdaldem slope -alg ZevenbergenThorne (:1390)."""
+    x, y, denom = _grad_ref(dem, ew_res, ns_res, "zt")
+    z = z_factor / denom
+    return np.degrees(np.arctan(np.sqrt(x * x + y * y) * z))
+
+
+def aspect_degrees_zt(dem, ew_res=1.0, ns_res=1.0):
+    """gdaldem aspect -alg ZevenbergenThorne (:1482): azimuth convention,
+    flat -> -9999."""
+    w = _win(dem)
+    dx = w[5] - w[3]
+    dy = w[7] - w[1]
+    asp = np.degrees(np.arctan2(dy, -dx))
+    out = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+    flat = (dx == 0) & (dy == 0)
+    return np.where(flat, -9999.0, out % 360.0)
+
+
+def hillshade_variant(dem, ew_res=1.0, ns_res=1.0, z_factor=1.0,
+                      azimuth=315.0, altitude=45.0,
+                      variant="regular", alg="horn"):
+    """gdaldem hillshade with -alg Horn|ZevenbergenThorne and the
+    -combined / -multidirectional / -igor shading variants; returns the
+    1..255 byte scale (0 reserved for nodata)."""
+    x, y, denom = _grad_ref(dem, ew_res, ns_res, alg)
+    z = z_factor / denom
+    sin_alt = np.sin(np.radians(altitude))
+    cos_alt = np.cos(np.radians(altitude))
+    az = np.radians(azimuth)
+    xxyy = x * x + y * y
+
+    if variant in ("regular", "combined"):
+        num = sin_alt - (y * np.cos(az) * cos_alt * z
+                         - x * np.sin(az) * cos_alt * z)
+        cang = num / np.sqrt(1.0 + z * z * xxyy)
+        if variant == "regular":
+            c254 = 254.0 * cang
+            out = np.where(c254 <= 0.0, 1.0, 1.0 + c254)
+        else:  # combined shading (:1172)
+            inv_half_pi_sq = 1.0 / ((np.pi * np.pi) / 4.0)
+            c = 1.0 - (np.arccos(np.clip(cang, -1.0, 1.0))
+                       * np.arctan(np.sqrt(z * z * xxyy)) * inv_half_pi_sq)
+            out = np.where(c <= 0.0, 1.0, 1.0 + 254.0 * c)
+        return np.clip(out, 1, 255).astype(np.uint8)
+
+    if variant == "multidirectional":
+        # USGS OF 92-422 weights (:1264-1276)
+        cos225 = np.cos(np.radians(225.0))
+        v225 = np.maximum(0.0, sin_alt + (x - y) * cos225 * cos_alt * z)
+        v270 = np.maximum(0.0, sin_alt - x * cos_alt * z)
+        v315 = np.maximum(0.0, sin_alt + (x + y) * cos225 * cos_alt * z)
+        v360 = np.maximum(0.0, sin_alt - y * cos_alt * z)
+        w225 = 0.5 * xxyy - x * y
+        w270 = x * x
+        w315 = xxyy - w225
+        w360 = y * y
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cang = ((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                    / xxyy / np.sqrt(1.0 + z * z * xxyy))
+        out = np.where(xxyy == 0.0, 1.0 + 254.0 * sin_alt,
+                       1.0 + 254.0 * cang)
+        return np.clip(out, 1, 255).astype(np.uint8)
+
+    if variant == "igor":
+        slope_deg = np.degrees(np.arctan(np.sqrt(xxyy) * z))
+        # aspect from RAW sums, no res scaling (:983-1000)
+        w = _win(dem)
+        if alg == "horn":
+            dx = ((w[2] + 2 * w[5] + w[8]) - (w[0] + 2 * w[3] + w[6]))
+            dy = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2]))
+        else:
+            dx = w[5] - w[3]
+            dy = w[7] - w[1]
+        aspect = np.arctan2(dy, -dx)
+        two_pi = 2.0 * np.pi
+        target = np.pi * 1.5 - az
+        diff = np.abs(np.mod(aspect, two_pi) - np.mod(target, two_pi))
+        diff = np.where(diff > np.pi, two_pi - diff, diff)
+        aspect_strength = 1.0 - diff / np.pi
+        shadowness = 1.0 - (slope_deg / 90.0) * aspect_strength
+        return np.clip(255.0 * shadowness, 0, 255).astype(np.uint8)
+
+    raise ValueError(f"unknown hillshade variant {variant!r}")

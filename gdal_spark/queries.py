@@ -1835,13 +1835,28 @@ def pansharpen_q(spark, sf_dir):
 
 @q("dem_hillshade", None)
 def dem_hillshade_q(spark, sf_dir):
-    """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328) over
-    band 1 as elevation."""
+    """gdaldem hillshade over band 1 as elevation — one tagged suite per
+    shading variant and gradient algorithm: Horn regular plus
+    -combined / -multidirectional / -igor and -alg ZevenbergenThorne
+    (apps/gdaldem_lib.cpp :947/:1151/:1255/:1390)."""
     from .fixtures.images import images_df
     from .operators.rasterops import dem_metrics
 
-    imgs = images_df(spark, min(_images_n(sf_dir), 200))
-    return dem_metrics(imgs, "hillshade")
+    imgs = images_df(spark, min(_images_n(sf_dir), 100)).persist()
+    parts = []
+    for tag, kw in (
+        ("horn", {}),
+        ("zt", dict(alg="zt")),
+        ("combined", dict(variant="combined")),
+        ("multidirectional", dict(variant="multidirectional")),
+        ("igor", dict(variant="igor")),
+    ):
+        parts.append(dem_metrics(imgs, "hillshade", **kw)
+                     .withColumn("mode", F.lit(tag)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("mode", *[c for c in parts[0].columns if c != "mode"])
 
 
 # gdaldem hillshade value oracle: Horn gradients are exact rationals of

@@ -2011,3 +2011,70 @@ class TestRasterAsFeatures:
                                    skip_nodata=0).toPandas()
         assert len(feats) == 1 and feats.iloc[0]["bands"][0] == 7.0
         assert feats.iloc[0]["wkb"] is None
+
+
+class TestDemVariants:
+    def test_regular_variant_matches_legacy(self):
+        import numpy as np
+
+        from gdal_spark.oracle.dem import hillshade, hillshade_variant
+
+        rng = np.random.default_rng(1)
+        dem = rng.uniform(0, 100, (20, 25))
+        a = hillshade(dem, 10, 10, 2.0, 315, 45)
+        b = hillshade_variant(dem, 10, 10, 2.0, 315, 45, "regular", "horn")
+        np.testing.assert_array_equal(a, b)
+
+    def test_zt_slope_exact_on_plane(self):
+        import numpy as np
+
+        from gdal_spark.oracle.dem import slope_degrees, slope_degrees_zt
+
+        yy, xx = np.mgrid[0:10, 0:12]
+        plane = 3.0 * xx + 4.0 * yy
+        exp = np.degrees(np.arctan(5.0))
+        for fn in (slope_degrees, slope_degrees_zt):
+            s = fn(plane, 1.0, 1.0, 1.0)[2:-2, 2:-2]
+            np.testing.assert_allclose(s, exp, atol=1e-9)
+
+    def test_zt_aspect_azimuth_convention(self):
+        import numpy as np
+
+        from gdal_spark.oracle.dem import aspect_degrees_zt
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        east_down = -1.0 * xx  # downhill to the east -> aspect 90
+        a = aspect_degrees_zt(east_down)[2:-2, 2:-2]
+        np.testing.assert_allclose(a, 90.0, atol=1e-9)
+        north_down = 1.0 * yy  # downhill to the north -> aspect 0
+        a = aspect_degrees_zt(north_down)[2:-2, 2:-2]
+        np.testing.assert_allclose(a % 360.0, 0.0, atol=1e-9)
+        assert aspect_degrees_zt(np.zeros((4, 4)))[1, 1] == -9999.0
+
+    def test_variant_flat_closed_forms(self):
+        import numpy as np
+
+        from gdal_spark.oracle.dem import hillshade_variant
+
+        flat = np.zeros((5, 5))
+        md = hillshade_variant(flat, 1, 1, 1, 315, 45, "multidirectional")
+        assert md[2, 2] == int(np.clip(1 + 254 * np.sin(np.radians(45)),
+                                       1, 255))
+        assert hillshade_variant(flat, 1, 1, 1, 315, 45, "igor")[2, 2] == 255
+        assert hillshade_variant(flat, 1, 1, 1, 315, 45,
+                                 "combined")[2, 2] == 255
+
+    def test_igor_sun_direction(self):
+        import numpy as np
+
+        from gdal_spark.oracle.dem import hillshade_variant
+
+        yy, xx = np.mgrid[0:10, 0:10]
+        # sun at azimuth 315 (NW): the slope descending NW faces the sun
+        # (fully lit, shadowness 0 -> 255); the slope descending SE faces
+        # away (max aspect strength -> darkened)
+        facing_sun = 1.0 * (xx + yy)     # downhill to the NW
+        facing_away = -1.0 * (xx + yy)   # downhill to the SE
+        lit = hillshade_variant(facing_sun, 1, 1, 1, 315, 45, "igor")[4, 4]
+        dark = hillshade_variant(facing_away, 1, 1, 1, 315, 45, "igor")[4, 4]
+        assert lit == 255 and dark < 150
