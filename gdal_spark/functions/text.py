@@ -350,6 +350,29 @@ def c4_line_clean(col) -> dict[str, Column]:
     }
 
 
+def vocab_stats(docs, text_col: str = "text", id_col: str = "doc_id",
+                top_k: int | None = None, lowercase: bool = True):
+    """Corpus vocabulary statistics: one row per distinct token with term
+    frequency (total occurrences) and document frequency (docs containing
+    it) — the vocabulary-building / BPE-seeding pass of a training-data
+    pipeline.
+
+    Shape at scale: explode(tokens) -> ONE groupBy(token) computing both
+    counts (df via count_distinct of the doc id), all map-side
+    partial-aggregated; ``top_k`` returns the head by (tf desc, token) as
+    a TakeOrdered top-k, not a full sort."""
+    t = tokens(text_col)
+    if lowercase:
+        t = F.transform(t, F.lower)
+    ex = docs.select(F.col(id_col), F.explode(t).alias("token"))
+    agg = (ex.groupBy("token")
+           .agg(F.count("*").alias("tf"),
+                F.count_distinct(id_col).alias("df")))
+    if top_k is not None:
+        return agg.orderBy(F.desc("tf"), "token").limit(top_k)
+    return agg
+
+
 def fingerprint(col) -> Column:
     """64-bit document fingerprint over whitespace-normalized lowercase text
     (the exact-dedup key; xxhash64 = JVM-side, zero Python)."""

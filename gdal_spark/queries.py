@@ -804,6 +804,17 @@ def ngram_contamination_q(spark, sf_dir):
             .select("doc_id", "n_grams", "n_hits", "contaminated"))
 
 
+@q("vocab_topk", None)
+def vocab_topk_q(spark, sf_dir):
+    """Corpus vocabulary: top-200 tokens by term frequency with document
+    frequency — explode + one partial-aggregated groupBy + TakeOrdered
+    top-k (no full sort)."""
+    from .functions.text import vocab_stats
+
+    register_tpch_views(spark, sf_dir)
+    return vocab_stats(spark.table("documents"), top_k=200)
+
+
 @q("gopher_dup_ngrams", None)
 def gopher_dup_ngrams_q(spark, sf_dir):
     """Gopher duplicate word-n-gram character fractions (n = 5..10,

@@ -609,3 +609,38 @@ class TestContamination:
         assert not bool(got.loc[101, "contaminated"])
         assert got.loc[101, "n_hits"] == 0
         assert (got["n_grams"] > 0).all()
+
+
+class TestVocabStats:
+    def test_matches_duckdb_replay(self, spark, docs):
+        import duckdb
+
+        from gdal_spark.functions.text import vocab_stats
+
+        got = (vocab_stats(docs).toPandas()
+               .sort_values("token", ignore_index=True))
+        exp = duckdb.sql(r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                     AS token
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+              WHERE trim(text) <> ''
+            )
+            SELECT lower(token) AS token,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY 1 ORDER BY 1
+        """).df()
+        assert got["token"].tolist() == exp["token"].tolist()
+        assert got["tf"].tolist() == exp["tf"].tolist()
+        assert got["df"].tolist() == exp["df"].tolist()
+
+    def test_topk_is_take_ordered(self, spark, docs):
+        from gdal_spark.functions.text import vocab_stats
+
+        top = vocab_stats(docs, top_k=5)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        pdf = top.toPandas()
+        assert len(pdf) == 5
+        assert pdf["tf"].is_monotonic_decreasing
