@@ -373,6 +373,46 @@ def vocab_stats(docs, text_col: str = "text", id_col: str = "doc_id",
     return agg
 
 
+def bm25_search(docs, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10):
+    """Okapi BM25 ranking (Robertson & Walker, public formula) of the
+    corpus against ``query_terms``:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*len/avglen))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Shape at scale: one explode -> per-doc term counts filtered to the
+    (broadcast-small) query terms, document frequencies from the same
+    aggregate, doc lengths map-side, score join partial-aggregated; the
+    final top-k is a TakeOrdered. Fully deterministic — the test replays
+    it exactly in DuckDB."""
+    terms = [t.lower() for t in query_terms]
+    t = F.transform(tokens(text_col), F.lower)
+    base = docs.select(F.col(id_col), t.alias("toks"))
+    lens = base.select(id_col, F.size("toks").alias("dl"))
+    n_docs = lens.count()
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    ex = (base.select(id_col, F.explode("toks").alias("token"))
+          .where(F.col("token").isin(terms)))
+    tf = ex.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (tf.join(F.broadcast(df_tbl), "token")
+              .join(lens, id_col)
+              .withColumn("idf", idf)
+              .withColumn(
+                  "s",
+                  F.col("idf") * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf")
+                     + k1 * (1.0 - b + b * F.col("dl") / float(avgdl))))
+              .groupBy(id_col)
+              .agg(F.round(F.sum("s"), 9).alias("score"),
+                   F.count("*").alias("n_terms_hit")))
+    return scored.orderBy(F.desc("score"), id_col).limit(top_k)
+
+
 def fingerprint(col) -> Column:
     """64-bit document fingerprint over whitespace-normalized lowercase text
     (the exact-dedup key; xxhash64 = JVM-side, zero Python)."""

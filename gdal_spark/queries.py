@@ -804,6 +804,18 @@ def ngram_contamination_q(spark, sf_dir):
             .select("doc_id", "n_grams", "n_hits", "contaminated"))
 
 
+@q("bm25_search", None)
+def bm25_search_q(spark, sf_dir):
+    """Okapi BM25 keyword retrieval over the documents corpus — one
+    explode, partial-agg term/doc frequencies, broadcast df join,
+    TakeOrdered top-k."""
+    from .functions.text import bm25_search
+
+    register_tpch_views(spark, sf_dir)
+    return bm25_search(spark.table("documents"),
+                       ["spark", "merge", "window"], top_k=25)
+
+
 @q("vocab_topk", None)
 def vocab_topk_q(spark, sf_dir):
     """Corpus vocabulary: top-200 tokens by term frequency with document

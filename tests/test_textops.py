@@ -644,3 +644,64 @@ class TestVocabStats:
         pdf = top.toPandas()
         assert len(pdf) == 5
         assert pdf["tf"].is_monotonic_decreasing
+
+
+class TestBM25:
+    def test_matches_duckdb_replay(self, spark, docs):
+        import duckdb
+
+        from gdal_spark.functions.text import bm25_search
+
+        terms = ["spark", "merge", "window"]
+        got = bm25_search(docs, terms, top_k=15).toPandas()
+        exp = duckdb.sql(r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), '\s+'),
+                                    x -> lower(x)) AS toks
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+              WHERE trim(text) <> ''
+            ),
+            lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+            ex AS (
+              SELECT doc_id, unnest(toks) AS token FROM base
+            ),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM ex
+              WHERE token IN ('spark', 'merge', 'window')
+              GROUP BY 1, 2
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   ROUND(SUM(ln(1 + (stats.n - dfq.df + 0.5)
+                                   / (dfq.df + 0.5))
+                             * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                               / stats.avgdl))), 9) AS score,
+                   COUNT(*) AS n_terms_hit
+            FROM tf
+            JOIN dfq USING (token)
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY 1
+            ORDER BY score DESC, doc_id
+            LIMIT 15
+        """).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        import numpy as np
+        np.testing.assert_allclose(got["score"], exp["score"],
+                                   rtol=0, atol=1e-7)
+
+    def test_ranking_sanity(self, spark):
+        from gdal_spark.functions.text import bm25_search
+
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["rare gem here", "common words only common words",
+                     "rare rare gem gem rare"]})
+        got = (bm25_search(spark.createDataFrame(pdf), ["rare", "gem"],
+                           top_k=3).toPandas())
+        # doc 3 has the most query-term mass; doc 2 has none
+        assert got["doc_id"].tolist()[0] == 3
+        assert 2 not in got["doc_id"].tolist()
