@@ -391,8 +391,9 @@ def bm25_search(docs, query_terms: list[str], text_col: str = "text",
     t = F.transform(tokens(text_col), F.lower)
     base = docs.select(F.col(id_col), t.alias("toks"))
     lens = base.select(id_col, F.size("toks").alias("dl"))
-    n_docs = lens.count()
-    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    stats = lens.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
     ex = (base.select(id_col, F.explode("toks").alias("token"))
           .where(F.col("token").isin(terms)))
     tf = ex.groupBy(id_col, "token").agg(F.count("*").alias("tf"))

@@ -399,17 +399,11 @@ def raster_as_features(images, geometry: str = "polygon",
                 if geometry == "point":
                     xg = gt[0] + (cc + 0.5) * gt[1]
                     yg = gt[3] + (rr + 0.5) * gt[5]
-                    wkbs = [G.to_wkb("point", (x, y))
-                            for x, y in zip(xg, yg)]
+                    wkbs = _point_wkb_batch(xg, yg)
                 elif geometry == "polygon":
                     x0 = gt[0] + cc * gt[1]
-                    x1 = x0 + gt[1]
                     y0 = gt[3] + rr * gt[5]
-                    y1 = y0 + gt[5]
-                    wkbs = [G.to_wkb("polygon",
-                                     [[(a_, b_), (c_, b_), (c_, d_),
-                                       (a_, d_), (a_, b_)]])
-                            for a_, b_, c_, d_ in zip(x0, y0, x1, y1)]
+                    wkbs = _pixel_box_wkb_batch(x0, y0, gt[1], gt[5])
                 else:
                     wkbs = [None] * len(cc)
                 frames.append(pd.DataFrame({
@@ -425,3 +419,40 @@ def raster_as_features(images, geometry: str = "polygon",
                          ).mapInPandas(
         gen, schema="image_id string, px int, py int, wkb binary, "
                     "bands array<double>")
+
+
+def _point_wkb_batch(xs, ys):
+    """Vectorized little-endian WKB POINT packing: one (n, 21) uint8
+    buffer, no per-row Python (the batch form round-2/3 reviews asked
+    for)."""
+    import numpy as np
+
+    n = len(xs)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1                       # little-endian
+    buf[:, 1:5] = np.frombuffer(np.uint32(1).tobytes(), np.uint8)  # Point
+    buf[:, 5:13] = np.asarray(xs, "<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.asarray(ys, "<f8").view(np.uint8).reshape(n, 8)
+    return [b.tobytes() for b in buf]
+
+
+def _pixel_box_wkb_batch(x0, y0, dx, dy):
+    """Vectorized WKB POLYGON packing for axis-aligned pixel boxes: fixed
+    93-byte layout (header + 1 ring + 5 points), all coordinates written
+    with one strided view."""
+    import numpy as np
+
+    n = len(x0)
+    x0 = np.asarray(x0, "<f8")
+    y0 = np.asarray(y0, "<f8")
+    x1, y1 = x0 + dx, y0 + dy
+    buf = np.empty((n, 93), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(np.uint32(3).tobytes(), np.uint8)  # Polygon
+    buf[:, 5:9] = np.frombuffer(np.uint32(1).tobytes(), np.uint8)  # 1 ring
+    buf[:, 9:13] = np.frombuffer(np.uint32(5).tobytes(), np.uint8)  # 5 pts
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0::2] = np.column_stack([x0, x1, x1, x0, x0])
+    coords[:, 1::2] = np.column_stack([y0, y0, y1, y1, y0])
+    buf[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    return [b.tobytes() for b in buf]
