@@ -2078,3 +2078,56 @@ class TestDemVariants:
         lit = hillshade_variant(facing_sun, 1, 1, 1, 315, 45, "igor")[4, 4]
         dark = hillshade_variant(facing_away, 1, 1, 1, 315, 45, "igor")[4, 4]
         assert lit == 255 and dark < 150
+
+
+class TestBlendInvariants:
+    def test_opacity_zero_is_identity_on_opaque_base(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import MODES, blend
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        over = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        for mode in MODES:
+            if mode in ("hsv-value", "hard-light"):
+                continue  # hsv replaces V; hard-light swaps opacity roles
+            got = blend(base, over, mode, opacity=0)
+            np.testing.assert_array_equal(got[:, :, :3], base, err_msg=mode)
+            np.testing.assert_array_equal(got[:, :, 3], 255, err_msg=mode)
+
+    def test_screen_with_white_is_white(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import blend
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        white = np.full((4, 4, 3), 255, dtype=np.uint8)
+        got = blend(base, white, "screen")
+        np.testing.assert_array_equal(got[:, :, :3], 255)
+
+    def test_multiply_with_black_is_black(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import blend
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        black = np.zeros((4, 4, 3), dtype=np.uint8)
+        got = blend(base, black, "multiply")
+        np.testing.assert_array_equal(got[:, :, :3], 0)
+
+    def test_darken_lighten_bounds(self):
+        import numpy as np
+
+        from gdal_spark.oracle.blend import blend
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)
+        lo = blend(a, b, "darken")[:, :, :3].astype(int)
+        hi = blend(a, b, "lighten")[:, :, :3].astype(int)
+        # rounding in the integer math allows off-by-2 around min/max
+        assert (lo <= np.minimum(a, b).astype(int) + 2).all()
+        assert (hi >= np.maximum(a, b).astype(int) - 2).all()
