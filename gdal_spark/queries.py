@@ -4222,6 +4222,49 @@ def md_hyperslab_mean_q(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["y", "x", "value"]))
 
 
+@q("mdim_info", None)
+def mdim_info_q(spark, sf_dir):
+    """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a
+    two-group multidim store, reopen it, and emit the group-hierarchy
+    walk (GDALGroup::GetGroupNames/GetMDArrayNames) plus per-variable
+    dims/chunks — exercises the partitioned store's sidecar end to end."""
+    import tempfile
+
+    import pandas as pd
+
+    from .operators.multidim import (
+        MDMeta, array_to_chunks, md_group_tree, open_md_store,
+        write_md_store)
+
+    a = np.arange(2 * 8 * 10, dtype=np.float64).reshape(2, 8, 10)
+    b = np.arange(6 * 5, dtype=np.float64).reshape(6, 5)
+    ma = MDMeta("/climate/temp", [("time", 2), ("y", 8), ("x", 10)],
+                [1, 4, 5])
+    mb = MDMeta("/terrain/elev", [("y", 6), ("x", 5)], [3, 5])
+    with tempfile.TemporaryDirectory() as td:
+        pth = f"{td}/store"
+        chunks = array_to_chunks(spark, a, ma).unionByName(
+            array_to_chunks(spark, b, mb))
+        write_md_store(chunks, [ma, mb], pth,
+                       attrs={"title": "mdim info fixture"})
+        df, metas, side = open_md_store(spark, pth)
+        tree = md_group_tree(side)
+        rows = []
+        for gname, entry in sorted(tree["groups"].items()):
+            for var in entry["vars"]:
+                full = f"/{gname}/{var}"
+                m = side["vars"][full]
+                rows.append(dict(
+                    group=gname, var=var,
+                    dims=",".join(f"{n}={s}" for n, s in m["dims"]),
+                    chunks=",".join(str(c) for c in m["chunks"]),
+                    n_chunks=int(df.where(F.col("var") == full)
+                                 .select("chunk").distinct().count()),
+                ))
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["group", "var", "dims", "chunks", "n_chunks"]))
+
+
 @q("contour", None)
 def contour_q(spark, sf_dir):
     """Marching-squares contour summary per image (alg/contour.cpp)."""
