@@ -240,10 +240,13 @@ GOPHER_RULES = {
 }
 
 
-def gopher_keep(n_words: Column) -> Column:
+def gopher_keep(n_words: Column, overrides: dict | None = None) -> Column:
     """Boolean keep decision over the micro-unit metric COLUMNS (expects the
-    gopher_metrics + top_bigram_frac_u columns already in scope)."""
-    r = GOPHER_RULES
+    gopher_metrics + top_bigram_frac_u columns already in scope).
+    ``overrides`` replaces individual GOPHER_RULES thresholds (the public
+    implementations — datatrove, NeMo Curator — expose exactly these
+    knobs; e.g. min_stop_hits=1 for synthetic/non-English corpora)."""
+    r = dict(GOPHER_RULES, **(overrides or {}))
     c = F.col
     return (
         n_words.between(r["min_words"], r["max_words"])

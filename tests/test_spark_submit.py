@@ -74,3 +74,50 @@ def test_submit_py_files_end_to_end_and_resume(tmp_path):
     assert run2["tiles_written"] == 3
     assert run2["tiles_skipped_resume"] == run1["tiles_written"] - 3
     assert sorted(glob.glob(os.path.join(out, "*", "*", "*.png"))) == files
+
+
+def test_corpus_clean_job_ship_shape(tmp_path):
+    """The text-pipeline job under real spark-submit --py-files: stage
+    counts monotone, output parquet readable, resume appends nothing on
+    a no-op re-run."""
+    from scripts.package_pyfiles import build
+
+    zip1 = build(str(tmp_path / "z" / "gdal_spark.zip"))
+    out = str(tmp_path / "clean")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def run(extra):
+        proc = subprocess.run(
+            [_spark_submit(), "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", zip1,
+             os.path.join(REPO, "jobs", "corpus_clean_job.py"),
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--out", out, "--sentenceize",
+             "--gopher-min-stop-hits", "1",
+             "--shuffle-partitions", "8", *extra],
+            capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path), env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith('{"job"')][-1]
+        return json.loads(line)
+
+    r1 = run([])
+    assert r1["n_in"] == 500
+    # each stage only removes documents
+    assert (r1["n_in"] >= r1["n_gopher_pass"] >= r1["n_c4_pass"]
+            >= r1["n_exact_unique"] >= r1["n_out"] > 0)
+    assert r1["n_written"] == r1["n_out"]
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+
+    # resume: nothing new to write, sink untouched
+    r2 = run(["--resume"])
+    assert r2["n_resume_skipped"] == r1["n_out"]
+    assert r2["n_written"] == 0
+    assert sorted(glob.glob(os.path.join(out, "*.parquet"))) == sorted(files)
