@@ -2212,3 +2212,51 @@ def raster_blend(base_images: DataFrame, overlay_images: DataFrame,
         gen, schema="image_id string, bands int, cs1 long, cs2 long, "
                     "cs3 long, png binary")
     return out if emit_bytes else out.drop("png")
+
+
+def viewshed_cumulative(images: DataFrame, spacing: int = 10,
+                        observer_height: float = 2.0,
+                        downsample_to: int | None = 32) -> DataFrame:
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on a
+    grid every ``spacing`` pixels starting at (0, 0) (:64-67), each runs
+    the normal Wang viewshed, per-pixel visibility counts accumulate,
+    and the final raster scales by floor(255/max * count) (:201-214,
+    scaleOutput). Emits the scaled-raster checksum + count stats.
+
+    Scale shape: the reference parallelizes observers over threads within
+    one machine; here each IMAGE is one task (the corpus axis is the
+    parallel one at 10^12 scale) and the observer loop stays in numpy."""
+    from ..oracle.viewshed import viewshed as _vs
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = decode(bytes(r.bytes))
+                a = (a[:, :, 0] if a.ndim == 3 else a).astype(np.float64)
+                if downsample_to and (a.shape[0] > downsample_to
+                                      or a.shape[1] > downsample_to):
+                    a = resample_nearest(a, downsample_to, downsample_to)
+                acc = np.zeros(a.shape, dtype=np.uint32)
+                n_obs = 0
+                for oy in range(0, a.shape[0], spacing):
+                    for ox in range(0, a.shape[1], spacing):
+                        acc += _vs(a, oy, ox, observer_height).astype(
+                            np.uint32)
+                        n_obs += 1
+                m = int(acc.max())
+                scaled = (np.floor(255.0 / m * acc).astype(np.uint32)
+                          if m else acc)
+                out.append(dict(
+                    image_id=r.image_id, n_observers=n_obs,
+                    max_count=m,
+                    mean_count=float(np.round(acc.mean(), 4)),
+                    cs=int(checksum_image(
+                        scaled.astype(np.uint8))[0]),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "n_observers", "max_count", "mean_count", "cs"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema="image_id string, n_observers int, max_count int, "
+                    "mean_count double, cs long")

@@ -4222,6 +4222,18 @@ def md_hyperslab_mean_q(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["y", "x", "value"]))
 
 
+@q("viewshed_cumulative", None)
+def viewshed_cumulative_q(spark, sf_dir):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): grid of
+    observers every 10 px, per-pixel visibility counts, output scaled by
+    floor(255/max) like the reference's scaleOutput."""
+    from .fixtures.images import images_df
+    from .operators.rasterops import viewshed_cumulative
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 50))
+    return viewshed_cumulative(imgs, spacing=10)
+
+
 @q("mdim_info", None)
 def mdim_info_q(spark, sf_dir):
     """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a

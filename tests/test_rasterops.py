@@ -2131,3 +2131,41 @@ class TestBlendInvariants:
         # rounding in the integer math allows off-by-2 around min/max
         assert (lo <= np.minimum(a, b).astype(int) + 2).all()
         assert (hi >= np.maximum(a, b).astype(int) - 2).all()
+
+
+class TestViewshedCumulative:
+    def test_flat_dem_all_visible(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.png import encode_png
+        from gdal_spark.operators.rasterops import viewshed_cumulative
+
+        flat = np.full((16, 16, 1), 50, dtype=np.uint8)
+        imgs = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["flat"], "bytes": [bytearray(encode_png(flat))]}))
+        got = viewshed_cumulative(imgs, spacing=8,
+                                  downsample_to=None).collect()[0]
+        # 2x2 observer grid on flat ground: every cell sees every observer
+        assert got["n_observers"] == 4
+        assert got["max_count"] == 4
+        assert got["mean_count"] == 4.0
+
+    def test_wall_blocks_some_observers(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.codecs.png import encode_png
+        from gdal_spark.operators.rasterops import viewshed_cumulative
+
+        dem = np.full((16, 16), 10, dtype=np.uint8)
+        dem[:, 5] = 200  # tall north-south wall (off the observer grid)
+        imgs = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["wall"],
+            "bytes": [bytearray(encode_png(dem[:, :, None]))]}))
+        got = viewshed_cumulative(imgs, spacing=8,
+                                  downsample_to=None).collect()[0]
+        # the wall splits the observers: only the wall top stays visible
+        # to all 4, and the average drops well below the flat case
+        assert got["max_count"] == 4
+        assert got["mean_count"] < 3.0
