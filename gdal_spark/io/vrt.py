@@ -113,7 +113,8 @@ def parse_vrt(path: str) -> dict:
 
 
 def materialize_vrt(spark, images: DataFrame, path: str,
-                    reducer: str = "last") -> DataFrame:
+                    reducer: str = "last", zoom: int | None = None
+                    ) -> DataFrame:
     """Open a .vrt and materialize its mosaic DISTRIBUTED: the parsed
     source list filters the image table (semi-join on source ids), the
     target zoom comes from the VRT's own GeoTransform resolution, and
@@ -128,5 +129,7 @@ def materialize_vrt(spark, images: DataFrame, path: str,
         [(s["id"],) for s in spec["sources"]], "image_id string")
     nodata = next((s["nodata"] for s in spec["sources"]), None)
     subset = images.join(F.broadcast(ids), "image_id", "left_semi")
-    return mosaic_tiles(subset, zoom=int(zoom_for_pixel_size(spec["gt"][1] * 0.999)),
+    if zoom is None:  # native resolution from the VRT's own GeoTransform
+        zoom = int(zoom_for_pixel_size(spec["gt"][1] * 0.999))
+    return mosaic_tiles(subset, zoom=zoom,
                         reducer=reducer, src_nodata=nodata)

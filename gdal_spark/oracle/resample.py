@@ -432,11 +432,28 @@ def resample_mode(src, out_h, out_w):
             mode = hist.reshape(nr * nc, 256).argmax(axis=1)
             out[np.ix_(rs, cs)] = mode.reshape(nr, nc).astype(src_arr.dtype)
         return out
-    for r in range(out_h):
-        for c in range(out_w):
-            block = src_arr[ylo[r] : yhi[r], xlo[c] : xhi[c]].ravel()
-            vals, cnts = np.unique(block, return_counts=True)
-            out[r, c] = vals[np.argmax(cnts)]
+    # general dtype: dense-rank encode the whole array once (np.unique
+    # sorts ascending, so rank order == value order), then run the same
+    # fused (cell, rank) bincount as the uint8 path per shape group;
+    # argmax over ranks returns the smallest value on ties, matching the
+    # per-cell unique/argmax rule. Cell rows are chunked so the histogram
+    # table stays bounded regardless of the value cardinality k.
+    vals, inv = np.unique(src_arr, return_inverse=True)
+    ranks = inv.reshape(src_arr.shape).astype(np.int64)
+    k = max(int(vals.shape[0]), 1)
+    for rs, cs, yidx, xidx in _shape_groups(ylo, yhi, xlo, xhi):
+        blocks = ranks[yidx[:, None, :, None], xidx[None, :, None, :]]
+        nr, nc = blocks.shape[0], blocks.shape[1]
+        flat = blocks.reshape(nr * nc, -1)
+        step = max(1, (1 << 24) // k)
+        modes = np.empty(nr * nc, dtype=np.int64)
+        for i in range(0, nr * nc, step):
+            chunk = flat[i : i + step]
+            m = chunk.shape[0]
+            keys = (np.arange(m)[:, None] * k + chunk).ravel()
+            hist = np.bincount(keys, minlength=m * k)
+            modes[i : i + m] = hist.reshape(m, k).argmax(axis=1)
+        out[np.ix_(rs, cs)] = vals[modes].reshape(nr, nc).astype(src_arr.dtype)
     return out
 
 

@@ -4633,13 +4633,19 @@ def vrt_mosaic_q(spark, sf_dir):
 
     from .fixtures.images import images_df
     from .io.vrt import materialize_vrt, parse_vrt, write_vrt
+    from .oracle.mercator import zoom_for_pixel_size
 
     imgs = images_df(spark, min(_images_n(sf_dir), 60)).persist()
     with tempfile.TemporaryDirectory() as td:
         pth = os.path.join(td, "mosaic.vrt")
         info = write_vrt(imgs, pth)
         spec = parse_vrt(pth)
-        tiles = materialize_vrt(spark, imgs, pth, reducer="last")
+        # gate at native-3 zoom (64x fewer pixels): the VRT driver's
+        # SimpleSource composition is identical at every zoom, and the
+        # native-resolution render costs ~10x the per-query budget
+        gate_zoom = int(zoom_for_pixel_size(spec["gt"][1] * 0.999)) - 3
+        tiles = materialize_vrt(spark, imgs, pth, reducer="last",
+                                zoom=gate_zoom)
         agg = tiles.agg(
             F.count("*").alias("n_tiles"),
             F.sum(F.col("cs1") + F.col("cs2") + F.col("cs3")).alias("cs_sum"),
