@@ -40,6 +40,9 @@ _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
 _T_SAMPLESPERPIXEL = 277
 _T_PLANARCONFIG = 284
+_T_STRIPOFFSETS = 273
+_T_ROWSPERSTRIP = 278
+_T_STRIPBYTECOUNTS = 279
 _T_TILEWIDTH = 322
 _T_TILELENGTH = 323
 _T_TILEOFFSETS = 324
@@ -234,8 +237,121 @@ def encode_cog(arr: np.ndarray, geotransform=None, compression: str = "deflate"
     return bytes(out)
 
 
+def encode_striped_tiff(arr: np.ndarray, geotransform=None,
+                        rows_per_strip: int = 16,
+                        compression: str = "deflate") -> bytes:
+    """uint8 (H, W[, C]) -> plain STRIPED baseline TIFF (RowsPerStrip
+    chunking — the layout gdal_translate writes by default and the single
+    most common raster interchange file; the reference reads it via the
+    strip path of frmts/gtiff/gtiffdataset.cpp:1566).  One IFD, strips
+    after it, DEFLATE or NONE."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    bands = arr.shape[2] if arr.ndim == 3 else 1
+    a3 = arr if arr.ndim == 3 else arr[:, :, None]
+    comp = 8 if compression == "deflate" else 1
+    strips = []
+    for y in range(0, h, rows_per_strip):
+        block = a3[y : y + rows_per_strip]
+        raw = block.tobytes() if bands > 1 else block[:, :, 0].tobytes()
+        strips.append(zlib.compress(raw, 6) if comp == 8 else raw)
+    ns = len(strips)
+
+    n_entries = 10 + (3 if geotransform is not None else 0)
+    ifd_pos = 8
+    extra_pos = ifd_pos + 2 + n_entries * 12 + 4
+    extra = bytearray()
+
+    def _arr_value(values, typ):
+        nonlocal extra
+        fmtc = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+        payload = struct.pack(f"<{len(values)}{fmtc}", *values)
+        if len(payload) <= 4:
+            return payload.ljust(4, b"\0")
+        off = extra_pos + len(extra)
+        extra += payload
+        return struct.pack("<I", off)
+
+    entries = []
+
+    def tag(tid, typ, count, val_bytes):
+        entries.append(struct.pack("<HHI4s", tid, typ, count, val_bytes))
+
+    # strip offsets depend on the extra-area size, which depends on whether
+    # the offset/bytecount arrays themselves go out-of-line — lay out the
+    # non-strip extras first, then reserve the two arrays, then data.
+    tag(_T_WIDTH, _TYPE_LONG, 1, struct.pack("<I", w))
+    tag(_T_LENGTH, _TYPE_LONG, 1, struct.pack("<I", h))
+    tag(_T_BITSPERSAMPLE, _TYPE_SHORT, bands,
+        _arr_value([8] * bands, _TYPE_SHORT))
+    tag(_T_COMPRESSION, _TYPE_SHORT, 1, struct.pack("<HH", comp, 0))
+    tag(_T_PHOTOMETRIC, _TYPE_SHORT, 1,
+        struct.pack("<HH", 2 if bands >= 3 else 1, 0))
+    tag(_T_SAMPLESPERPIXEL, _TYPE_SHORT, 1, struct.pack("<HH", bands, 0))
+    tag(_T_ROWSPERSTRIP, _TYPE_LONG, 1, struct.pack("<I", rows_per_strip))
+    tag(_T_PLANARCONFIG, _TYPE_SHORT, 1, struct.pack("<HH", 1, 0))
+    if geotransform is not None:
+        gt = geotransform
+        tag(_T_MODELPIXELSCALE, _TYPE_DOUBLE, 3,
+            _arr_value([abs(gt[1]), abs(gt[5]), 0.0], _TYPE_DOUBLE))
+        tag(_T_MODELTIEPOINT, _TYPE_DOUBLE, 6,
+            _arr_value([0.0, 0.0, 0.0, gt[0], gt[3], 0.0], _TYPE_DOUBLE))
+        flat = [x for k in _GEOKEYS_3857 for x in k]
+        tag(_T_GEOKEYDIR, _TYPE_SHORT, len(flat), _arr_value(flat, _TYPE_SHORT))
+
+    data_start = extra_pos + len(extra) + (4 * ns * 2 if ns > 1 else 0)
+    offs = []
+    pos = data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    tag(_T_STRIPOFFSETS, _TYPE_LONG, ns, _arr_value(offs, _TYPE_LONG))
+    tag(_T_STRIPBYTECOUNTS, _TYPE_LONG, ns,
+        _arr_value([len(s) for s in strips], _TYPE_LONG))
+
+    entries.sort(key=lambda e: struct.unpack_from("<H", e, 0)[0])
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_pos)
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)
+    out += extra
+    assert len(out) == data_start, (len(out), data_start)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _decode_strips(data: bytes, tags: dict, y0: int, y1: int):
+    """Decode the strips covering rows [y0, y1) of a striped IFD
+    (gtiffdataset.cpp:1566 strip chunking). Returns (rows array covering
+    exactly [y0, y1), n_strips_read)."""
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_LENGTH][0]
+    bands = tags.get(_T_SAMPLESPERPIXEL, [1])[0]
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    offs = tags[_T_STRIPOFFSETS]
+    cnts = tags[_T_STRIPBYTECOUNTS]
+    rsp = tags.get(_T_ROWSPERSTRIP, [h])[0]
+    s0, s1 = y0 // rsp, (y1 - 1) // rsp
+    rows = []
+    for si in range(s0, s1 + 1):
+        raw = data[offs[si] : offs[si] + cnts[si]]
+        if comp == 8:
+            raw = zlib.decompress(raw)
+        nrows = min(rsp, h - si * rsp)
+        rows.append(np.frombuffer(raw, dtype=np.uint8).reshape(nrows, w, bands))
+    block = rows[0] if len(rows) == 1 else np.concatenate(rows, axis=0)
+    lo = y0 - s0 * rsp
+    return block[lo : lo + (y1 - y0)], s1 - s0 + 1
+
+
 def decode_cog(data: bytes, ifd_index: int = 0):
-    """COG/tiled-TIFF bytes -> (array, n_ifds, geotransform | None)."""
+    """TIFF bytes -> (array, n_ifds, geotransform | None). Handles both
+    the tiled COG layout and plain striped (RowsPerStrip) baseline TIFF —
+    the reference reads either through the same block machinery
+    (frmts/gtiff/gtiffdataset.cpp:1566)."""
     if data[:4] not in (b"II*\0",):
         raise ValueError("not a little-endian TIFF")
     (first_ifd,) = struct.unpack_from("<I", data, 4)
@@ -250,19 +366,22 @@ def decode_cog(data: bytes, ifd_index: int = 0):
     h = tags[_T_LENGTH][0]
     bands = tags.get(_T_SAMPLESPERPIXEL, [1])[0]
     comp = tags.get(_T_COMPRESSION, [1])[0]
-    offs = tags[_T_TILEOFFSETS]
-    cnts = tags[_T_TILEBYTECOUNTS]
-    ta = (w + TILE - 1) // TILE
-    td = (h + TILE - 1) // TILE
-    full = np.zeros((td * TILE, ta * TILE, bands), dtype=np.uint8)
-    for i, (o, c) in enumerate(zip(offs, cnts)):
-        raw = data[o : o + c]
-        if comp == 8:
-            raw = zlib.decompress(raw)
-        block = np.frombuffer(raw, dtype=np.uint8).reshape(TILE, TILE, bands)
-        ty, tx = divmod(i, ta)
-        full[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] = block
-    arr = full[:h, :w]
+    if _T_TILEOFFSETS not in tags:  # striped layout
+        arr, _ = _decode_strips(data, tags, 0, h)
+    else:
+        offs = tags[_T_TILEOFFSETS]
+        cnts = tags[_T_TILEBYTECOUNTS]
+        ta = (w + TILE - 1) // TILE
+        td = (h + TILE - 1) // TILE
+        full = np.zeros((td * TILE, ta * TILE, bands), dtype=np.uint8)
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = data[o : o + c]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            block = np.frombuffer(raw, dtype=np.uint8).reshape(TILE, TILE, bands)
+            ty, tx = divmod(i, ta)
+            full[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] = block
+        arr = full[:h, :w]
     gt = None
     if _T_MODELPIXELSCALE in tags and _T_MODELTIEPOINT in tags:
         sx, sy = tags[_T_MODELPIXELSCALE][0], tags[_T_MODELPIXELSCALE][1]
@@ -289,15 +408,19 @@ def decode_cog_window(data: bytes, x0: int, y0: int, w: int, h: int,
     ih = tags[_T_LENGTH][0]
     bands = tags.get(_T_SAMPLESPERPIXEL, [1])[0]
     comp = tags.get(_T_COMPRESSION, [1])[0]
-    offs = tags[_T_TILEOFFSETS]
-    cnts = tags[_T_TILEBYTECOUNTS]
-    ta = (iw + TILE - 1) // TILE
     x0 = max(0, x0)
     y0 = max(0, y0)
     x1 = min(iw, x0 + w)
     y1 = min(ih, y0 + h)
     if x1 <= x0 or y1 <= y0:
         return np.zeros((0, 0, bands), dtype=np.uint8), 0
+    if _T_TILEOFFSETS not in tags:  # striped: only the strips [y0, y1) hits
+        rows, n_strips = _decode_strips(data, tags, y0, y1)
+        out = rows[:, x0:x1]
+        return (out[:, :, 0] if bands == 1 else out), n_strips
+    offs = tags[_T_TILEOFFSETS]
+    cnts = tags[_T_TILEBYTECOUNTS]
+    ta = (iw + TILE - 1) // TILE
     tx0, tx1 = x0 // TILE, (x1 - 1) // TILE
     ty0, ty1 = y0 // TILE, (y1 - 1) // TILE
     out = np.zeros((y1 - y0, x1 - x0, bands), dtype=np.uint8)

@@ -1481,7 +1481,11 @@ def pyramid_keys_q(spark, sf_dir):
 # and (512,512) need one 2x reduction to fit a 256 tile; everything else
 # none), the writer must be lossless + obey the COG layout rules, and the
 # (250,250)+40x16 window touches 4 tiles exactly on the 2x2-tiled sizes —
-# all derivable in SQL.
+# all derivable in SQL.  Round-5 modes: the same image round-trips through
+# a plain STRIPED baseline TIFF (RowsPerStrip=16, the gdal_translate
+# default layout), and the same window must touch exactly the strips its
+# row range covers (16-row strips: 2 when the window straddles row 256's
+# strip boundary on the tall cycles, else 1).
 _COG_SQL = """
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
@@ -1492,7 +1496,10 @@ SELECT printf('img%08d', i) AS image_id,
        TRUE AS lossless,
        TRUE AS cog_layout,
        TRUE AS window_ok,
-       CASE WHEN i % 5 IN (3, 4) THEN 4 ELSE 1 END AS tiles_touched
+       CASE WHEN i % 5 IN (3, 4) THEN 4 ELSE 1 END AS tiles_touched,
+       TRUE AS strip_lossless,
+       TRUE AS strip_window_ok,
+       CASE WHEN i % 5 IN (3, 4) THEN 2 ELSE 1 END AS strips_touched
 FROM idx
 """
 
@@ -1506,11 +1513,14 @@ def cog_roundtrip_q(spark, sf_dir):
     overview-first layout, then decode only the tiles a
     boundary-straddling window touches and check the slice equals the
     full decode's; DuckDB oracles the expected IFD count, the touched-
-    tile count per size cycle, and the invariants."""
+    tile count per size cycle, and the invariants.  Striped mode
+    (round 5): the same pixels round-trip through a plain RowsPerStrip
+    baseline TIFF (frmts/gtiff/gtiffdataset.cpp:1566 strip chunking) and
+    the same window reads exactly the strips its rows cover."""
     import pandas as pd
 
     from .codecs.cog import (decode_cog, decode_cog_window, encode_cog,
-                             is_cog_layout)
+                             encode_striped_tiff, is_cog_layout)
     from .codecs.registry import decode as _dec
     from .fixtures.images import images_df
     from .oracle.tiling import geotransform_3857
@@ -1532,23 +1542,32 @@ def cog_roundtrip_q(spark, sf_dir):
                 hh = min(16, h - y0)
                 win, ntiles = decode_cog_window(blob, x0, y0, ww, hh)
                 exp = a[y0 : y0 + hh, x0 : x0 + ww]
+                sblob = encode_striped_tiff(a, gt, rows_per_strip=16)
+                sback, _, sgt = decode_cog(sblob)
+                swin, nstrips = decode_cog_window(sblob, x0, y0, ww, hh)
                 out.append(dict(
                     image_id=r.image_id, n_ifds=int(nifd),
                     lossless=bool((back == a).all() and gt2 == gt),
                     cog_layout=bool(is_cog_layout(blob)),
                     window_ok=bool((win == exp).all()),
                     tiles_touched=int(ntiles),
+                    strip_lossless=bool((sback == a).all() and sgt == gt),
+                    strip_window_ok=bool((swin == exp).all()),
+                    strips_touched=int(nstrips),
                 ))
             yield pd.DataFrame(
                 out, columns=["image_id", "n_ifds", "lossless", "cog_layout",
-                              "window_ok", "tiles_touched"]
+                              "window_ok", "tiles_touched", "strip_lossless",
+                              "strip_window_ok", "strips_touched"]
             )
 
     imgs = images_df(spark, min(_images_n(sf_dir), 60))
     return imgs.mapInPandas(
         rt,
         schema="image_id string, n_ifds int, lossless boolean, "
-               "cog_layout boolean, window_ok boolean, tiles_touched int",
+               "cog_layout boolean, window_ok boolean, tiles_touched int, "
+               "strip_lossless boolean, strip_window_ok boolean, "
+               "strips_touched int",
     )
 
 

@@ -189,3 +189,57 @@ class TestPalettedPng:
                 elif mode == "gray":
                     want = want[:, :, 0]
                 np.testing.assert_array_equal(a, want)
+
+
+class TestStripedTiff:
+    """Striped (RowsPerStrip) baseline TIFF — the layout gdal_translate
+    writes by default; the reference reads it through the strip path of
+    frmts/gtiff/gtiffdataset.cpp:1566."""
+
+    def test_roundtrip_shapes_and_compressions(self):
+        import numpy as np
+
+        from gdal_spark.codecs.cog import decode_cog, encode_striped_tiff
+        from gdal_spark.codecs.registry import decode, identify
+
+        rng = np.random.default_rng(11)
+        for h, w, bands, rsp, comp in [
+            (20, 20, 3, 16, "deflate"), (300, 257, 3, 16, "none"),
+            (512, 512, 1, 64, "deflate"), (97, 33, 2, 7, "deflate"),
+            (5, 5, 3, 100, "none"),
+        ]:
+            a = rng.integers(0, 256, size=(h, w, bands)).astype(np.uint8)
+            if bands == 1:
+                a = a[:, :, 0]
+            gt = [100.0, 10.0, 0.0, 200.0, 0.0, -10.0]
+            blob = encode_striped_tiff(a, gt, rows_per_strip=rsp,
+                                       compression=comp)
+            back, nifd, gt2 = decode_cog(blob)
+            np.testing.assert_array_equal(back, a)
+            assert nifd == 1 and gt2 == gt
+            # registry identify + dispatch: same GTiff driver as tiled
+            assert identify(blob) == "GTiff"
+            np.testing.assert_array_equal(decode(blob), a)
+
+    def test_window_reads_touch_exact_strips(self):
+        import numpy as np
+
+        from gdal_spark.codecs.cog import (decode_cog_window,
+                                           encode_striped_tiff)
+        from gdal_spark.fixtures.images import make_pixels
+
+        a = make_pixels(300, 280)
+        rsp = 16
+        blob = encode_striped_tiff(a, rows_per_strip=rsp)
+        rng = np.random.default_rng(4)
+        for _ in range(12):
+            x0 = int(rng.integers(0, 295))
+            y0 = int(rng.integers(0, 275))
+            w = int(rng.integers(1, 300 - x0))
+            h = int(rng.integers(1, 280 - y0))
+            win, nstrips = decode_cog_window(blob, x0, y0, w, h)
+            np.testing.assert_array_equal(win, a[y0:y0 + h, x0:x0 + w])
+            assert nstrips == (y0 + h - 1) // rsp - y0 // rsp + 1
+        # fully-outside window -> empty, zero strips read
+        win, nstrips = decode_cog_window(blob, 0, 400, 10, 10)
+        assert win.shape[:2] == (0, 0) and nstrips == 0
