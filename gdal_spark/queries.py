@@ -742,11 +742,24 @@ def embedding_near_pairs_q(spark, sf_dir):
     return embedding_near_pairs(spark.table("embeddings"), threshold=0.25)
 
 
+# Round-5 multi-mode ANN suite: the base rows are the exact cosine top-10;
+# each ANN index (hyperplane LSH / IVF / PQ-ADC) is additionally graded two
+# ways, both DuckDB-expressible as constants on those rows:
+#   *_exact  — the index run with its recall dial maxed (max_hamming=planes,
+#              nprobe=nlist, refine over the whole corpus) degenerates to the
+#              exact scan BY CONSTRUCTION, so its top-10 must equal the exact
+#              top-10 (gates signatures / list assignment / ADC refine join
+#              machinery at value level);
+#   *_recall — at the production dial (mh=6/12, nprobe=6/16, rf=4) recall@10
+#              must clear a 7/10 floor (measured 8-10 at sf0.001 and sf0.01;
+#              the floor leaves margin for sampling-order jitter).
 _TOPK_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
 SELECT e.vec_id,
        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])), 4) AS cosine
+                                    CAST(q.qv AS DOUBLE[])), 4) AS cosine,
+       TRUE AS lsh_exact, TRUE AS ivf_exact, TRUE AS pq_exact,
+       TRUE AS lsh_recall, TRUE AS ivf_recall, TRUE AS pq_recall
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                 CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC
@@ -756,9 +769,14 @@ LIMIT 10
 
 @q("similarity_topk", _TOPK_SQL)
 def similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-10 (exact ANN baseline); double-cast so both
-    engines accumulate in f64; ROUND(4) absorbs fold-order ulps."""
-    from .operators.similarity import cosine_topk
+    """Exact + ANN suite: brute-force cosine top-10 (the returned rows —
+    TakeOrderedAndProject, no full sort) with per-index value gates as
+    constant columns (see _TOPK_SQL comment).  All side runs collect k=10
+    rows — bounded driver traffic.  Double-cast so both engines accumulate
+    in f64; ROUND(4) absorbs fold-order ulps."""
+    from .operators.similarity import (cosine_topk, ivf_build, ivf_topk,
+                                       lsh_topk, pq_encode, pq_topk,
+                                       pq_train)
 
     register_tpch_views(spark, sf_dir)
     qv = np.asarray(
@@ -768,8 +786,40 @@ def similarity_topk(spark, sf_dir):
     emb = spark.table("embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
     )
+    n = emb.count()
+
+    def rows(df):
+        return [(r.vec_id, round(r.cosine, 4)) for r in df.collect()]
+
+    exact_rows = rows(cosine_topk(emb, qv, k=10))
+    exact_set = set(exact_rows)
+
+    assigned, cent = ivf_build(emb, nlist=16)
+    books = pq_train(emb, m=8, ksub=64)
+    codes = pq_encode(emb, books)
+    # degenerate dials: keep-everything prefilters -> must equal exact
+    lsh_exact = rows(lsh_topk(emb, qv, k=10, planes=12, max_hamming=12)) == exact_rows
+    ivf_exact = rows(ivf_topk(assigned, cent, qv, k=10, nprobe=16)) == exact_rows
+    pq_exact = rows(pq_topk(codes, books, qv, k=10, refine_df=emb,
+                            refine_factor=(n + 9) // 10)) == exact_rows
+    # production dials: recall@10 floor
+    lsh_rec = len(set(rows(lsh_topk(emb, qv, k=10, planes=12, max_hamming=6)))
+                  & exact_set) >= 7
+    ivf_rec = len(set(rows(ivf_topk(assigned, cent, qv, k=10, nprobe=6)))
+                  & exact_set) >= 7
+    pq_rec = len(set(rows(pq_topk(codes, books, qv, k=10, refine_df=emb,
+                                  refine_factor=4))) & exact_set) >= 7
+
     got = cosine_topk(emb, qv, k=10)
-    return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return got.select(
+        "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.lit(bool(lsh_exact)).alias("lsh_exact"),
+        F.lit(bool(ivf_exact)).alias("ivf_exact"),
+        F.lit(bool(pq_exact)).alias("pq_exact"),
+        F.lit(bool(lsh_rec)).alias("lsh_recall"),
+        F.lit(bool(ivf_rec)).alias("ivf_recall"),
+        F.lit(bool(pq_rec)).alias("pq_recall"),
+    )
 
 
 @q("similarity_ann_lsh", None)
