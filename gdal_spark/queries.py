@@ -4927,24 +4927,136 @@ GROUP BY i
 """
 
 
+# GCP-warp value oracle (round-5 VERDICT #4): AFFINE GCP grids make both
+# the thin-plate-spline solve (RBF weights = 0 — the affine polynomial term
+# interpolates exactly, Bookstein side conditions force w = 0) and the
+# order-2 least-squares fit (full-rank design, exact fit -> quadratic
+# coefficients = 0) degenerate to the affine map BY CONSTRUCTION, so the
+# whole warp chain — corner bbox, dst grid, inverse map, nearest sample,
+# checksum — is closed-form.  X = 1.03x + 0.07y + 3.5, Y = -0.04x + 0.97y
+# + 2.25; inverse via the exact 2x2 adjugate (det = 1.03*0.97 + 0.07*0.04).
+# Nearest-int boundaries keep >= 1/(2*max(w,h)) margin vs the ~1e-9 solver
+# noise (verified empirically at both SFs).
+_WARP_IDX_META = """
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+)"""
+
+_WARP_GCP_AFFINE_SQL = _WARP_IDX_META + f""",
+aff AS (
+  SELECT i, w, h,
+    3.5 AS x0,
+    1.03 * (w - 1) + 0.07 * (h - 1) + 3.5 AS x1,
+    -0.04 * (w - 1) + 2.25 AS y0,
+    0.97 * (h - 1) + 2.25 AS y1
+  FROM meta
+),
+px AS (
+  SELECT a.i, a.w, a.h, CAST(k.a AS BIGINT) AS flat,
+    a.x0 + (CAST(k.a AS BIGINT) % a.w + 0.5) * (a.x1 - a.x0) / a.w AS gx,
+    a.y0 + (CAST(k.a AS BIGINT) // a.w + 0.5) * (a.y1 - a.y0) / a.h AS gy
+  FROM aff a, LATERAL (
+    SELECT unnest(generate_series(0, a.w * a.h - 1)) AS a) k
+),
+inv AS (
+  SELECT i, w, h, flat,
+    CAST(floor((0.97 * (gx - 3.5) - 0.07 * (gy - 2.25))
+               / (1.03 * 0.97 + 0.07 * 0.04) + 0.5) AS BIGINT) AS ix,
+    CAST(floor((0.04 * (gx - 3.5) + 1.03 * (gy - 2.25))
+               / (1.03 * 0.97 + 0.07 * 0.04) + 0.5) AS BIGINT) AS iy
+  FROM px
+),
+vo AS (
+  SELECT i, flat,
+    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h THEN 1 ELSE 0
+    END AS valid,
+    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (ix + iy * w) % 256 ELSE 0 END AS v
+  FROM inv
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(v % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+       CAST(SUM(valid) AS BIGINT) AS n_valid
+FROM vo
+GROUP BY i
+"""
+
+# RPC-warp value oracle: a bend-free synthetic RPC00B block encodes the
+# pure linear pushbroom model line = -P, samp = L (normalized), so the
+# iterative inverse over the corners and the forward grid map reduce to
+# ix = floor((w-1)(c+0.5)/w + 0.5), iy = floor((h-1)(r+0.5)/h + 0.5) —
+# every destination center lands in-bounds (n_valid = w*h) and samples the
+# fixture gradient.  Boundary margin >= 1/(2w) (no half-integer hits for
+# any cycle size — (w-1)(2c+1) and w(2k-1) have opposite parities).
+_WARP_RPC_LINEAR_SQL = _WARP_IDX_META + f""",
+px AS (
+  SELECT m.i, m.w, m.h, CAST(k.a AS BIGINT) AS flat,
+    CAST(floor((m.w - 1) * (CAST(k.a AS BIGINT) % m.w + 0.5) / m.w + 0.5)
+         AS BIGINT) AS ix,
+    CAST(floor((m.h - 1) * (CAST(k.a AS BIGINT) // m.w + 0.5) / m.h + 0.5)
+         AS BIGINT) AS iy
+  FROM meta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(SUM(((ix + iy * w) % 256) % ({_CS_PRIME.format(i='flat')}))
+            % 65536 AS BIGINT) AS cs1,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM px
+GROUP BY i
+"""
+
+
 _WARP_MASK_MERGED_SQL = f"""
 SELECT 'nodata' AS mode, image_id, cs1 FROM ({_WARP_ND_SQL.strip()})
 UNION ALL
 SELECT 'cutline' AS mode, image_id, cs1 FROM ({_WARP_CUT_SQL.strip()})
 UNION ALL
 SELECT 'boxavg' AS mode, image_id, cs1 FROM ({_WARP_BOXAVG_SQL.strip()})
+UNION ALL
+SELECT 'tps' AS mode, image_id, cs1 FROM ({_WARP_GCP_AFFINE_SQL.strip()})
+UNION ALL
+SELECT 'tps_nvalid' AS mode, image_id, n_valid AS cs1
+FROM ({_WARP_GCP_AFFINE_SQL.strip()})
+UNION ALL
+SELECT 'poly2' AS mode, image_id, cs1 FROM ({_WARP_GCP_AFFINE_SQL.strip()})
+UNION ALL
+SELECT 'rpc' AS mode, image_id, cs1 FROM ({_WARP_RPC_LINEAR_SQL.strip()})
+UNION ALL
+SELECT 'rpc_nvalid' AS mode, image_id, n_valid AS cs1
+FROM ({_WARP_RPC_LINEAR_SQL.strip()})
 """
 
 
 @q("warp_mask_checksum", _WARP_MASK_MERGED_SQL)
 def warp_mask_checksum_q(spark, sf_dir):
-    """gdalwarp masking + box-stat semantics in one gate
-    (alg/gdalwarpkernel.cpp:614 + apps/gdalwarp_lib.cpp:5236 +
-    GWKAverageOrMode gdalwarpkernel.cpp:7841): the -srcnodata collar
-    chain, the -cutline diamond chain, and the -r average
-    corner-box-snap chain, each replayed per destination pixel."""
+    """gdalwarp masking + box-stat + GCP/RPC transformer semantics in one
+    gate (alg/gdalwarpkernel.cpp:614 + apps/gdalwarp_lib.cpp:5236 +
+    GWKAverageOrMode gdalwarpkernel.cpp:7841 + alg/thinplatespline.cpp +
+    alg/gdal_crs.cpp + alg/gdal_rpc.cpp): the -srcnodata collar chain,
+    the -cutline diamond chain, the -r average corner-box-snap chain,
+    plus the round-5 degenerate-exact transformer modes — affine GCPs
+    through the real TPS solve and the real order-2 LS fit (both must
+    reproduce the closed-form affine warp), and a bend-free RPC00B block
+    through the real Newton inverse (must reproduce the closed-form
+    linear grid).  n_valid for the GCP/RPC runs is graded as its own
+    mode row."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
     from .fixtures.images import images_df
-    from .operators.rasterops import warp_to_wgs84
+    from .operators.rasterops import warp_gcp, warp_rpc, warp_to_wgs84
+    from .oracle.rpc import rpc_pack, synthetic_rpc
 
     nd = warp_nodata_checksum_q(spark, sf_dir).select(
         F.lit("nodata").alias("mode"), "image_id", "cs1")
@@ -4954,7 +5066,55 @@ def warp_mask_checksum_q(spark, sf_dir):
         F.col("fmt") == "png")
     box = warp_to_wgs84(imgs, "average").select(
         F.lit("boxavg").alias("mode"), "image_id", "cs1")
-    return nd.unionByName(cut).unionByName(box)
+
+    def _affine_grid_col(which):
+        # 4x4 pixel grid mapped by X = 1.03x + 0.07y + 3.5,
+        # Y = -0.04x + 0.97y + 2.25 (matches _WARP_GCP_AFFINE_SQL)
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def col(w: pd.Series, h: pd.Series) -> pd.Series:
+            out = []
+            for ww, hh in zip(w, h):
+                xs = np.linspace(0, float(ww) - 1, 4)
+                ys = np.linspace(0, float(hh) - 1, 4)
+                gx, gy = np.meshgrid(xs, ys)
+                x, y = gx.ravel(), gy.ravel()
+                X = 1.03 * x + 0.07 * y + 3.5
+                Y = -0.04 * x + 0.97 * y + 2.25
+                out.append({"px": x, "py": y, "x": X, "y": Y}[which].tolist())
+            return pd.Series(out)
+        return col(F.col("w"), F.col("h"))
+
+    gimgs = imgs
+    for name, which in (("gcp_px", "px"), ("gcp_py", "py"),
+                        ("gcp_x", "x"), ("gcp_y", "y")):
+        gimgs = gimgs.withColumn(name, _affine_grid_col(which))
+    tps = warp_gcp(gimgs, method="tps")
+    poly = warp_gcp(gimgs, method="poly", order=2)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def rpc_col(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([rpc_pack(synthetic_rpc(int(ww), int(hh), bend=0.0))
+                          for ww, hh in zip(w, h)])
+
+    rpc = warp_rpc(imgs.withColumn("rpc", rpc_col(F.col("w"), F.col("h"))))
+
+    parts = [
+        nd, cut, box,
+        tps.select(F.lit("tps").alias("mode"), "image_id",
+                   F.col("cs").alias("cs1")),
+        tps.select(F.lit("tps_nvalid").alias("mode"), "image_id",
+                   F.col("n_valid").alias("cs1")),
+        poly.select(F.lit("poly2").alias("mode"), "image_id",
+                    F.col("cs").alias("cs1")),
+        rpc.select(F.lit("rpc").alias("mode"), "image_id",
+                   F.col("cs").alias("cs1")),
+        rpc.select(F.lit("rpc_nvalid").alias("mode"), "image_id",
+                   F.col("n_valid").alias("cs1")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _PIP_MERGED_SQL = f"""
