@@ -154,7 +154,7 @@ def warp_to_wgs84(images: DataFrame, method: str = "nearest",
                   approx_every: int = 0, src_nodata=None, dst_nodata=None,
                   collar_px: int = 0,
                   cutline_col: str | None = None,
-                  te=None, tr=None, ts=None) -> DataFrame:
+                  te=None, tr=None, ts=None, blend_dist=0.0) -> DataFrame:
     """gdalwarp EPSG:3857 -> EPSG:4326 per image (dst->src inverse mapping,
     apps/gdalwarp_lib.cpp:1210; kernel alg/gdalwarpkernel.cpp). Accepts all
     14 warp kernels (alg/gdalwarper.h:37-67): the 5 point kernels
@@ -171,7 +171,10 @@ def warp_to_wgs84(images: DataFrame, method: str = "nearest",
     imagery almost always carries such collars).  ``cutline_col`` names a
     per-row WKB polygon column (source CRS coords): the cutline is
     rasterized into the source validity mask exactly like
-    gdalwarp -cutline (apps/gdalwarp_lib.cpp:5236).  ``te``/``tr``/``ts``
+    gdalwarp -cutline (apps/gdalwarp_lib.cpp:5236); ``blend_dist`` > 0
+    feathers it instead of hard-masking (CUTLINE_BLEND_DIST,
+    alg/gdalcutline.cpp BlendMaskGenerator: density ramps 0.5 +- d/(2*BD)
+    over the boundary band, output = src * density).  ``te``/``tr``/``ts``
     fix the target extent (lon/lat), resolution, or size instead of the
     SuggestedWarpOutput grid (the -te/-tr/-ts options)."""
     from ..oracle import geom as G
@@ -198,6 +201,7 @@ def warp_to_wgs84(images: DataFrame, method: str = "nearest",
                     a, gt, method=method, approx_every=approx_every,
                     src_nodata=src_nodata, dst_nodata=dst_nodata,
                     cutline=cut, te=te, tr=tr, ts=ts,
+                    blend_dist=blend_dist,
                 )
                 cs = checksum_image(warped)
                 out.append(

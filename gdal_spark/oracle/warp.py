@@ -60,6 +60,47 @@ def _build_masked(arr, src_gt, src_nodata, cutline):
     return a
 
 
+def cutline_blend_density(shape, src_gt, rings, blend_dist):
+    """Feathered cutline validity mask (alg/gdalcutline.cpp
+    BlendMaskGenerator, the CUTLINE_BLEND_DIST option): the polygon is
+    forced to lines so distance is measured from the EDGE on both sides;
+    for each source pixel center within ``blend_dist`` (source pixels) of
+    the boundary the density ramps 0.5 + (d/BD)*0.5 inside /
+    0.5 - (d/BD)*0.5 outside; beyond it the mask is the hard rasterized
+    interior (1 in / 0 out).  Distance is exact point-to-segment
+    Euclidean, vectorized over all pixels x all ring segments."""
+    from .rasterize import rasterize_rings
+
+    h, w = shape
+    inside = rasterize_rings(rings, src_gt, w, h, burn=1.0) > 0
+    # ring vertices -> source pixel coords (north-up inverse geotransform,
+    # the reference's CutlineTransformer works in source pixel space)
+    px = np.arange(w, dtype=np.float64) + 0.5
+    py = np.arange(h, dtype=np.float64) + 0.5
+    PX, PY = np.meshgrid(px, py)
+    d = np.full((h, w), np.inf)
+    for ring in rings:
+        rv = np.asarray(ring, dtype=np.float64)
+        rx = (rv[:, 0] - src_gt[0]) / src_gt[1]
+        ry = (rv[:, 1] - src_gt[3]) / src_gt[5]
+        for i in range(len(rx) - 1):
+            ax, ay, bx, by = rx[i], ry[i], rx[i + 1], ry[i + 1]
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 <= 0.0:
+                di = np.hypot(PX - ax, PY - ay)
+            else:
+                t = np.clip(((PX - ax) * dx + (PY - ay) * dy) / L2, 0.0, 1.0)
+                di = np.hypot(PX - (ax + t * dx), PY - (ay + t * dy))
+            np.minimum(d, di, out=d)
+    dens = inside.astype(np.float64)
+    band = d <= float(blend_dist)
+    ratio = np.where(inside, 0.5 + (d / blend_dist) * 0.5,
+                     0.5 - (d / blend_dist) * 0.5)
+    dens[band] = ratio[band]
+    return dens
+
+
 def _resolve_dst_nodata(src_nodata, dst_nodata, fill):
     """gdalwarp -dstnodata defaulting: explicit value wins; else the
     srcnodata value; else the plain fill."""
@@ -434,7 +475,8 @@ def _convolve_irregular(src, centers, axis, kernel, radius):
 
 def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
                       fill=0, src_nodata=None, dst_nodata=None,
-                      cutline=None, te=None, tr=None, ts=None):
+                      cutline=None, te=None, tr=None, ts=None,
+                      blend_dist=0.0):
     """Warp a north-up EPSG:3857 image to EPSG:4326.
 
     ``method``: nearest, bilinear, cubic, cubicspline, or lanczos (the
@@ -456,7 +498,19 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
     """
     h, w = arr.shape[0], arr.shape[1]
     masked = src_nodata is not None or cutline is not None
-    arrf = _build_masked(arr, src_gt, src_nodata, cutline) if masked else None
+    dens = None
+    if cutline is not None and blend_dist:
+        # CUTLINE_BLEND_DIST (alg/gdalcutline.cpp BlendMaskGenerator):
+        # the cutline becomes a fractional density, not a hard mask —
+        # outside-but-near source pixels still contribute, feathered.
+        # Supported for the nearest kernel (seam-feathering mosaics).
+        if method != "nearest":
+            raise ValueError("blend_dist requires method='nearest'")
+        arrf = _build_masked(arr, src_gt, src_nodata, None)
+        dens = cutline_blend_density((h, w), src_gt, cutline, blend_dist)
+    else:
+        arrf = (_build_masked(arr, src_gt, src_nodata, cutline)
+                if masked else None)
     dst_gt, out_w, out_h = suggested_output(src_gt, w, h)
     if te is not None or tr is not None or ts is not None:
         # explicit target grid (gdalwarp -te/-tr/-ts,
@@ -520,6 +574,14 @@ def warp_3857_to_4326(arr, src_gt, method="nearest", approx_every=0,
         iyc = np.clip(iy, 0, h - 1)
         src = arrf if masked else arr
         out = src[np.ix_(iyc, ixc)].astype(np.float64)
+        if dens is not None:
+            # nearest-sample the density at the same source pixel; the
+            # output value is src * density (feather against the empty
+            # canvas), zero density -> invalid (dst_nodata)
+            ds = dens[np.ix_(iyc, ixc)]
+            if out.ndim == 3:
+                ds = ds[:, :, None]
+            out = np.where(ds > 0.0, out * ds, np.nan)
         mask = np.outer(ok_y, ok_x)
     elif method == "bilinear":
         gx = fx - 0.5

@@ -2916,21 +2916,49 @@ _WARP_CUT_SQL = _WARP_CS_SQL.replace(
 )
 assert _WARP_CUT_SQL != _WARP_CS_SQL
 
+# gdalwarp -cutline + CUTLINE_BLEND_DIST value oracle (alg/gdalcutline.cpp
+# BlendMaskGenerator): within BD = 2.7 px of the diamond boundary the
+# density ramps 0.5 +- (d/BD)*0.5 (inside/outside) and the output value is
+# floor(src * density + 0.5); beyond it the hard cutline applies.  The
+# exact point-to-boundary distance of the diamond |dx|+|dy| = R folds to
+# the first quadrant: perpendicular foot on the edge when |u-v| <= R
+# (d = |u+v-R|/sqrt(2)), else the nearest vertex (d = hypot(max-R, min)).
+# Fractional R (x.7) and BD (2.7) keep every comparison >= 0.018 from a
+# tie, so the numpy segment-distance path and this closed form agree.
+_BLD_U = "abs(ix + 0.5 - w / 2.0)"
+_BLD_V = "abs(iy + 0.5 - h / 2.0)"
+_BLD_R = "(least(w, h) / 2.0 - 3.3)"
+_BLD_D = (f"CASE WHEN abs({_BLD_U} - {_BLD_V}) <= {_BLD_R} "
+          f"THEN abs({_BLD_U} + {_BLD_V} - {_BLD_R}) / sqrt(2.0) "
+          f"ELSE sqrt((greatest({_BLD_U}, {_BLD_V}) - {_BLD_R}) "
+          f"* (greatest({_BLD_U}, {_BLD_V}) - {_BLD_R}) "
+          f"+ least({_BLD_U}, {_BLD_V}) * least({_BLD_U}, {_BLD_V})) END")
+_BLD_IN = f"({_BLD_U} + {_BLD_V} <= {_BLD_R})"
+_BLD_RATIO = (f"CASE WHEN {_BLD_IN} THEN 0.5 + ({_BLD_D}) / 2.7 * 0.5 "
+              f"ELSE 0.5 - ({_BLD_D}) / 2.7 * 0.5 END")
+_WARP_BLEND_SQL = _WARP_CS_SQL.replace(
+    """    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN (ix + iy * w) % 256 ELSE 0 END AS v""",
+    f"""    CASE WHEN ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+         THEN CASE WHEN ({_BLD_D}) <= 2.7
+                   THEN CAST(floor(((ix + iy * w) % 256) * ({_BLD_RATIO})
+                                   + 0.5) AS BIGINT)
+                   WHEN {_BLD_IN} THEN (ix + iy * w) % 256
+                   ELSE 201 END
+         ELSE 201 END AS v""",
+)
+assert _WARP_BLEND_SQL != _WARP_CS_SQL
 
-def warp_cutline_checksum_q(spark, sf_dir):
-    """gdalwarp -cutline VALUE-gated end to end
-    (apps/gdalwarp_lib.cpp:5236: cutline transformed to source pixel
-    coords and rasterized into the validity mask): a per-image diamond
-    WKB cutline column drives the production operator path
-    (warp_to_wgs84 cutline_col), and DuckDB replays the masked nearest
-    chain with the closed-form diamond interior test."""
+
+def _diamond_cutline_imgs(spark, sf_dir):
+    """png fixture images + the per-image diamond cutline WKB column
+    (radius min(w,h)/2 - 3.3 px) shared by the cutline and blend modes."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
     from .fixtures.images import images_df
     from .oracle.geom import to_wkb
     from .oracle.tiling import geotransform_3857
-    from .operators.rasterops import warp_to_wgs84
 
     @F.pandas_udf(BinaryType())
     def diamond_wkb(lon: pd.Series, lat: pd.Series, gsd: pd.Series,
@@ -2947,13 +2975,25 @@ def warp_cutline_checksum_q(spark, sf_dir):
             out.append(to_wkb("polygon", [ring]))
         return pd.Series(out)
 
-    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+    return images_df(spark, min(_images_n(sf_dir), 60)).where(
         F.col("fmt") == "png"
     ).withColumn(
         "cutline_wkb",
         diamond_wkb(F.col("lon"), F.col("lat"), F.col("gsd_m"),
                     F.col("w"), F.col("h")),
     )
+
+
+def warp_cutline_checksum_q(spark, sf_dir):
+    """gdalwarp -cutline VALUE-gated end to end
+    (apps/gdalwarp_lib.cpp:5236: cutline transformed to source pixel
+    coords and rasterized into the validity mask): a per-image diamond
+    WKB cutline column drives the production operator path
+    (warp_to_wgs84 cutline_col), and DuckDB replays the masked nearest
+    chain with the closed-form diamond interior test."""
+    from .operators.rasterops import warp_to_wgs84
+
+    imgs = _diamond_cutline_imgs(spark, sf_dir)
     return warp_to_wgs84(imgs, "nearest", dst_nodata=201,
                          cutline_col="cutline_wkb").select("image_id", "cs1")
 
@@ -5022,6 +5062,8 @@ SELECT 'nodata' AS mode, image_id, cs1 FROM ({_WARP_ND_SQL.strip()})
 UNION ALL
 SELECT 'cutline' AS mode, image_id, cs1 FROM ({_WARP_CUT_SQL.strip()})
 UNION ALL
+SELECT 'blend' AS mode, image_id, cs1 FROM ({_WARP_BLEND_SQL.strip()})
+UNION ALL
 SELECT 'boxavg' AS mode, image_id, cs1 FROM ({_WARP_BOXAVG_SQL.strip()})
 UNION ALL
 SELECT 'tps' AS mode, image_id, cs1 FROM ({_WARP_GCP_AFFINE_SQL.strip()})
@@ -5062,6 +5104,10 @@ def warp_mask_checksum_q(spark, sf_dir):
         F.lit("nodata").alias("mode"), "image_id", "cs1")
     cut = warp_cutline_checksum_q(spark, sf_dir).select(
         F.lit("cutline").alias("mode"), "image_id", "cs1")
+    blend = warp_to_wgs84(_diamond_cutline_imgs(spark, sf_dir), "nearest",
+                          dst_nodata=201, cutline_col="cutline_wkb",
+                          blend_dist=2.7).select(
+        F.lit("blend").alias("mode"), "image_id", "cs1")
     imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
         F.col("fmt") == "png")
     box = warp_to_wgs84(imgs, "average").select(
@@ -5099,7 +5145,7 @@ def warp_mask_checksum_q(spark, sf_dir):
     rpc = warp_rpc(imgs.withColumn("rpc", rpc_col(F.col("w"), F.col("h"))))
 
     parts = [
-        nd, cut, box,
+        nd, cut, blend, box,
         tps.select(F.lit("tps").alias("mode"), "image_id",
                    F.col("cs").alias("cs1")),
         tps.select(F.lit("tps_nvalid").alias("mode"), "image_id",
