@@ -2378,6 +2378,16 @@ def vector_container_roundtrip_q(spark, sf_dir):
                      sum(1 for r in back.collect()
                          if src.get(r["image_id"]) == bytes(r["wkb"])),
                      area_sum(back)))
+        from .io.flatgeobuf import (COL_LONG as _FGB_LONG,
+                                    read_flatgeobuf, write_flatgeobuf)
+
+        fgb = os.path.join(td, "f.fgb")
+        write_flatgeobuf(feats, fgb, extra_cols={"n_valid": _FGB_LONG})
+        back, _hdr = read_flatgeobuf(spark, fgb)
+        rows.append(("flatgeobuf", back.count(),
+                     sum(1 for r in back.collect()
+                         if src.get(r["image_id"]) == bytes(r["wkb"])),
+                     area_sum(back)))
     feats.unpersist()
     import pandas as pd2
 
