@@ -3056,19 +3056,116 @@ GROUP BY i
 """
 
 
-@q("overview_average_checksum", _OVR_AVG_SQL)
+# Round-5 merged overview-kernel gate: gauss (gcore/overview.cpp:1996
+# GDALResampleChunk_Gauss — 3x3 [1,2,1;2,4,2;1,2,1] rooted at (2ox, 2oy),
+# truncated + weight-renormalized at the bottom/right edges) and rms
+# (AverageOrRMS RMS branch: floor(sqrt(mean of squares) + 0.5)) replay
+# exactly: every accumulation is integer-valued (exact in f64 regardless
+# of order) and sqrt/divide are correctly rounded identically in numpy
+# and DuckDB.
+
+
+def _gauss_px_sql(vfmt: str) -> str:
+    """floor(conv3x3/wsum + 0.5) for a band value template vfmt({x},{y})
+    over the CROPPED even dims (2*w2, 2*h2)."""
+    G = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+    taps, wts = [], []
+    for di in range(3):
+        for dj in range(3):
+            x = f"(2 * ox + {dj})"
+            y = f"(2 * oy + {di})"
+            cond = f"2 * ox + {dj} < 2 * w2 AND 2 * oy + {di} < 2 * h2"
+            taps.append(f"CASE WHEN {cond} THEN {G[di][dj]} "
+                        f"* ({vfmt.format(x=x, y=y)}) ELSE 0 END")
+            wts.append(f"CASE WHEN {cond} THEN {G[di][dj]} ELSE 0 END")
+    return (f"CAST(floor(({' + '.join(taps)}) * 1.0 "
+            f"/ ({' + '.join(wts)}) + 0.5) AS BIGINT)")
+
+
+def _rms_px_sql(vfmt: str) -> str:
+    sq = []
+    for di in range(2):
+        for dj in range(2):
+            v = vfmt.format(x=f"(2 * ox + {dj})", y=f"(2 * oy + {di})")
+            sq.append(f"({v}) * ({v})")
+    return (f"CAST(floor(sqrt(({' + '.join(sq)}) / 4.0) + 0.5) AS BIGINT)")
+
+
+_OVR_BANDS = ("(({x}) + ({y}) * w) % 256",   # b1: full-width gradient
+              "(3 * ({x})) % 256",            # b2
+              "(7 * ({y})) % 256")            # b3
+
+
+def _ovr_kernel_sql(px_fn) -> str:
+    b1, b2, b3 = (px_fn(v) for v in _OVR_BANDS)
+    return f"""
+WITH idx AS (
+  SELECT CAST(a AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(0, 59)) AS a)
+  WHERE a % 3 = 0
+),
+meta AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 257 ELSE 512 END AS w,
+    CASE i % 5 WHEN 0 THEN 20 WHEN 1 THEN 64 WHEN 2 THEN 256
+               WHEN 3 THEN 300 ELSE 512 END AS h
+  FROM idx
+),
+dims AS (
+  SELECT i, w, h, (w - w % 2) // 2 AS w2, (h - h % 2) // 2 AS h2 FROM meta
+),
+opx AS (
+  SELECT d.i, d.w, d.w2, d.h2, CAST(k.a AS BIGINT) AS flat,
+         CAST(k.a AS BIGINT) % d.w2 AS ox,
+         CAST(k.a AS BIGINT) // d.w2 AS oy
+  FROM dims d, LATERAL (
+    SELECT unnest(generate_series(0, d.w2 * d.h2 - 1)) AS a) k
+),
+v AS (
+  SELECT i, flat, {b1} AS b1, {b2} AS b2, {b3} AS b3 FROM opx
+)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(MIN(d.w2) AS INTEGER) AS w2, CAST(MIN(d.h2) AS INTEGER) AS h2,
+       CAST(SUM(b1 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1,
+       CAST(SUM(b2 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs2,
+       CAST(SUM(b3 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs3
+FROM v JOIN dims d USING (i)
+GROUP BY i
+"""
+
+
+_OVR_MERGED_SQL = f"""
+SELECT 'average' AS mode, image_id, w2, h2, cs1, cs2, cs3
+FROM ({_OVR_AVG_SQL.strip()})
+UNION ALL
+SELECT 'gauss' AS mode, image_id, w2, h2, cs1, cs2, cs3
+FROM ({_ovr_kernel_sql(_gauss_px_sql).strip()})
+UNION ALL
+SELECT 'rms' AS mode, image_id, w2, h2, cs1, cs2, cs3
+FROM ({_ovr_kernel_sql(_rms_px_sql).strip()})
+"""
+
+
+@q("overview_average_checksum", _OVR_MERGED_SQL)
 def overview_average_checksum_q(spark, sf_dir):
-    """BuildOverviews(average) VALUE-gated: the real overview operator
-    (decode -> exact uint8 2x2 average -> checksum, gcore/overview.cpp
-    :1980 rounding) against DuckDB replaying the integer block means and
-    checksum arithmetic."""
+    """BuildOverviews kernel suite VALUE-gated in one slot: the real
+    overview operator (decode -> 2x downsample -> checksum) for average
+    (gcore/overview.cpp:1980 integer rounding), gauss (:1996 3x3 kernel,
+    edge-truncated + renormalized), and rms (AverageOrRMS RMS branch) —
+    each mode's exact integer/f64 chain replayed in DuckDB."""
     from .fixtures.images import images_df
     from .operators.rasterops import overview_downsample
 
     imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
         F.col("fmt") == "png")
-    return overview_downsample(imgs, "average").select(
-        "image_id", "w2", "h2", "cs1", "cs2", "cs3")
+    cols = ["image_id", "w2", "h2", "cs1", "cs2", "cs3"]
+    parts = [overview_downsample(imgs, m).select(
+        F.lit(m).alias("mode"), *cols) for m in ("average", "gauss", "rms")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # InterpolateAtPoint value oracle: one deterministic point per PNG image
