@@ -3781,6 +3781,28 @@ vcs AS (
     SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
   GROUP BY m.i, m.w, m.h
 ),
+rpx AS (
+  SELECT m.i, CAST(k.a AS BIGINT) AS flat,
+    CASE
+      WHEN 200 - 3 * GREATEST(abs(CAST(k.a AS BIGINT) % m.w - m.w // 2),
+             abs(CAST(k.a AS BIGINT) // m.w - m.h // 2)) < 120 THEN 0
+      WHEN 200 - 3 * GREATEST(abs(CAST(k.a AS BIGINT) % m.w - m.w // 2),
+             abs(CAST(k.a AS BIGINT) // m.w - m.h // 2)) < 150 THEN 1
+      WHEN 200 - 3 * GREATEST(abs(CAST(k.a AS BIGINT) % m.w - m.w // 2),
+             abs(CAST(k.a AS BIGINT) // m.w - m.h // 2)) < 180 THEN 2
+      ELSE 3 END AS c
+  FROM vmeta m, LATERAL (
+    SELECT unnest(generate_series(0, m.w * m.h - 1)) AS a) k
+),
+rcs AS (
+  SELECT i, COUNT(DISTINCT c) AS n_classes,
+    CAST(SUM(c % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs,
+    SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS c2,
+    SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS c3
+  FROM rpx GROUP BY i
+),
 nmeta AS (
   SELECT i,
     CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS w,
@@ -3859,6 +3881,12 @@ SELECT 'fill_nodata' AS mode, printf('fnd%08d', i) AS image_id,
        36.0 AS a, CAST(cs AS DOUBLE) AS b,
        0.0 AS c, 0.0 AS d, 0.0 AS e, 0.0 AS f, 0.0 AS g
 FROM fcs
+UNION ALL
+SELECT 'rat' AS mode, printf('vsh%08d', i) AS image_id,
+       CAST(n_classes AS DOUBLE) AS a, CAST(cs AS DOUBLE) AS b,
+       CAST(c0 AS DOUBLE) AS c, CAST(c1 AS DOUBLE) AS d,
+       CAST(c2 AS DOUBLE) AS e, CAST(c3 AS DOUBLE) AS f, 0.0 AS g
+FROM rcs
 """
 
 
@@ -3879,10 +3907,14 @@ def exact_patterns_q(spark, sf_dir):
     (apps/nearblack_lib.cpp) strips a frame collar plus the two-pixel
     grey-area allowance on every side, leaving a centered rectangle with
     closed-form counts and checksum; GDALFillNodata (alg/rasterfill.cpp)
-    restores the exact constant on an all-equal hole boundary."""
+    restores the exact constant on an all-equal hole boundary; the
+    round-5 'rat' mode classifies the cone band through a 4-row min/max
+    raster attribute table (gcore/gdal_rat.cpp GetRowOfValue) with
+    closed-form per-class counts + class-raster checksum."""
     from .fixtures.patterns import pattern_images_df
     from .operators.rasterops import (fill_nodata_stats, nearblack_stats,
                                       viewshed_stats)
+    from .operators.rat import classify_with_rat
     from .operators.vectorize import polygonize, proximity_map, sieve_filter
 
     n = 24
@@ -3956,8 +3988,23 @@ def exact_patterns_q(spark, sf_dir):
         F.col("cs").cast("double").alias("b"),
         F.lit(0.0).alias("c"), *zeros,
     )
+    rc = classify_with_rat(
+        pattern_images_df(spark, "cone", n),
+        [(0, 120, 0, "low"), (120, 150, 1, "mid"),
+         (150, 180, 2, "high"), (180, 256, 3, "peak")],
+    ).select(
+        F.lit("rat").alias("mode"), "image_id",
+        F.col("n_classes").cast("double").alias("a"),
+        F.col("cs").cast("double").alias("b"),
+        F.col("class_counts")[0].cast("double").alias("c"),
+        F.col("class_counts")[1].cast("double").alias("d"),
+        F.col("class_counts")[2].cast("double").alias("e"),
+        F.col("class_counts")[3].cast("double").alias("f"),
+        F.lit(0.0).alias("g"),
+    )
     return (p.unionByName(p8).unionByName(s).unionByName(x)
-            .unionByName(v).unionByName(nb).unionByName(f))
+            .unionByName(v).unionByName(nb).unionByName(f)
+            .unionByName(rc))
 
 
 @q("st_functions_sql", None)
@@ -4561,6 +4608,21 @@ def overview_gauss_rms_q(spark, sf_dir):
         F.col("cs3").alias("r_cs3"),
     )
     return g.join(rm, "image_id")
+
+
+@q("raster_attribute_table", None)
+def raster_attribute_table_q(spark, sf_dir):
+    """GDALRasterAttributeTable surface (gcore/gdal_rat.cpp): per-image
+    default RAT — thematic VALUE (GFU_MinMax) / COUNT (GFU_PixelCount)
+    rows, the GetDefaultRAT + GetHistogram shape — over the png fixtures.
+    Classification through an athematic min/max RAT (GetRowOfValue) is
+    VALUE-gated in the exact_patterns 'rat' mode."""
+    from .fixtures.images import images_df
+    from .operators.rat import default_rat
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 30)).where(
+        F.col("fmt") == "png")
+    return default_rat(imgs).orderBy("image_id", "value")
 
 
 @q("translate_projwin_expand", None)
