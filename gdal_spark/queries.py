@@ -4610,6 +4610,38 @@ def overview_gauss_rms_q(spark, sf_dir):
     return g.join(rm, "image_id")
 
 
+@q("ogr_feature_style", None)
+def ogr_feature_style_q(spark, sf_dir):
+    """OGR feature style surface (ogr/ogrfeaturestyle.cpp + the
+    OGR_STYLE special field): deterministic per-customer style strings —
+    PEN width/color from the key, a quoted LABEL text containing the
+    separators ';,:"' the parser must honor — parsed back through the
+    vectorized style parser; the extracted params are returned as
+    columns.  Low-frequency surface, rows-only; grammar edge cases are
+    pytest-pinned."""
+    from .functions.style import parse_style, style_param
+
+    register_tpch_views(spark, sf_dir)
+    styled = spark.table("customer").select(
+        "c_custkey",
+        F.format_string(
+            'PEN(c:#%06X,w:%dpx);BRUSH(fc:#00FF00);'
+            'LABEL(f:"Arial, Bold",t:"c;%d:\\"x\\"",s:12pt,bo)',
+            F.col("c_custkey") % 0xFFFFFF,
+            F.col("c_custkey") % 9 + 1,
+            F.col("c_custkey"),
+        ).alias("style"),
+    )
+    return styled.select(
+        "c_custkey",
+        F.size(parse_style("style")).alias("n_tools"),
+        style_param("style", "PEN", "w").alias("pen_w"),
+        style_param("style", "PEN", "c").alias("pen_c"),
+        style_param("style", "LABEL", "t").alias("label_t"),
+        style_param("style", "LABEL", "bo").alias("label_bold"),
+    ).orderBy("c_custkey").limit(200)
+
+
 @q("raster_attribute_table", None)
 def raster_attribute_table_q(spark, sf_dir):
     """GDALRasterAttributeTable surface (gcore/gdal_rat.cpp): per-image

@@ -26,12 +26,17 @@ from .geoviews import register_tpch_views
 from .ogr_compat import register_st_functions
 
 
-def with_special_fields(df: DataFrame, geom_col: str | None = "wkb") -> DataFrame:
-    """Attach OGR special fields: FID (64-bit feature id) and, when a
-    geometry column exists, OGR_GEOM_AREA."""
+def with_special_fields(df: DataFrame, geom_col: str | None = "wkb",
+                        style_col: str | None = "style") -> DataFrame:
+    """Attach OGR special fields: FID (64-bit feature id), OGR_GEOM_AREA
+    when a geometry column exists, and OGR_STYLE (ogrfeaturestyle.cpp;
+    ogr/ogrfeaturequery.cpp special-field list) when a style column
+    exists."""
     out = df.withColumn("FID", F.monotonically_increasing_id())
     if geom_col and geom_col in df.columns:
         out = out.withColumn("OGR_GEOM_AREA", F.expr(f"ST_Area({geom_col})"))
+    if style_col and style_col in df.columns:
+        out = out.withColumn("OGR_STYLE", F.col(style_col))
     return out
 
 
