@@ -185,6 +185,34 @@ def main():
           p.count("MapInPandas") == base_py + 1,
           f"{p.count('MapInPandas')} vs source {base_py}")
 
+    # --- round 5: FlatGeobuf feature encode is map-only --------------------
+    from gdal_spark.operators.rasterops import footprint
+
+    feats = footprint(images_df(spark, 16), threshold=0).select(
+        "image_id", "wkb", "n_valid")
+    base_py = plan_of(feats).count("MapInPandas")
+    import pandas as _pd
+
+    from gdal_spark.io.flatgeobuf import encode_feature
+
+    def _enc(batches):
+        for pdf in batches:
+            recs = [encode_feature(bytes(w), [(0, 11, i)])[0]
+                    for i, w in zip(pdf["image_id"], pdf["wkb"])]
+            yield _pd.DataFrame({"rec": recs})
+
+    p = plan_of(feats.mapInPandas(_enc, schema="rec binary"))
+    check("flatgeobuf feature encode is map-only (sort is the only shuffle)",
+          "Exchange" not in p and p.count("MapInPandas") == base_py + 1,
+          f"{p.count('Exchange')} Exchange, {p.count('MapInPandas')} Python")
+
+    # --- round 5: the ANN-gated similarity_topk still plans TakeOrdered ----
+    from gdal_spark.queries import QUERIES
+
+    p = plan_of(QUERIES["similarity_topk"][0](spark, sf))
+    check("similarity_topk gate plans TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p)
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
