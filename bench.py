@@ -149,7 +149,9 @@ def main():
     # carried three steal-suspected per-query regressions that best-of-2 was
     # too thin to refute; re-pinned from here on)
     result["protocol"] = {"e2e_n": 5, "pyramid_n": 2, "query_n": 5,
-                          "scaling_n": 5, "estimator": "min"}
+                          "scaling_n": 5, "estimator": "min",
+                          "similarity_topk": "exact operator (the registry "
+                          "slot became a multi-mode ANN gate in round 5)"}
     result["e2e_samples"] = [round(t, 3) for t, _ in runs]
     result["pyramid_sec"] = round(
         min(run_pyramid(spark, images_path) for _ in range(2)), 3
@@ -159,9 +161,32 @@ def main():
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    # similarity_topk: time the exact cosine top-k OPERATOR — the same
+    # workload rounds 1-4 timed.  The registry slot of the same name
+    # became a multi-mode correctness suite in round 5 (it additionally
+    # runs the LSH/IVF/PQ verification passes); timing the suite would
+    # break the time series without measuring the operator any harder.
+    def _exact_topk(spark_, sf_dir):
+        import numpy as _np
+        from pyspark.sql import functions as _F
+
+        from gdal_spark.operators.similarity import cosine_topk
+        from gdal_spark.sql.geoviews import register_tpch_views
+
+        register_tpch_views(spark_, sf_dir)
+        qv = _np.asarray(
+            spark_.table("embeddings").where(_F.col("vec_id") == 3)
+            .first()["embedding"], dtype=_np.float64)
+        emb = spark_.table("embeddings").select(
+            "vec_id",
+            _F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .alias("embedding"))
+        return cosine_topk(emb, qv, k=10)
+
     qtimes = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
+        fn = _exact_topk if name == "similarity_topk" else qs[name]
         # best of 5: single-shot numbers swing up to 8x under host steal
         # (one recorded image_decode_stats went 2.6s -> 20.8s on identical
         # code); extra runs also strip Python-worker startup
