@@ -685,7 +685,8 @@ sc AS (
          (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
            / CAST(greatest(length(text), 1) AS DOUBLE) AS pr
   FROM toks
-)
+),
+lq AS (
 SELECT doc_id,
        CASE WHEN cjk > 0 THEN 'zh'
             WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
@@ -698,21 +699,145 @@ SELECT doc_id,
              + CASE WHEN mtl >= 3 AND mtl <= 12 THEN 0.4 ELSE 0.0 END
              + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END, 4) AS quality
 FROM sc
+),
+-- C4 cleaning replay (Raffel et al. 2020 §2.2), round-5 fold: the
+-- sentence-ified corpus (period every 8th word, matching the Spark side),
+-- line keep rules, page rules, and the corpus-wide 3-sentence-span dedup.
+-- Spark's (?<=[.!?])\s+ sentence split is lookbehind (RE2 lacks it): the
+-- replace-then-split below inserts chr(1) after terminal punctuation and
+-- splits on it, consuming the same whitespace.  Spark groups spans by
+-- xxhash64 of the normalized span; the replay groups by the normalized
+-- span STRING itself (identical semantics absent a 64-bit collision).
+c4doc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           CASE WHEN trim(text) = '' THEN []
+                ELSE string_split_regex(trim(text), '\s+') END,
+           (x, i) -> CASE WHEN i % 8 = 0 THEN x || '.' ELSE x END), ' ')
+         || '.' AS s
+  FROM documents
+),
+c4clean AS (
+  SELECT doc_id, kept,
+         array_to_string(kept, chr(10)) AS text_clean,
+         CAST(len(kept) AS BIGINT) AS c4_kept_lines
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             list_filter(string_split(s, chr(10)), x -> trim(x) <> ''),
+             x -> regexp_matches(rtrim(x), '[.!?"]$')
+                  AND len(string_split_regex(trim(x), '\s+')) >= 5
+                  AND NOT contains(lower(x), 'javascript')) AS kept
+    FROM c4doc)
+),
+c4page AS (
+  SELECT doc_id, text_clean, c4_kept_lines, sent,
+         CAST(len(sent) AS BIGINT) AS c4_sentences,
+         CASE WHEN len(sent) >= 3
+                   AND NOT contains(lower(text_clean), 'lorem ipsum')
+                   AND NOT contains(text_clean, '{{')
+              THEN 1 ELSE 0 END AS c4_page_ok
+  FROM (
+    SELECT doc_id, text_clean, c4_kept_lines,
+           list_filter(
+             string_split(regexp_replace(text_clean, '([.!?])\s+',
+                                         '\1' || chr(1), 'g'), chr(1)),
+             x -> trim(x) <> '') AS sent
+    FROM c4clean)
+),
+c4sp AS (
+  SELECT doc_id, sent, unnest(range(1, len(sent) - 1)) AS i
+  FROM c4page WHERE c4_page_ok = 1 AND len(sent) >= 3
+),
+c4spk AS (
+  SELECT doc_id, i - 1 AS pos,
+         lower(regexp_replace(trim(array_to_string(sent[i:i+2], ' ')),
+                              '\s+', ' ', 'g')) AS key
+  FROM c4sp
+),
+c4occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS c
+  FROM c4spk
+),
+c4rm AS (
+  SELECT doc_id, list(idx) AS rl, CAST(COUNT(*) AS BIGINT) AS c4_removed
+  FROM (SELECT DISTINCT doc_id, pos + d AS idx
+        FROM c4occ, (SELECT unnest([0, 1, 2]) AS d)
+        WHERE c > 1 AND rn > 1)
+  GROUP BY 1
+),
+c4dd AS (
+  SELECT p.doc_id,
+         CAST(length(array_to_string(
+           list_filter(p.sent, (x, i) -> NOT list_contains(
+             COALESCE(r.rl, CAST([] AS BIGINT[])), i - 1)),
+           ' ')) AS BIGINT) AS c4_chars_dedup,
+         COALESCE(r.c4_removed, 0) AS c4_removed
+  FROM c4page p LEFT JOIN c4rm r USING (doc_id)
+  WHERE p.c4_page_ok = 1
+)
+SELECT lq.doc_id, lq.lang_pred, lq.quality,
+       p.c4_kept_lines, p.c4_sentences, p.c4_page_ok,
+       COALESCE(d.c4_chars_dedup, 0) AS c4_chars_dedup,
+       COALESCE(d.c4_removed, 0) AS c4_removed
+FROM lq
+JOIN c4page p USING (doc_id)
+LEFT JOIN c4dd d USING (doc_id)
 """
 
 
 @q("lang_quality", _LANG_QUALITY_SQL)
 def lang_quality(spark, sf_dir):
-    """Language-ID + quality scoring per document, now VALUE-gated: the
+    """Language-ID + quality scoring per document, VALUE-gated: the
     stopword-vote heuristic (incl. its struct-max tie-break) and the
-    length/punct quality formula are replayed in DuckDB."""
-    from .functions.text import lang_id, quality_score
+    length/punct quality formula are replayed in DuckDB.  Round 5 folds
+    the C4 cleaning pipeline (Raffel et al. 2020 §2.2) into the same
+    gate: line keep rules, page rules, and the corpus-wide three-
+    sentence-span dedup, all replayed as integer counters per document
+    (the VERDICT r4 'candidate for a value-gate fold')."""
+    from .functions.text import c4_line_clean, lang_id, quality_score, tokens
+    from .operators.dedup import c4_span_dedup
 
     register_tpch_views(spark, sf_dir)
-    return spark.table("documents").select(
+    docs = spark.table("documents")
+    # sentence-ify deterministically (period every 8th word) — same
+    # transform as the c4_clean query: the corpus has no punctuation
+    sent_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.transform(
+                    tokens("text"),
+                    lambda x, i: F.when(i % 8 == 7, F.concat(x, F.lit(".")))
+                    .otherwise(x)),
+                " "),
+            F.lit("."),
+        ).alias("text"),
+    )
+    lc = c4_line_clean("text")
+    cleaned = sent_docs.select("doc_id", *[v.alias(k) for k, v in lc.items()])
+    dd = c4_span_dedup(cleaned.where(F.col("page_ok") == 1),
+                       text_col="text_clean")
+    c4 = (
+        cleaned.select(
+            "doc_id",
+            F.col("n_kept_lines").alias("c4_kept_lines"),
+            F.col("n_sentences").alias("c4_sentences"),
+            F.col("page_ok").alias("c4_page_ok"))
+        .join(dd.select(
+            "doc_id",
+            F.length("text_dedup").cast("long").alias("c4_chars_dedup"),
+            F.col("n_removed_sentences").cast("long").alias("c4_removed")),
+            "doc_id", "left")
+        .fillna({"c4_chars_dedup": 0, "c4_removed": 0})
+    )
+    base = spark.table("documents").select(
         "doc_id", lang_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
     )
+    return base.join(c4, "doc_id")
 
 
 @q("minhash_lsh_pairs", None)
