@@ -514,29 +514,141 @@ def sessionize_batch_q(spark, sf_dir):
 # Training-data ops: dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
 
-@q(
-    "exact_dedup_docs",
-    """
-SELECT md5(lower(trim(text))) AS fp_md5,
-       MIN(doc_id) AS keep_id,
-       COUNT(*) - 1 AS n_dups
-FROM documents
-GROUP BY 1
-""",
+# exact_dedup_docs became a multi-mode corpus-ops value gate in round 5:
+#   exact  — md5 exact-dedup groups (the original slot)
+#   vocab  — top-20 corpus vocabulary rows by (tf desc, token)
+#   bm25   — Okapi BM25 top-15 for a fixed query (micro-unit scores)
+#   contam — 13-gram train/eval decontamination counts (eval = doc_id%7=0)
+# Unified schema (mode, key, a, b); every mode replayed in DuckDB.  The
+# contamination oracle joins on the raw 13-gram strings where the Spark
+# operator joins on their 63-bit rolling hashes — identical semantics
+# absent a hash collision; gram keys are byte-grams of the UTF-8 text
+# (equal to char-grams on this ASCII corpus).
+_DEDUP_SUITE_SQL = r"""
+WITH ex AS (
+  SELECT 'exact' AS mode, md5(lower(trim(text))) AS key,
+         CAST(MIN(doc_id) AS BIGINT) AS a,
+         CAST(COUNT(*) - 1 AS BIGINT) AS b
+  FROM documents GROUP BY 2
+),
+voc AS (
+  SELECT 'vocab' AS mode, key, a, b FROM (
+    SELECT lower(token) AS key,
+           CAST(COUNT(*) AS BIGINT) AS a,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS b
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                 AS token
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY 1 ORDER BY a DESC, key LIMIT 20)
+),
+b25 AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM b25),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM b25)
+  WHERE token IN ('spark', 'merge', 'window')
+  GROUP BY 1, 2
+),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+bmraw AS (
+  SELECT tf.doc_id AS did,
+         ROUND(SUM(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))),
+               9) AS s9,
+         COUNT(*) AS nh
+  FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+bm AS (
+  SELECT 'bm25' AS mode, CAST(did AS VARCHAR) AS key,
+         CAST(ROUND(s9 * 1000000.0) AS BIGINT) AS a,
+         CAST(nh AS BIGINT) AS b
+  FROM bmraw ORDER BY s9 DESC, did LIMIT 15
+),
+cn AS (
+  SELECT doc_id,
+         lower(array_to_string(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           ' ')) AS norm
+  FROM documents
+),
+cg AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+              WHEN length(norm) < 13
+                THEN [norm || repeat(' ', 13 - length(norm))]
+              ELSE list_distinct(list_transform(
+                     range(1, length(norm) - 11),
+                     i -> substring(norm, CAST(i AS BIGINT), 13)))
+         END AS grams
+  FROM cn
+),
+evg AS (SELECT doc_id, unnest(grams) AS g FROM cg WHERE doc_id % 7 = 0),
+cog AS (SELECT DISTINCT g FROM
+        (SELECT unnest(grams) AS g FROM cg WHERE doc_id % 7 <> 0)),
+hits AS (SELECT e.doc_id, COUNT(*) AS n_hits
+         FROM evg e JOIN cog USING (g) GROUP BY 1),
+ct AS (
+  SELECT 'contam' AS mode, CAST(doc_id AS VARCHAR) AS key,
+         CAST(len(grams) AS BIGINT) AS a,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS b
+  FROM cg LEFT JOIN hits h USING (doc_id)
+  WHERE doc_id % 7 = 0
 )
+SELECT * FROM ex
+UNION ALL SELECT * FROM voc
+UNION ALL SELECT * FROM bm
+UNION ALL SELECT * FROM ct
+"""
+
+
+@q("exact_dedup_docs", _DEDUP_SUITE_SQL)
 def exact_dedup_docs(spark, sf_dir):
-    """Exact dedup groups on normalized text (md5 so DuckDB can oracle it;
-    production path uses the cheaper xxhash64 fingerprint)."""
+    """Corpus-ops value-gate suite (round-5 multi-mode fold): exact dedup
+    groups on normalized text (md5 so DuckDB can oracle it; production
+    path uses the cheaper xxhash64 fingerprint), top-20 vocabulary stats,
+    Okapi BM25 top-15 retrieval (micro-unit BIGINT scores), and 13-gram
+    train/eval decontamination counts over a deterministic doc_id%7
+    split.  One slot grades four formerly rows-only LLM-pipeline
+    operators."""
+    from .functions.text import bm25_search, vocab_stats
+    from .operators.dedup import ngram_contamination
+
     register_tpch_views(spark, sf_dir)
-    return spark.sql(
+    exact = spark.sql(
         """
-SELECT md5(lower(trim(text))) AS fp_md5,
-       MIN(doc_id) AS keep_id,
-       COUNT(*) - 1 AS n_dups
+SELECT 'exact' AS mode, md5(lower(trim(text))) AS key,
+       CAST(MIN(doc_id) AS BIGINT) AS a,
+       CAST(COUNT(*) - 1 AS BIGINT) AS b
 FROM documents
-GROUP BY 1
+GROUP BY 2
 """
     )
+    docs = spark.table("documents")
+    voc = vocab_stats(docs, top_k=20).select(
+        F.lit("vocab").alias("mode"), F.col("token").alias("key"),
+        F.col("tf").cast("long").alias("a"),
+        F.col("df").cast("long").alias("b"))
+    bm = bm25_search(docs, ["spark", "merge", "window"], top_k=15).select(
+        F.lit("bm25").alias("mode"), F.col("doc_id").cast("string").alias("key"),
+        F.round(F.col("score") * 1000000.0).cast("long").alias("a"),
+        F.col("n_terms_hit").cast("long").alias("b"))
+    ct = ngram_contamination(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0), shingle_n=13).select(
+        F.lit("contam").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_grams").cast("long").alias("a"),
+        F.col("n_hits").cast("long").alias("b"))
+    return exact.unionAll(voc).unionAll(bm).unionAll(ct)
 
 
 # text_metrics: token counts + the full Gopher (arXiv:2112.11446 §A1.1)
