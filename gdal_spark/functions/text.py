@@ -277,30 +277,55 @@ def gopher_dup_ngram_fracs(col, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
     def _udf(s: pd.Series) -> pd.Series:
         out = []
         for text in s:
-            words = str(text).split() if text is not None else []
-            if not words:
+            counts, total = _dup_ngram_counts(text, ns)
+            if total == 0:
                 out.append([0] * len(ns))
-                continue
-            # char offsets of each word in the space-joined stream
-            lens = np.fromiter((len(w) for w in words), dtype=np.int64)
-            ends = np.cumsum(lens + 1)  # word i spans [ends[i]-lens[i]-1, ends[i]-1)
-            starts = ends - lens - 1
-            total = int(ends[-1] - 1)
-            fracs = []
-            for n in ns:
-                if len(words) < n:
-                    fracs.append(0)
-                    continue
-                grams: dict = {}
-                for i in range(len(words) - n + 1):
-                    grams.setdefault(tuple(words[i:i + n]), []).append(i)
-                mask = np.zeros(total, dtype=bool)
-                for pos in grams.values():
-                    if len(pos) > 1:
-                        for i in pos:
-                            mask[starts[i]:ends[i + n - 1] - 1] = True
-                fracs.append(int(round(mask.sum() / total * 1_000_000)))
-            out.append(fracs)
+            else:
+                out.append([int(round(c / total * 1_000_000)) for c in counts])
+        return pd.Series(out)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def _dup_ngram_counts(text, ns: tuple) -> tuple[list, int]:
+    """Shared kernel: per-n covered-char counts + stream length for one doc
+    (the position-exact mask union over duplicated word n-grams)."""
+    words = str(text).split() if text is not None else []
+    if not words:
+        return [0] * len(ns), 0
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64)
+    ends = np.cumsum(lens + 1)  # word i spans [ends[i]-lens[i]-1, ends[i]-1)
+    starts = ends - lens - 1
+    total = int(ends[-1] - 1)
+    counts = []
+    for n in ns:
+        if len(words) < n:
+            counts.append(0)
+            continue
+        grams: dict = {}
+        for i in range(len(words) - n + 1):
+            grams.setdefault(tuple(words[i:i + n]), []).append(i)
+        mask = np.zeros(total, dtype=bool)
+        for pos in grams.values():
+            if len(pos) > 1:
+                for i in pos:
+                    mask[starts[i]:ends[i + n - 1] - 1] = True
+        counts.append(int(mask.sum()))
+    return counts, total
+
+
+def gopher_dup_ngram_counts(col, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
+    """Integer form of :func:`gopher_dup_ngram_fracs` for exact value
+    gates: returns ``[covered_chars(n) for n in ns] + [stream_chars]`` as
+    longs — no rounding anywhere, so a SQL oracle can replay it exactly
+    (the fraction is covered/stream, derived trivially downstream)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            counts, total = _dup_ngram_counts(text, ns)
+            out.append([int(c) for c in counts] + [total])
         return pd.Series(out)
 
     return _udf(F.col(col) if isinstance(col, str) else col)

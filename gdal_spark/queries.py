@@ -708,6 +708,81 @@ top AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY c DESC, bigram DESC) AS rn
   FROM cnt
+),
+-- Gopher duplicate word-n-gram covered-char counts (n = 5..10),
+-- position-exact (round-5 fold): duplicated n-grams mark the char
+-- interval [start(word i), start + length(gram)) in the space-joined
+-- word stream; per-doc coverage = interval-union length via an
+-- ordered sweep (running max of interval ends).  Pure integers — no
+-- rounding anywhere, so the replay is exact.  The probe stream appends
+-- each doc's first 12 words (the synthetic corpus has no natural
+-- intra-doc n-gram repetition, so the union logic would gate trivially
+-- at zero otherwise); the Spark side applies the same transform.
+gprobe AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           text || ' ' || array_to_string(w[1:12], ' ')
+                || ' ' || array_to_string(w[1:6], ' '), '\s+'),
+           x -> x <> '') AS pw
+  FROM base
+),
+gtot AS (
+  SELECT doc_id, pw AS words, len(pw) AS nw,
+         CASE WHEN len(pw) = 0 THEN 0
+              ELSE CAST(list_sum(list_transform(pw, x -> length(x)))
+                        + len(pw) - 1 AS BIGINT) END AS stream_chars
+  FROM gprobe
+),
+gidx AS (
+  SELECT doc_id, words, nw, unnest(range(1, nw + 1)) AS i
+  FROM gtot WHERE nw > 0
+),
+goff AS (
+  SELECT doc_id, i, words, nw,
+         CAST(COALESCE(SUM(length(words[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_i
+  FROM gidx
+),
+ggram AS (
+  SELECT o.doc_id, gn.n, o.start_i,
+         array_to_string(o.words[o.i : o.i + gn.n - 1], ' ') AS gram
+  FROM goff o CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) gn
+  WHERE o.i + gn.n - 1 <= o.nw
+),
+gdup AS (
+  SELECT doc_id, n, gram FROM ggram GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+),
+gsweep AS (
+  SELECT g.doc_id, g.n, g.start_i AS s,
+         g.start_i + length(g.gram) AS e,
+         MAX(g.start_i + length(g.gram)) OVER (
+           PARTITION BY g.doc_id, g.n ORDER BY g.start_i,
+           g.start_i + length(g.gram)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM ggram g JOIN gdup USING (doc_id, n, gram)
+),
+gcov AS (
+  SELECT doc_id, n,
+         SUM(greatest(e - greatest(s, COALESCE(pmax, 0)), 0)) AS covered
+  FROM gsweep GROUP BY 1, 2
+),
+gfin AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN n = 5 THEN covered END), 0) AS BIGINT)
+           AS dup5_chars,
+         CAST(COALESCE(MAX(CASE WHEN n = 6 THEN covered END), 0) AS BIGINT)
+           AS dup6_chars,
+         CAST(COALESCE(MAX(CASE WHEN n = 7 THEN covered END), 0) AS BIGINT)
+           AS dup7_chars,
+         CAST(COALESCE(MAX(CASE WHEN n = 8 THEN covered END), 0) AS BIGINT)
+           AS dup8_chars,
+         CAST(COALESCE(MAX(CASE WHEN n = 9 THEN covered END), 0) AS BIGINT)
+           AS dup9_chars,
+         CAST(COALESCE(MAX(CASE WHEN n = 10 THEN covered END), 0) AS BIGINT)
+           AS dup10_chars
+  FROM gcov GROUP BY 1
 )
 SELECT m.doc_id, m.n_chars2, m.n_tokens, m.n_spaces, m.n_lines,
        m.dup_line_frac_u, m.dup_line_char_frac_u, m.bullet_line_frac_u,
@@ -728,8 +803,18 @@ SELECT m.doc_id, m.n_chars2, m.n_tokens, m.n_spaces, m.n_lines,
                   AND CAST(COALESCE(ROUND(top.c * (length(top.bigram) - 1)
                         / greatest(m.word_chars, 1) * 1000000.0), 0) AS BIGINT)
                       <= 200000
-            THEN 1 ELSE 0 END AS INT) AS gopher_keep
-FROM m LEFT JOIN top ON m.doc_id = top.tdoc AND top.rn = 1
+            THEN 1 ELSE 0 END AS INT) AS gopher_keep,
+       gt.stream_chars,
+       COALESCE(gf.dup5_chars, 0) AS dup5_chars,
+       COALESCE(gf.dup6_chars, 0) AS dup6_chars,
+       COALESCE(gf.dup7_chars, 0) AS dup7_chars,
+       COALESCE(gf.dup8_chars, 0) AS dup8_chars,
+       COALESCE(gf.dup9_chars, 0) AS dup9_chars,
+       COALESCE(gf.dup10_chars, 0) AS dup10_chars
+FROM m
+LEFT JOIN top ON m.doc_id = top.tdoc AND top.rn = 1
+JOIN gtot gt USING (doc_id)
+LEFT JOIN gfin gf USING (doc_id)
 """
 
 
@@ -742,11 +827,22 @@ def text_metrics(spark, sf_dir):
     JVM column math; the top-2-gram adds one partial-aggregated shuffle.
     Every ratio is a micro-unit BIGINT replayed exactly in DuckDB."""
     from .functions.text import (
-        gopher_keep, gopher_metrics, token_count, top_bigram_frac)
+        gopher_dup_ngram_counts, gopher_keep, gopher_metrics, token_count,
+        top_bigram_frac)
 
     register_tpch_views(spark, sf_dir)
     docs = spark.table("documents")
+    from .functions.text import tokens as _tokens
+
     gm = gopher_metrics("text")
+    # repetition probe: append the doc's first 12 words so the corpus
+    # (which has no natural intra-doc repetition) exercises the
+    # position-exact dup-n-gram union — mirrored in the DuckDB oracle
+    probe = F.concat_ws(
+        " ", F.col("text"),
+        F.array_join(F.slice(_tokens("text"), 1, 12), " "),
+        F.array_join(F.slice(_tokens("text"), 1, 6), " "))
+    dnc = gopher_dup_ngram_counts(probe)
     metrics = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars2"),
@@ -754,13 +850,18 @@ def text_metrics(spark, sf_dir):
         (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
         .cast("long").alias("n_spaces"),
         *[v.alias(k) for k, v in gm.items()],
+        dnc.alias("_dnc"),
     )
     tb = top_bigram_frac(docs)
-    return (
+    out = (
         metrics.join(tb, "doc_id", "left")
         .fillna({"top_bigram_frac_u": 0})
         .withColumn("gopher_keep", gopher_keep(F.col("n_tokens")))
+        .withColumn("stream_chars", F.col("_dnc")[6])
     )
+    for i, n in enumerate((5, 6, 7, 8, 9, 10)):
+        out = out.withColumn(f"dup{n}_chars", F.col("_dnc")[i])
+    return out.drop("_dnc")
 
 
 # lang_id / quality_score re-derived in DuckDB: stopword-intersection
