@@ -3512,6 +3512,34 @@ def overview_average_checksum_q(spark, sf_dir):
 # coords, 4-corner weights) is IEEE-exact double math both engines execute
 # identically; ROUND(.,4) pairs np.round with DuckDB ROUND like the
 # decode_stats gate.
+def _cubic_ps_exprs() -> tuple[str, str]:
+    """Generated 16-term GWKCubic (Catmull-Rom a=-0.5) value/weight-sum
+    SQL, term order and operator associativity matching the numpy
+    accumulation in sample_at_points exactly (di outer, dj inner,
+    left-assoc adds; glibc pow on both engines)."""
+    def W(d):
+        ax = f"abs({d})"
+        return (f"(CASE WHEN {ax} <= 1.0 THEN 1.5*power({ax},3)"
+                f" - 2.5*power({ax},2) + 1.0"
+                f" WHEN {ax} < 2.0 THEN -0.5*power({ax},3)"
+                f" + 2.5*power({ax},2) - 4.0*{ax} + 2.0"
+                f" ELSE 0.0 END)")
+
+    vals, ws = [], []
+    for di in (-1, 0, 1, 2):
+        wy = W(f"gy - (y0 + ({di}))")
+        yi = f"least(greatest(y0 + ({di}), 0), h - 1)"
+        for dj in (-1, 0, 1, 2):
+            wx = W(f"gx - (x0 + ({dj}))")
+            xi = f"least(greatest(x0 + ({dj}), 0), w - 1)"
+            pix = f"CAST(({xi} + {yi} * w) % 256 AS DOUBLE)"
+            vals.append(f"{wy} * {wx} * {pix}")
+            ws.append(f"{wy} * {wx}")
+    return "\n    + ".join(vals), "\n    + ".join(ws)
+
+
+_CUBIC_VAL_SQL, _CUBIC_WSUM_SQL = _cubic_ps_exprs()
+
 _PS_SQL = f"""
 WITH idx AS (
   SELECT CAST(a AS BIGINT) AS i
@@ -3570,23 +3598,35 @@ corners AS (
     gy - CAST(floor(gy) AS BIGINT) AS wy
   FROM gxy
 )
-SELECT printf('img%08d', i) AS image_id, i AS point_id,
+SELECT 'bilinear' AS mode, printf('img%08d', i) AS image_id,
+  i AS point_id,
   ROUND(
     CAST((x0 + y0 * w) % 256 AS DOUBLE) * (1 - wx) * (1 - wy)
     + CAST((x1 + y0 * w) % 256 AS DOUBLE) * wx * (1 - wy)
     + CAST((x0 + y1 * w) % 256 AS DOUBLE) * (1 - wx) * wy
     + CAST((x1 + y1 * w) % 256 AS DOUBLE) * wx * wy, 4) AS value
 FROM corners
+UNION ALL
+SELECT 'cubic', printf('img%08d', i), i,
+  ROUND(({_CUBIC_VAL_SQL})
+        / (CASE WHEN ({_CUBIC_WSUM_SQL}) = 0 THEN 1
+                ELSE ({_CUBIC_WSUM_SQL}) END), 4)
+FROM (SELECT i, w, h, gx, gy,
+             CAST(floor(gx) AS BIGINT) AS x0,
+             CAST(floor(gy) AS BIGINT) AS y0
+      FROM gxy)
 """
 
 
 @q("point_sample_bilinear", _PS_SQL)
 def point_sample_bilinear_q(spark, sf_dir):
-    """InterpolateAtPoint (gcore/gdalrasterband.cpp:11497) VALUE-gated:
-    the real sample_at_points bilinear kernel at one deterministic
-    golden-ratio probe point per PNG image, DuckDB replaying the mercator
-    forward, the fractional pixel coordinates, and the 4-corner bilinear
-    combination on the closed-form pixel lattice."""
+    """InterpolateAtPoint (gcore/gdalrasterband.cpp:11497) VALUE-gated in
+    both kernels (round-5 fold): the real sample_at_points bilinear AND
+    cubic (GWKCubic Catmull-Rom a=-0.5, alg/gdal_interpolateatpoint.cpp:415)
+    paths at one deterministic golden-ratio probe point per PNG image,
+    DuckDB replaying the mercator forward, the fractional pixel
+    coordinates, and the 4-corner / 16-term border-clipped kernel sums on
+    the closed-form pixel lattice in the exact numpy accumulation order."""
     from .fixtures.images import images_df, row_meta
     from .operators.rasterops import sample_at_points
     from .oracle import mercator as M
@@ -3614,7 +3654,13 @@ def point_sample_bilinear_q(spark, sf_dir):
         "point_id": i,
         "plon": plon, "plat": plat,
     }))
-    return sample_at_points(imgs, pts, "bilinear")
+    cols = ["image_id", "point_id", "value"]
+    return (
+        sample_at_points(imgs, pts, "bilinear")
+        .select(F.lit("bilinear").alias("mode"), *cols)
+        .unionByName(
+            sample_at_points(imgs, pts, "cubic")
+            .select(F.lit("cubic").alias("mode"), *cols)))
 
 
 @q("band_calc_normdiff", None)
