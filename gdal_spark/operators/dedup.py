@@ -225,8 +225,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over token xxhash64s (sign-sum per bit, numpy)."""
+                       id_col: str = "doc_id",
+                       token_hash=None) -> DataFrame:
+    """64-bit SimHash over token hashes (sign-sum per bit, numpy).
+
+    ``token_hash``: optional per-token Column->Column hash (default
+    xxhash64).  The value gate passes an md5-derived int64 so DuckDB can
+    replay the same hashes; the sign-sum kernel below is shared either
+    way, so the gate exercises the production majority-vote path."""
 
     @F.pandas_udf(LongType())
     def sim_udf(hashes: pd.Series) -> pd.Series:
@@ -257,9 +263,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         return pd.Series(out.view(np.int64))
 
     toks = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    hfn = token_hash if token_hash is not None else F.xxhash64
     return df.select(
         F.col(id_col),
-        sim_udf(F.transform(toks, lambda t: F.xxhash64(t))).alias("simhash"),
+        sim_udf(F.transform(toks, lambda t: hfn(t))).alias("simhash"),
     )
 
 

@@ -4448,24 +4448,57 @@ def _phash_case(xor_fn) -> str:
     )
 
 
+# SimHash signature replay: 64 majority-vote bits over md5-derived token
+# hashes (the gate's pluggable hash — xxhash64 has no DuckDB equivalent;
+# the production numpy sign-sum kernel is shared).  Generated per-bit agg.
+_SIMSIG_BITS_SQL = "\n    + ".join(
+    f"CASE WHEN 2 * SUM(CAST((u >> {b}) & 1 AS BIGINT)) > COUNT(*)"
+    f" THEN CAST('{1 << b}' AS UBIGINT) ELSE CAST('0' AS UBIGINT) END"
+    for b in range(64))
+
 _PHASH_PAIRS_SQL = f"""
 WITH h AS (
   SELECT pid, {_phash_case('xor')} AS ph
   FROM (SELECT c_custkey AS pid FROM customer)
+),
+st AS (
+  SELECT doc_id,
+         unnest(string_split(
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+sb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         {_SIMSIG_BITS_SQL} AS usig
+  FROM (SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS u
+        FROM st)
+  GROUP BY 1
 )
-SELECT a.pid AS id_a, b.pid AS id_b,
-       bit_count(xor(a.ph, b.ph)) AS hamming
+SELECT 'phash' AS mode, a.pid AS id_a, b.pid AS id_b,
+       bit_count(xor(a.ph, b.ph)) AS v
 FROM h a JOIN h b ON a.pid < b.pid
 WHERE bit_count(xor(a.ph, b.ph)) <= 3
+UNION ALL
+SELECT 'simsig', doc_id,
+       CAST(CAST(usig AS HUGEINT)
+            - CASE WHEN usig >= CAST('9223372036854775808' AS UBIGINT)
+                   THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE 0 END AS BIGINT),
+       n_toks
+FROM sb
 """
 
 
 @q("phash_hamming_pairs", _PHASH_PAIRS_SQL)
 def phash_hamming_pairs(spark, sf_dir):
-    """Perceptual-hash near-duplicate pairs: banded Hamming LSH over an
-    int64 hash column (the image-dedup path for the input_hint ``phash``);
-    oracle = exhaustive DuckDB cross join with bit_count(xor)."""
-    from .operators.dedup import hamming_near_pairs
+    """Hash-dedup value-gate suite: banded Hamming LSH near-dup pairs
+    over an int64 hash column (the image-dedup path for the input_hint
+    ``phash``; oracle = exhaustive DuckDB cross join with
+    bit_count(xor)), plus — round-5 fold — the production SimHash
+    sign-sum signature kernel over md5-derived token hashes (mode
+    'simsig': DuckDB replays all 64 majority-vote bits)."""
+    from .operators.dedup import hamming_near_pairs, simhash_signatures
 
     register_tpch_views(spark, sf_dir)
     # Spark spells xor as the ^ operator; same integer math as the oracle
@@ -4477,9 +4510,30 @@ def phash_hamming_pairs(spark, sf_dir):
         "ELSE (((pid * 2654435761) % 4611686018427387904) ^ "
         "(((pid + 777) * 40503) % 4611686018427387904)) END AS ph FROM k"
     )
-    return hamming_near_pairs(h, "ph", "pid", max_hamming=3).select(
-        "id_a", "id_b", "hamming"
-    )
+    pairs = hamming_near_pairs(h, "ph", "pid", max_hamming=3).select(
+        F.lit("phash").alias("mode"), "id_a", "id_b",
+        F.col("hamming").cast("long").alias("v"))
+
+    def md5_hash(t):
+        ud = F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast(
+            "decimal(20,0)")
+        return F.when(
+            ud > F.lit("9223372036854775807").cast("decimal(20,0)"),
+            (ud - F.lit("18446744073709551616").cast("decimal(21,0)"))
+            .cast("long")).otherwise(ud.cast("long"))
+
+    docs = spark.table("documents")
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    sigs = simhash_signatures(docs, token_hash=md5_hash).select(
+        F.lit("simsig").alias("mode"), F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("id_b"),
+        F.lit(None).cast("long").alias("v"))
+    nt = docs.select(
+        F.col("doc_id").alias("id_a"), F.size(toks).cast("long").alias("nt"))
+    sigs = (sigs.join(nt, "id_a")
+            .select("mode", "id_a", "id_b", F.col("nt").alias("v")))
+    return pairs.unionByName(sigs)
 
 
 _EXEC_SQL_TEXT = """
