@@ -2293,6 +2293,57 @@ def dem_hillshade_q(spark, sf_dir):
 # the closed-form pixels, the transcendental shade chain (atan/sqrt/
 # sin/cos/atan2) runs in the same libm on both sides, and the uint8
 # quantize + checksum are integer-exact.
+# gdaldem color-relief replay (apps/gdaldem_lib.cpp GDALColorReliefProcess),
+# round-5 fold into the hillshade slot: the fixed 5-entry ramp of
+# dem_metrics, all three color-selection modes, uint8 = clip(floor(v+0.5))
+# in numpy's clip-after-round order.  Validated exhaustively over every
+# e in 0..255 against the numpy kernel before wiring.
+_RELIEF_E = (0.0, 64.0, 128.0, 192.0, 255.0)
+_RELIEF_RGB = ((0.0, 0.0, 128.0), (0.0, 128.0, 255.0), (0.0, 255.0, 0.0),
+               (255.0, 255.0, 0.0), (255.0, 255.0, 255.0))
+
+
+def _relief_u8(v: str) -> str:
+    return f"CAST(least(greatest(floor({v} + 0.5), 0.0), 255.0) AS BIGINT)"
+
+
+def _relief_mode_cols() -> str:
+    xs = _RELIEF_E
+    cols = []
+    for b in range(3):
+        ys = [c[b] for c in _RELIEF_RGB]
+        seg = " ".join(
+            f"WHEN e <= {xs[j + 1]!r} THEN ({ys[j + 1]!r} - {ys[j]!r})"
+            f" / ({xs[j + 1]!r} - {xs[j]!r}) * (e - {xs[j]!r}) + {ys[j]!r}"
+            for j in range(4))
+        cols.append(_relief_u8(f"CASE {seg} ELSE {ys[4]!r} END")
+                    + f" AS ri{b}")
+        # nearest entry, first-wins ties (argmin): integer midpoints
+        near = (f"CASE WHEN e <= 32 THEN {ys[0]!r} WHEN e <= 96 THEN {ys[1]!r}"
+                f" WHEN e <= 160 THEN {ys[2]!r} WHEN e <= 223 THEN {ys[3]!r}"
+                f" ELSE {ys[4]!r} END")
+        cols.append(_relief_u8(near) + f" AS rn{b}")
+        ex = ("CASE " + " ".join(
+            f"WHEN e = {x!r} THEN {ys[j]!r}" for j, x in enumerate(xs))
+            + " ELSE 0.0 END")
+        cols.append(_relief_u8(ex) + f" AS re{b}")
+    return ",\n    ".join(cols)
+
+
+def _relief_mode_selects() -> str:
+    out = []
+    for mode, p in (("relief_interp", "ri"), ("relief_nearest", "rn"),
+                    ("relief_exact", "re")):
+        out.append(f"""
+UNION ALL
+SELECT '{mode}', printf('img%08d', i),
+       CAST(SUM({p}0 % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT),
+       CAST(MIN(least({p}0, {p}1, {p}2)) AS DOUBLE),
+       CAST(MAX(greatest({p}0, {p}1, {p}2)) AS DOUBLE)
+FROM relief GROUP BY i""")
+    return "".join(out)
+
+
 def _hillshade_sql() -> str:
     az = float(np.radians(360.0 - 315.0 + 90.0))
     sin_alt = float(np.sin(np.radians(45.0)))
@@ -2345,38 +2396,50 @@ v AS (
     CAST(floor(least(greatest(1.0 + 254.0 * greatest(s, 0.0e0), 1.0),
                255.0)) AS BIGINT) AS hv
   FROM shade
+),
+relief AS (
+  SELECT i, flat, {_relief_mode_cols()}
+  FROM (SELECT i, flat, CAST(flat % 256 AS DOUBLE) AS e FROM px)
 )
-SELECT printf('img%08d', i) AS image_id,
-       CAST(SUM(hv % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT) AS cs1
-FROM v
-GROUP BY i
+SELECT 'hillshade' AS mode, printf('img%08d', i) AS image_id,
+       CAST(SUM(hv % ({_CS_PRIME.format(i='flat')})) % 65536 AS BIGINT)
+         AS cs1,
+       CAST(MIN(hv) AS DOUBLE) AS vmin, CAST(MAX(hv) AS DOUBLE) AS vmax
+FROM v GROUP BY i
+{_relief_mode_selects()}
 """
 
 
 @q("hillshade_checksum", _hillshade_sql())
 def hillshade_checksum_q(spark, sf_dir):
-    """gdaldem hillshade (Horn 3x3, apps/gdaldem_lib.cpp:317-328)
-    VALUE-gated: decode -> Horn gradients -> shade -> uint8 quantize ->
-    checksum, with DuckDB replaying the whole per-pixel chain."""
-    from .codecs.registry import decode as _dec
+    """gdaldem suite VALUE-gated (round-5 fold): Horn hillshade
+    (apps/gdaldem_lib.cpp:317-328 — decode -> gradients -> shade -> uint8
+    quantize -> checksum) plus color-relief in all three color-selection
+    modes (GDALColorReliefProcess: piecewise-linear interpolate,
+    -nearest_color_entry, -exact_color_entry), each via the production
+    dem_metrics operator with DuckDB replaying the whole per-pixel
+    chain (R-band checksum + rgb min/max)."""
     from .fixtures.images import images_df
-    from .oracle import dem as DEM_
-    from .oracle.checksum import checksum
+    from .operators.rasterops import dem_metrics
 
-    def cs(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                if r.fmt != "png" or r.w > 256:
-                    continue
-                a = _dec(r.bytes)[:, :, 0].astype(np.float64)
-                hv = DEM_.hillshade(a, float(r.gsd_m), float(r.gsd_m))
-                out.append(dict(image_id=r.image_id, cs1=checksum(hv)))
-            yield pd.DataFrame(out, columns=["image_id", "cs1"])
-
-    imgs = images_df(spark, min(_images_n(sf_dir), 60))
-    return imgs.select("image_id", "fmt", "w", "bytes", "gsd_m").mapInPandas(
-        cs, schema="image_id string, cs1 long")
+    imgs = images_df(spark, min(_images_n(sf_dir), 60)).where(
+        (F.col("fmt") == "png") & (F.col("w") <= 256))
+    parts = []
+    for mode, kw in (
+            ("hillshade", {}),
+            ("relief_interp",
+             {"operation": "color-relief", "color_mode": "interpolate"}),
+            ("relief_nearest",
+             {"operation": "color-relief", "color_mode": "nearest"}),
+            ("relief_exact",
+             {"operation": "color-relief", "color_mode": "exact"})):
+        parts.append(dem_metrics(imgs, **kw).select(
+            F.lit(mode).alias("mode"), "image_id",
+            F.col("cs").alias("cs1"), "vmin", "vmax"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # Contour interval membership oracle: the operator's band pixel counts
