@@ -55,9 +55,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
-                       shingle_n: int = 5) -> DataFrame:
+                       shingle_n: int = 5,
+                       shingle_hashes_col=None) -> DataFrame:
     """(id, sig: array<long>[num_hashes], shingles) via k universal hashes
-    min-folded over xxhash64 shingle hashes."""
+    min-folded over xxhash64 shingle hashes.
+
+    ``shingle_hashes_col``: optional pre-hashed array<long> Column to
+    min-fold instead of the default rolling xxhash64 shingles — the value
+    gate passes md5-derived shingle hashes so DuckDB can replay the same
+    base hashes; the (a, b) universal-hash params and the numpy min-fold
+    kernel are shared either way."""
     a, b = _minhash_params(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -91,7 +98,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                 sig[valid] = vsig
         return pd.Series(list(sig))
 
-    sh = shingle_hashes(text_col, shingle_n)
+    sh = (shingle_hashes(text_col, shingle_n)
+          if shingle_hashes_col is None else shingle_hashes_col)
     return df.select(F.col(id_col), sh.alias("sh")).select(
         F.col(id_col), "sh", sig_udf(F.col("sh")).alias("sig")
     )

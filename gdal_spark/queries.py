@@ -514,6 +514,29 @@ def sessionize_batch_q(spark, sf_dir):
 # Training-data ops: dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def _md5_int64(t):
+    """int64 view of the first 64 bits of md5 (the value gates' pluggable
+    token/shingle hash — xxhash64 has no DuckDB equivalent; DuckDB replays
+    this as CAST('0x' || substring(md5(x), 1, 16) AS UBIGINT))."""
+    ud = F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast("decimal(20,0)")
+    return F.when(
+        ud > F.lit("9223372036854775807").cast("decimal(20,0)"),
+        (ud - F.lit("18446744073709551616").cast("decimal(21,0)"))
+        .cast("long")).otherwise(ud.cast("long"))
+
+
+def _minhash_params_sql() -> str:
+    """64-row VALUES table of the production universal-hash params
+    (seed-42 _minhash_params constants embedded as HUGEINT literals)."""
+    from .operators.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    rows = ", ".join(
+        f"({i}, CAST('{int(a[i])}' AS HUGEINT), CAST('{int(b[i])}' AS HUGEINT))"
+        for i in range(64))
+    return f"(VALUES {rows}) mh(i, ha, hb)"
+
+
 # exact_dedup_docs became a multi-mode corpus-ops value gate in round 5:
 #   exact  — md5 exact-dedup groups (the original slot)
 #   vocab  — top-20 corpus vocabulary rows by (tf desc, token)
@@ -602,12 +625,40 @@ ct AS (
          CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS b
   FROM cg LEFT JOIN hits h USING (doc_id)
   WHERE doc_id % 7 = 0
+),
+mnorm AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nm
+  FROM documents
+),
+mg AS (
+  SELECT doc_id, nm,
+         unnest(range(1, greatest(length(nm) - 4, 1) + 1)) AS gi
+  FROM mnorm
+),
+mu AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substring(
+           md5(substring(nm, CAST(gi AS BIGINT), 5)), 1, 16) AS UBIGINT) AS u
+  FROM mg
+),
+mv AS (
+  SELECT 'minsig' AS mode, CAST(mu.doc_id AS VARCHAR) AS key,
+         CAST(mh.i AS BIGINT) AS a,
+         MIN(CAST(((mh.ha * CAST(u AS HUGEINT) + mh.hb)
+                   % CAST('18446744073709551616' AS HUGEINT)) // 2
+                  AS BIGINT)) AS b
+  FROM mu CROSS JOIN {MINHASH_PARAMS} GROUP BY 1, 2, 3
 )
 SELECT * FROM ex
 UNION ALL SELECT * FROM voc
 UNION ALL SELECT * FROM bm
 UNION ALL SELECT * FROM ct
+UNION ALL SELECT * FROM mv
 """
+
+_DEDUP_SUITE_SQL = _DEDUP_SUITE_SQL.replace(
+    "{MINHASH_PARAMS}", _minhash_params_sql())
 
 
 @q("exact_dedup_docs", _DEDUP_SUITE_SQL)
@@ -648,7 +699,21 @@ GROUP BY 2
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_grams").cast("long").alias("a"),
         F.col("n_hits").cast("long").alias("b"))
-    return exact.unionAll(voc).unionAll(bm).unionAll(ct)
+    # minsig: the production MinHash min-fold kernel (seed-42 universal
+    # hash params) over md5-derived char-5-gram shingle hashes, one row
+    # per (doc, hash index) — DuckDB replays the full (a*u+b) mod 2^64 >> 1
+    # min chain with the same params as HUGEINT literals
+    from .functions.text import shingles
+    from .operators.dedup import minhash_signatures
+
+    mh = minhash_signatures(
+        docs, shingle_hashes_col=F.transform(
+            shingles("text", 5), _md5_int64)).select(
+        "doc_id", F.posexplode("sig").alias("i", "s")).select(
+        F.lit("minsig").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("i").cast("long").alias("a"), F.col("s").alias("b"))
+    return exact.unionAll(voc).unionAll(bm).unionAll(ct).unionAll(mh)
 
 
 # text_metrics: token counts + the full Gopher (arXiv:2112.11446 §A1.1)
