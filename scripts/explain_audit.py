@@ -213,6 +213,24 @@ def main():
     check("similarity_topk gate plans TakeOrderedAndProject",
           "TakeOrderedAndProject" in p)
 
+    # --- round 5 folds: corpus-suite gates keep their scale shapes ---------
+    p = plan_of(QUERIES["exact_dedup_docs"][0](spark, sf))
+    check("corpus suite (dedup/vocab/bm25/contam/minsig) has no cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p)
+    from gdal_spark.operators.dedup import minhash_signatures
+    from gdal_spark.queries import _md5_int64
+    from gdal_spark.functions.text import shingles
+
+    p = plan_of(minhash_signatures(
+        spark.table("documents"),
+        shingle_hashes_col=F.transform(shingles("text", 5), _md5_int64)))
+    check("minsig signature path is map-only (no Exchange)",
+          "Exchange" not in p, f"{p.count('Exchange')} Exchange nodes")
+    p = plan_of(QUERIES["text_metrics"][0](spark, sf))
+    check("text_metrics incl. dup-ngram probe keeps ONE aggregation shuffle",
+          p.count("Exchange") <= 3,  # top-bigram partial agg + join sides
+          f"{p.count('Exchange')} Exchange nodes")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
