@@ -56,6 +56,18 @@ def _family_udf(family: str):
             prj = epsg_3031()
             x, y = prj.forward(lo, la)
             blo, bla = prj.inverse(x, y)
+        elif family == "albers_conus":
+            from ..oracle.conic import albers_conus
+
+            prj = albers_conus()
+            x, y = prj.forward(lo, la)
+            blo, bla = prj.inverse(x, y)
+        elif family == "sinu_modis":
+            from ..oracle.conic import sinu_modis
+
+            prj = sinu_modis()
+            x, y = prj.forward(lo, la)
+            blo, bla = prj.inverse(x, y)
         else:
             raise ValueError(f"unknown family {family!r}")
         # round-trip error in degrees, reported in micro-degrees

@@ -134,10 +134,111 @@ class PolarStereographic:
         return np.rad2deg(lon), np.rad2deg(lat)
 
 
+def _q(phi):
+    """Snyder 3-12: the equal-area authalic q function."""
+    s = np.sin(phi)
+    return (1.0 - _E2) * (s / (1.0 - _E2 * s * s)
+                          - (1.0 / (2.0 * _E))
+                          * np.log((1.0 - _E * s) / (1.0 + _E * s)))
+
+
+def _phi_from_q(q):
+    """Invert Snyder 3-12 via the 3-16 fixed point (<= 10 rounds to
+    double precision)."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        s = np.sin(phi)
+        d = 1.0 - _E2 * s * s
+        phi_new = phi + (d * d / (2.0 * np.cos(phi))) * (
+            q / (1.0 - _E2) - s / d
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s)))
+        if np.all(np.abs(phi_new - phi) < 1e-14):
+            phi = phi_new
+            break
+        phi = phi_new
+    return phi
+
+
+class AlbersEqualArea:
+    """Albers equal-area conic, 2SP (EPSG method 9822; Snyder PP 1395
+    pp. 98-103, eqs 14-1..14-19) — the standard continental statistics
+    grid family (the EPSG:5070 CONUS shape, here on the WGS84
+    ellipsoid)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+        p1, p2, p0 = np.deg2rad([lat1, lat2, lat0])
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+        m1, m2 = _m(p1), _m(p2)
+        q1, q2, q0 = _q(p1), _q(p2), _q(p0)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = np.sin(p1)
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = _A * np.sqrt(self.C - self.n * q0) / self.n
+
+    def forward(self, lon, lat):
+        lon = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        lat = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        rho = _A * np.sqrt(self.C - self.n * _q(lat)) / self.n
+        th = self.n * (lon - self.lon0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, E, N):
+        x = np.asarray(E, dtype=np.float64) - self.fe
+        y = np.asarray(N, dtype=np.float64) - self.fn
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(x, self.rho0 - y)
+        q = (self.C - (rho * self.n / _A) ** 2) / self.n
+        th = np.arctan2(sgn * x, sgn * (self.rho0 - y))
+        lat = _phi_from_q(q)
+        lon = th / self.n + self.lon0
+        return np.rad2deg(lon), np.rad2deg(lat)
+
+
+class Sinusoidal:
+    """Spherical sinusoidal (Sanson-Flamsteed; Snyder pp. 243-248) on the
+    authalic radius the MODIS land grid uses (R = 6371007.181 m) — the
+    projection of the most widely distributed satellite raster tiling
+    scheme.  Equal-area; forward/inverse are exact closed forms."""
+
+    def __init__(self, lon0: float = 0.0, radius: float = 6371007.181,
+                 fe: float = 0.0, fn: float = 0.0):
+        self.lon0 = np.deg2rad(lon0)
+        self.R = radius
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lon = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        lat = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        return (self.fe + self.R * (lon - self.lon0) * np.cos(lat),
+                self.fn + self.R * lat)
+
+    def inverse(self, E, N):
+        x = np.asarray(E, dtype=np.float64) - self.fe
+        y = np.asarray(N, dtype=np.float64) - self.fn
+        lat = y / self.R
+        lon = self.lon0 + x / (self.R * np.cos(lat))
+        return np.rad2deg(lon), np.rad2deg(lat)
+
+
 # canonical instances for the driver queries / operators
 def epsg_3031() -> PolarStereographic:
     """Antarctic Polar Stereographic."""
     return PolarStereographic(lat_ts=-71.0, lon0=0.0, south=True)
+
+
+def albers_conus() -> AlbersEqualArea:
+    """CONUS Albers (the EPSG:5070 parameter set on WGS84)."""
+    return AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0)
+
+
+def sinu_modis() -> Sinusoidal:
+    """MODIS sinusoidal land grid (SR-ORG:6974 shape)."""
+    return Sinusoidal(lon0=0.0, radius=6371007.181)
 
 
 def epsg_3413() -> PolarStereographic:

@@ -5362,9 +5362,11 @@ def phash_pixel_dedup_q(spark, sf_dir):
 def gdaltransform_points_q(spark, sf_dir):
     """gdaltransform batch point transforms, one tagged suite per CRS
     family: 3857 (JVM column math), UTM zone 31 (Krüger series), LCC
-    Europe 2SP, south polar stereographic. Fixture lon/lats are scaled
-    into each family's valid domain; rt_err_udeg pins forward/inverse
-    self-consistency (micro-degrees, ~0 for all closed forms)."""
+    Europe 2SP, south polar stereographic, CONUS Albers equal-area
+    (EPSG:5070 shape), and the MODIS sinusoidal land grid. Fixture
+    lon/lats are scaled into each family's valid domain; rt_err_udeg pins
+    forward/inverse self-consistency (micro-degrees, ~0 for all closed
+    forms)."""
     from .fixtures.images import images_df
     from .functions.crs import transform_points
 
@@ -5376,6 +5378,9 @@ def gdaltransform_points_q(spark, sf_dir):
         "utm31": (F.col("lon") / 60.0 + 3.0, F.col("lat") * 0.4),
         "lcc_eu": (F.col("lon") / 12.0 + 10.0, F.col("lat") / 8.0 + 48.0),
         "stereo_s": (F.col("lon"), -70.0 + F.col("lat") / 20.0),
+        "albers_conus": (F.col("lon") / 6.0 - 96.0,
+                         F.col("lat") / 6.0 + 38.0),
+        "sinu_modis": (F.col("lon"), F.col("lat") * 0.9),
     }
     parts = []
     for fam, (lo, la) in modes.items():

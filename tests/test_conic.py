@@ -112,3 +112,99 @@ class TestTransformPoints:
         ex, ey = lonlat_to_meters(got["lon"].to_numpy(), got["lat"].to_numpy())
         np.testing.assert_allclose(got["x"], ex, rtol=0, atol=1e-6)
         np.testing.assert_allclose(got["y"], ey, rtol=0, atol=1e-6)
+
+
+class TestAlbersSinusoidal:
+    """Round-5 family additions: Albers equal-area conic + MODIS
+    sinusoidal."""
+
+    def test_albers_round_trip(self):
+        import numpy as np
+
+        from gdal_spark.oracle.conic import albers_conus
+
+        prj = albers_conus()
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-125, -66, 500)
+        lat = rng.uniform(24, 50, 500)
+        x, y = prj.forward(lon, lat)
+        blo, bla = prj.inverse(x, y)
+        assert np.max(np.hypot(blo - lon, bla - lat)) < 1e-9
+
+    def test_albers_is_equal_area(self):
+        """The defining property: the Jacobian of (lon,lat)->(x,y) equals
+        the ellipsoidal area element a^2 cos(phi)(1-e^2)/(1-e^2 sin^2)^2
+        everywhere (finite differences, 0.1 ppm)."""
+        import numpy as np
+
+        from gdal_spark.oracle.conic import _A, _E2, albers_conus
+
+        prj = albers_conus()
+        lon = np.array([-120.0, -96.0, -80.0, -70.0])
+        lat = np.array([30.0, 37.5, 45.0, 48.0])
+        h = 1e-6
+        xE, yE = prj.forward(lon + h, lat)
+        xW, yW = prj.forward(lon - h, lat)
+        xN, yN = prj.forward(lon, lat + h)
+        xS, yS = prj.forward(lon, lat - h)
+        rad = np.pi / 180.0
+        dxdl = (xE - xW) / (2 * h * rad)
+        dydl = (yE - yW) / (2 * h * rad)
+        dxdp = (xN - xS) / (2 * h * rad)
+        dydp = (yN - yS) / (2 * h * rad)
+        jac = np.abs(dxdl * dydp - dydl * dxdp)
+        s = np.sin(np.deg2rad(lat))
+        element = (_A * _A * np.cos(np.deg2rad(lat)) * (1 - _E2)
+                   / (1 - _E2 * s * s) ** 2)
+        np.testing.assert_allclose(jac, element, rtol=1e-7)
+
+    def test_albers_orientation(self):
+        """East of lon0 -> x > 0; north of the origin parallel -> y grows."""
+        from gdal_spark.oracle.conic import albers_conus
+
+        prj = albers_conus()
+        xe, _ = prj.forward(-90.0, 37.0)
+        xw, _ = prj.forward(-102.0, 37.0)
+        assert xe > 0 > xw
+        _, ys = prj.forward(-96.0, 30.0)
+        _, yn = prj.forward(-96.0, 45.0)
+        assert yn > ys
+
+    def test_sinusoidal_closed_forms(self):
+        import numpy as np
+
+        from gdal_spark.oracle.conic import sinu_modis
+
+        prj = sinu_modis()
+        R = 6371007.181
+        x, y = prj.forward(90.0, 0.0)
+        np.testing.assert_allclose(x, R * np.pi / 2, rtol=1e-12)
+        np.testing.assert_allclose(y, 0.0, atol=1e-9)
+        x, y = prj.forward(0.0, 45.0)
+        np.testing.assert_allclose(y, R * np.pi / 4, rtol=1e-12)
+        np.testing.assert_allclose(x, 0.0, atol=1e-9)
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-179, 179, 500)
+        lat = rng.uniform(-85, 85, 500)
+        bx, by = prj.forward(lon, lat)
+        blo, bla = prj.inverse(bx, by)
+        assert np.max(np.hypot(blo - lon, bla - lat)) < 1e-9
+
+    def test_transform_points_families(self, spark):
+        from pyspark.sql import functions as F
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.functions.crs import transform_points
+
+        imgs = images_df(spark, 20).select("image_id", "lon", "lat")
+        dom = {
+            "albers_conus": imgs.select(
+                "image_id", (F.col("lon") / 6 - 96).alias("lon"),
+                (F.col("lat") / 6 + 38).alias("lat")),
+            "sinu_modis": imgs.select(
+                "image_id", "lon", (F.col("lat") * 0.9).alias("lat")),
+        }
+        for fam, src in dom.items():
+            got = transform_points(src, fam).toPandas()
+            assert (got["rt_err_udeg"] < 1e-3).all(), fam
+            assert got["x"].nunique() > 1, fam
