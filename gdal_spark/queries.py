@@ -4898,6 +4898,17 @@ def _conic_sql() -> str:
     lcc_rho = f"{A} * {d(lcc.F)} * pow({t_lat}, {d(lcc.n)})"
     lcc_th = f"{d(lcc.n)} * (radians(lon) - {d(lcc.lon0)})"
     st_rho = f"{A} * {d(st.mc)} * ({t_neg}) / {d(st.tc)}"
+    # round-5: Albers equal-area + MODIS sinusoidal forwards in the same
+    # gate (op order mirrors oracle/conic.py term-for-term so the doubles
+    # are bit-identical before ROUND)
+    ab = CC.albers_conus()
+    sn = CC.sinu_modis()
+    s_ = "sin(radians(lat))"
+    q_lat = (f"{d(1.0 - CC._E2)} * ({s_} / (1 - {d(CC._E2)} * {s_} * {s_})"
+             f" - {d(1.0 / (2.0 * CC._E))}"
+             f" * ln((1 - {e} * {s_}) / (1 + {e} * {s_})))")
+    ab_rho = f"{A} * sqrt({d(ab.C)} - {d(ab.n)} * ({q_lat})) / {d(ab.n)}"
+    ab_th = f"{d(ab.n)} * (radians(lon) - {d(ab.lon0)})"
     return f"""
 WITH {CUSTOMER_POINTS_CTE.strip()},
 pts AS (SELECT pid, lon, lat FROM customer_points WHERE pid <= 120)
@@ -4910,6 +4921,16 @@ UNION ALL
 SELECT pid, 'stereo_3031' AS proj,
        ROUND(({st_rho}) * sin(radians(lon)), 3) AS e3,
        ROUND(({st_rho}) * cos(radians(lon)), 3) AS n3
+FROM pts
+UNION ALL
+SELECT pid, 'albers' AS proj,
+       ROUND(({ab_rho}) * sin({ab_th}), 3) AS e3,
+       ROUND({d(ab.rho0)} - ({ab_rho}) * cos({ab_th}), 3) AS n3
+FROM pts
+UNION ALL
+SELECT pid, 'sinu' AS proj,
+       ROUND({d(sn.R)} * (radians(lon) - 0.0) * cos(radians(lat)), 3) AS e3,
+       ROUND({d(sn.R)} * radians(lat), 3) AS n3
 FROM pts
 """
 
@@ -4924,19 +4945,19 @@ def conic_forward_q(spark, sf_dir):
 
     from .oracle import conic as CC
 
-    lcc = CC.lcc_europe()
-    st = CC.epsg_3031()
+    prjs = {"lcc": CC.lcc_europe(), "stereo_3031": CC.epsg_3031(),
+            "albers": CC.albers_conus(), "sinu": CC.sinu_modis()}
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def fwd(lon: pd.Series, lat: pd.Series, which: pd.Series) -> pd.Series:
         lo = lon.to_numpy()
         la = lat.to_numpy()
+        wh = which.to_numpy()
         out = np.empty((len(lo), 2))
-        m = which.to_numpy() == "lcc"
-        if m.any():
-            out[m, 0], out[m, 1] = lcc.forward(lo[m], la[m])
-        if (~m).any():
-            out[~m, 0], out[~m, 1] = st.forward(lo[~m], la[~m])
+        for key, prj in prjs.items():
+            m = wh == key
+            if m.any():
+                out[m, 0], out[m, 1] = prj.forward(lo[m], la[m])
         # round numpy-side: np.round(x, 3) == DuckDB ROUND on the same
         # bit-identical double (JVM BigDecimal rounding pairs differently)
         out = np.round(out, 3)
@@ -4949,7 +4970,7 @@ def conic_forward_q(spark, sf_dir):
     )
     both = pts.select(
         "pid", "lon", "lat",
-        F.explode(F.array(F.lit("lcc"), F.lit("stereo_3031"))).alias("proj"),
+        F.explode(F.array(*[F.lit(k) for k in prjs])).alias("proj"),
     ).select("pid", "proj", fwd("lon", "lat", "proj").alias("en"))
     return both.select(
         "pid", "proj",
