@@ -346,35 +346,9 @@ def dem_metrics(images: DataFrame, operation: str = "hillshade",
                     v = DEM.roughness(a)
                 elif operation == "color-relief":
                     # gdaldem color-relief (apps/gdaldem_lib.cpp
-                    # GDALColorReliefProcess): piecewise-LINEAR ramp
-                    # interpolation by default; -nearest_color_entry takes
-                    # the closest entry's color unblended
-                    # (COLOR_SELECTION_NEAREST_ENTRY) and
-                    # -exact_color_entry matches exactly or falls to
-                    # transparent black (COLOR_SELECTION_EXACT_ENTRY)
-                    ramp_e = np.array([0.0, 64.0, 128.0, 192.0, 255.0])
-                    ramp_rgb = np.array([
-                        [0, 0, 128], [0, 128, 255], [0, 255, 0],
-                        [255, 255, 0], [255, 255, 255],
-                    ], dtype=np.float64)
-                    if color_mode == "interpolate":
-                        rgb = np.stack([
-                            np.interp(a, ramp_e, ramp_rgb[:, c])
-                            for c in range(3)
-                        ], axis=2)
-                    elif color_mode == "nearest":
-                        idx = np.abs(
-                            a[..., None] - ramp_e[None, None, :]
-                        ).argmin(axis=-1)
-                        rgb = ramp_rgb[idx]
-                    elif color_mode == "exact":
-                        idx = np.searchsorted(ramp_e, a)
-                        idx = np.clip(idx, 0, len(ramp_e) - 1)
-                        hit = ramp_e[idx] == a
-                        rgb = np.where(hit[..., None], ramp_rgb[idx], 0.0)
-                    else:
-                        raise ValueError(color_mode)
-                    v = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+                    # GDALColorReliefProcess), shared with the pipeline
+                    # color-map step
+                    v = DEM.color_relief_rgb(a, color_mode)
                 else:
                     raise ValueError(operation)
                 out.append(

@@ -216,3 +216,42 @@ def hillshade_variant(dem, ew_res=1.0, ns_res=1.0, z_factor=1.0,
         return np.clip(255.0 * shadowness, 0, 255).astype(np.uint8)
 
     raise ValueError(f"unknown hillshade variant {variant!r}")
+
+
+# gdaldem color-relief / gdal raster color-map (apps/gdaldem_lib.cpp
+# GDALColorReliefProcess; apps/gdalalg_raster_color_map.cpp reuses the
+# same engine): the default 5-entry elevation ramp used by dem_metrics
+# and the pipeline color-map step.
+COLOR_RAMP_E = np.array([0.0, 64.0, 128.0, 192.0, 255.0])
+COLOR_RAMP_RGB = np.array([
+    [0, 0, 128], [0, 128, 255], [0, 255, 0],
+    [255, 255, 0], [255, 255, 255],
+], dtype=np.float64)
+
+
+def color_relief_rgb(a, color_mode: str = "interpolate",
+                     ramp_e=None, ramp_rgb=None):
+    """(H, W) elevations -> (H, W, 3) uint8 colors, all three reference
+    color-selection modes: piecewise-LINEAR ramp interpolation (default),
+    -nearest_color_entry (closest entry unblended,
+    COLOR_SELECTION_NEAREST_ENTRY), -exact_color_entry (exact match or
+    transparent black, COLOR_SELECTION_EXACT_ENTRY)."""
+    ramp_e = COLOR_RAMP_E if ramp_e is None else np.asarray(ramp_e, float)
+    ramp_rgb = (COLOR_RAMP_RGB if ramp_rgb is None
+                else np.asarray(ramp_rgb, float))
+    a = np.asarray(a, dtype=np.float64)
+    if color_mode == "interpolate":
+        rgb = np.stack([
+            np.interp(a, ramp_e, ramp_rgb[:, c]) for c in range(3)
+        ], axis=2)
+    elif color_mode == "nearest":
+        idx = np.abs(a[..., None] - ramp_e[None, None, :]).argmin(axis=-1)
+        rgb = ramp_rgb[idx]
+    elif color_mode == "exact":
+        idx = np.searchsorted(ramp_e, a)
+        idx = np.clip(idx, 0, len(ramp_e) - 1)
+        hit = ramp_e[idx] == a
+        rgb = np.where(hit[..., None], ramp_rgb[idx], 0.0)
+    else:
+        raise ValueError(color_mode)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

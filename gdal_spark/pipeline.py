@@ -79,7 +79,7 @@ def _f(args, key, default):
 
 _DEM_OPS = ("hillshade", "slope", "aspect", "tri", "tpi", "roughness")
 KNOWN_STEPS = ("resize", "scale", "reclassify", "neighbors", "reproject",
-               "nodata-to-alpha", "expand", "calc") + _DEM_OPS
+               "nodata-to-alpha", "expand", "calc", "color-map") + _DEM_OPS
 
 
 def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
@@ -151,6 +151,13 @@ def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
         else:
             out = getattr(DEM, name)(v)
         return np.asarray(out, dtype=np.float64)[:, :, None]
+    if name == "color-map":
+        # gdal raster color-map (apps/gdalalg_raster_color_map.cpp — the
+        # GDALColorRelief engine as a pipeline step): band 1 through the
+        # ramp in any of the three color-selection modes
+        return DEM.color_relief_rgb(
+            a[:, :, 0], args.get("mode", "interpolate")
+        ).astype(np.float64)
     if name == "reproject":
         from .oracle.tiling import geotransform_3857
         from .oracle.warp import warp_3857_to_4326
@@ -242,7 +249,16 @@ def run_pipeline(images: DataFrame, pipeline: str | list,
 
 VECTOR_STEPS = ("filter", "select", "sort", "limit", "simplify", "buffer",
                 "centroid", "convex-hull", "make-valid", "swap-xy",
-                "explode-collections", "segmentize", "concave-hull")
+                "explode-collections", "segmentize", "concave-hull",
+                "make-point", "set-field-type", "set-geom-type", "combine")
+
+# OGR field type -> Spark cast target (gdal vector set-field-type,
+# apps/gdalalg_vector_set_field_type.cpp)
+_OGR_FIELD_TYPES = {
+    "Integer": "int", "Integer64": "long", "Real": "double",
+    "String": "string", "Date": "date", "DateTime": "timestamp",
+    "Boolean": "boolean",
+}
 
 
 def segmentize_coords(pts, max_length: float):
@@ -392,7 +408,100 @@ def run_vector_pipeline(features: DataFrame, pipeline: str | list,
                 wkb_col,
                 _concave_hull_udf(float(args.get("ratio", "0.3")))(
                     F.col(wkb_col)))
+        elif name == "make-point":
+            # gdal vector make-point (apps/gdalalg_vector_make_point.cpp):
+            # point geometry from attribute fields (x=, y=; z/m ordinates
+            # are dropped by this engine's 2-D WKB model)
+            df = df.withColumn(wkb_col, F.expr(
+                f"ST_MakePoint({args['x']}, {args['y']})"))
+        elif name == "set-field-type":
+            t = _OGR_FIELD_TYPES.get(args["type"], args["type"])
+            df = df.withColumn(args["field"], F.col(args["field"]).cast(t))
+        elif name == "set-geom-type":
+            df = df.withColumn(
+                wkb_col, _promote_multi_udf(
+                    args.get("type", "multi"))(F.col(wkb_col)))
+        elif name == "combine":
+            # gdal vector combine (apps/gdalalg_vector_combine.cpp):
+            # features -> collections, optionally per group-by field(s);
+            # nested multiparts flatten unless keep-nested
+            keys = ([k.strip() for k in args["group_by"].split(",")]
+                    if "group_by" in args else [])
+            keep_nested = args.get("keep_nested", "false") == "true"
+            agg = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+                F.collect_list(wkb_col).alias("_parts"))
+            df = agg.withColumn(
+                wkb_col,
+                _combine_udf(keep_nested)(F.col("_parts"))).drop("_parts")
     return df
+
+
+def _promote_multi_udf(target: str):
+    """gdal vector set-geom-type (apps/gdalalg_vector_set_geom_type.cpp)
+    restricted to the promote-to-multi direction: single geometries wrap
+    into their Multi* container; already-multi pass through."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+
+    def _promote(b):
+        kind, d = G.parse_wkb(bytes(b))
+        if kind in ("multipoint", "multilinestring", "multipolygon"):
+            return bytes(b)
+        if kind == "point":
+            return G.to_wkb("multipoint", [d])
+        if kind == "linestring":
+            return G.to_wkb("multilinestring", [d])
+        if kind == "polygon":
+            return G.to_wkb("multipolygon", [d])
+        return bytes(b)
+
+    @F.pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([_promote(b) for b in s])
+
+    return _udf
+
+
+def _combine_udf(keep_nested: bool):
+    """Pack a group's geometries into one Multi* (homogeneous base type
+    required — the documented subset of the reference's mixed
+    GeometryCollection output)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .oracle import geom as G
+
+    def _combine(parts):
+        singles = []  # (base_kind, coords)
+        for b in parts:
+            kind, d = G.parse_wkb(bytes(b))
+            if kind in ("multipoint", "multilinestring",
+                        "multipolygon") and not keep_nested:
+                base = kind[5:]
+                singles.extend((base, p) for p in d)
+            elif kind in ("multipoint", "multilinestring", "multipolygon"):
+                # keep-nested: treat each nested part as-is (the engine's
+                # 2-level WKB model cannot nest Multi inside Multi)
+                base = kind[5:]
+                singles.extend((base, p) for p in d)
+            else:
+                singles.append((kind, d))
+        kinds = {k for k, _ in singles}
+        if len(kinds) != 1:
+            raise ValueError(
+                f"combine: mixed geometry types {sorted(kinds)} — "
+                "GeometryCollection output is outside this engine's "
+                "2-level WKB model")
+        base = kinds.pop()
+        return G.to_wkb("multi" + base, [d for _, d in singles])
+
+    @F.pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([_combine(p) for p in s])
+
+    return _udf
 
 
 def _concave_hull_udf(ratio: float):

@@ -2169,3 +2169,77 @@ class TestViewshedCumulative:
         # to all 4, and the average drops well below the flat case
         assert got["max_count"] == 4
         assert got["mean_count"] < 3.0
+
+
+class TestRound5Steps:
+    """gdal vector make-point / set-field-type / set-geom-type / combine +
+    gdal raster color-map pipeline steps (apps/gdalalg_vector_*.cpp,
+    apps/gdalalg_raster_color_map.cpp)."""
+
+    def test_make_point_and_set_field_type(self, spark):
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2], "px": [1.5, -3.0], "py": [2.5, 4.0],
+            "wkb": [G.to_wkb("point", (0, 0))] * 2}))
+        out = run_vector_pipeline(
+            df, "make-point x=px y=py ! set-field-type field=fid type=Real")
+        got = out.toPandas().sort_values("fid", ignore_index=True)
+        assert str(out.schema["fid"].dataType) == "DoubleType()"
+        k, d = G.parse_wkb(bytes(got["wkb"][0]))
+        assert k == "point" and list(np.asarray(d).ravel()) == [1.5, 2.5]
+
+    def test_set_geom_type_promotes_to_multi(self, spark):
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        df = TestVectorPipeline()._layer(spark)
+        out = run_vector_pipeline(df, "set-geom-type type=multi")
+        kinds = {r["fid"]: G.parse_wkb(bytes(r["wkb"]))[0]
+                 for r in out.collect()}
+        assert kinds == {1: "multipolygon", 2: "multipoint",
+                         3: "multilinestring"}
+
+    def test_combine_groups_points(self, spark):
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.pipeline import run_vector_pipeline
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "grp": ["a", "a", "b"],
+            "wkb": [G.to_wkb("point", (0, 0)),
+                    G.to_wkb("multipoint", [(1, 1), (2, 2)]),
+                    G.to_wkb("point", (9, 9))]}))
+        out = run_vector_pipeline(df, "combine group_by=grp").toPandas()
+        got = {r["grp"]: G.parse_wkb(bytes(r["wkb"]))
+               for _, r in out.iterrows()}
+        assert got["a"][0] == "multipoint"
+        pts_a = sorted(tuple(np.asarray(p).ravel()) for p in got["a"][1])
+        assert pts_a == [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]
+        assert got["b"][0] == "multipoint"
+        assert [tuple(np.asarray(p).ravel()) for p in got["b"][1]] == [
+            (9.0, 9.0)]
+
+    def test_color_map_step_matches_dem_metrics_kernel(self, spark):
+        import numpy as np
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.oracle.dem import color_relief_rgb
+        from gdal_spark.codecs.registry import decode
+        from gdal_spark.pipeline import run_pipeline
+
+        imgs = images_df(spark, 6).where("fmt = 'png'")
+        out = run_pipeline(imgs, "color-map mode=nearest",
+                           emit_bytes=True).toPandas()
+        src = {r["image_id"]: r["bytes"]
+               for r in imgs.select("image_id", "bytes").collect()}
+        assert len(out) > 0
+        for _, r in out.iterrows():
+            a = decode(src[r["image_id"]])[:, :, 0].astype(np.float64)
+            exp = color_relief_rgb(a, "nearest")
+            got = decode(bytes(r["png"]))
+            np.testing.assert_array_equal(got, exp)
