@@ -107,3 +107,71 @@ def read_geoparquet(spark, in_dir: str):
     if prim not in df.columns:
         raise ValueError(f"primary geometry column {prim!r} missing")
     return df, geo
+
+
+def write_geoparquet_partitioned(features: DataFrame, out_dir: str,
+                                 by, geometry_col: str = "wkb") -> int:
+    """gdal vector partition (apps/gdalalg_vector_partition.cpp): split a
+    feature layer into one dataset per distinct value of ``by`` (a field
+    name or list of them), written as hive-style ``field=value/``
+    subdirectories each holding a valid GeoParquet dataset.
+
+    Shape at scale: ONE repartition on the partition key(s) routes every
+    feature to the executor that owns its directory; each task then
+    writes its group files with the same footer machinery as
+    write_geoparquet — no driver collect, no per-group job. Returns
+    total part files written."""
+    keys = [by] if isinstance(by, str) else list(by)
+    for k in keys:
+        if k == geometry_col:
+            raise ValueError("cannot partition by the geometry column")
+
+    def _dirname(row):
+        return "/".join(f"{k}={row[k]}" for k in keys)
+
+    # group rows by key inside each task after a key-hash repartition:
+    # every (k1, k2, ...) combination lands in exactly one task
+    grouped = features.repartition(*[features[k] for k in keys])
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..oracle import geom as G
+
+    cols = [c for c, _ in features.dtypes]
+    data_cols = [c for c in cols if c not in keys]
+    acc = features.sparkSession.sparkContext.accumulator(0)
+
+    def write_part(pid, rows):
+        by_dir: dict = {}
+        for r in rows:
+            by_dir.setdefault(_dirname(r), []).append(r)
+        for d, buf in by_dir.items():
+            types, bbox = set(), [float("inf"), float("inf"),
+                                  float("-inf"), float("-inf")]
+            for r in buf:
+                g = G.parse_wkb(bytes(r[geometry_col]))
+                types.add(_TYPE_NAMES[g[0]])
+                b = G.bbox(g)
+                bbox = [min(bbox[0], b[0]), min(bbox[1], b[1]),
+                        max(bbox[2], b[2]), max(bbox[3], b[3])]
+            arrays, names = [], []
+            for c in data_cols:
+                name = "geometry" if c == geometry_col else c
+                vals = [bytes(r[c]) if c == geometry_col else r[c]
+                        for r in buf]
+                arrays.append(pa.array(vals))
+                names.append(name)
+            table = pa.table(dict(zip(names, arrays)))
+            table = table.replace_schema_metadata(
+                {b"geo": _geo_meta("geometry", sorted(types), bbox)})
+            subdir = os.path.join(out_dir, d)
+            os.makedirs(subdir, exist_ok=True)
+            tmp = os.path.join(subdir, f".part-{pid:05d}.parquet.tmp")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(subdir, f"part-{pid:05d}.parquet"))
+            acc.add(1)
+        return iter(())
+
+    grouped.rdd.mapPartitionsWithIndex(write_part).count()
+    return acc.value

@@ -616,3 +616,33 @@ class TestVrt:
         write_vrt(imgs, pth, src_nodata=0)
         spec = parse_vrt(pth)
         assert all(s["nodata"] == 0.0 for s in spec["sources"])
+
+
+class TestGeoParquetPartition:
+    """gdal vector partition analogue: hive-style field=value GeoParquet
+    subdirectories (apps/gdalalg_vector_partition.cpp)."""
+
+    def test_partition_roundtrip(self, spark, tmp_path):
+        import pandas as pd
+
+        from gdal_spark.io.geoparquet import (read_geoparquet,
+                                              write_geoparquet_partitioned)
+        from gdal_spark.oracle import geom as G
+
+        rows = [(i, "ab"[i % 2], G.to_wkb("point", (float(i), float(-i))))
+                for i in range(20)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "grp", "wkb"]))
+        n = write_geoparquet_partitioned(df, str(tmp_path / "out"), "grp")
+        assert n >= 2
+        import os
+        subdirs = sorted(os.listdir(tmp_path / "out"))
+        assert subdirs == ["grp=a", "grp=b"]
+        got_a, geo = read_geoparquet(spark, str(tmp_path / "out" / "grp=a"))
+        pa_ = got_a.toPandas()
+        assert sorted(pa_["fid"]) == [i for i in range(20) if i % 2 == 0]
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        # spark reads the whole tree back with the hive column restored
+        allr = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+            str(tmp_path / "out")).toPandas()
+        assert len(allr) == 20 and set(allr["grp"]) == {"a", "b"}
