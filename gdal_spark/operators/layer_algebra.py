@@ -609,3 +609,31 @@ def vector_info(features: DataFrame, wkb_col: str = "wkb",
             .select(F.lit(layer_name).alias("layer"), "n_features",
                     "minx", "miny", "maxx", "maxy", "geom_types",
                     F.lit(fields).alias("fields")))
+
+
+def export_schema(features: DataFrame, layer_name: str = "layer",
+                  wkb_col: str = "wkb") -> str:
+    """gdal vector export-schema (apps/gdalalg_vector_export_schema.cpp):
+    the OGR_SCHEMA-shaped JSON of a feature layer — field names with OGR
+    type names mapped back from the Spark schema, geometry column listed
+    separately.  Pure driver-side metadata (no job)."""
+    import json
+
+    _SPARK_TO_OGR = {
+        "int": "Integer", "bigint": "Integer64", "double": "Real",
+        "float": "Real", "string": "String", "boolean": "Boolean",
+        "date": "Date", "timestamp": "DateTime",
+    }
+    fields = []
+    geom_fields = []
+    for name, dtype in features.dtypes:
+        if name == wkb_col:
+            geom_fields.append({"name": name, "type": "Unknown",
+                                "encoding": "WKB"})
+        else:
+            fields.append({"name": name,
+                           "type": _SPARK_TO_OGR.get(dtype, dtype)})
+    return json.dumps({
+        "layers": [{"name": layer_name, "fields": fields,
+                    "geometry_fields": geom_fields}]
+    }, indent=2)

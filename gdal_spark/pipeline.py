@@ -79,7 +79,8 @@ def _f(args, key, default):
 
 _DEM_OPS = ("hillshade", "slope", "aspect", "tri", "tpi", "roughness")
 KNOWN_STEPS = ("resize", "scale", "reclassify", "neighbors", "reproject",
-               "nodata-to-alpha", "expand", "calc", "color-map") + _DEM_OPS
+               "nodata-to-alpha", "expand", "calc", "color-map",
+               "unscale") + _DEM_OPS
 
 
 def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
@@ -151,6 +152,12 @@ def _apply_step(name: str, args: dict, a: np.ndarray, ctx: dict
         else:
             out = getattr(DEM, name)(v)
         return np.asarray(out, dtype=np.float64)[:, :, None]
+    if name == "unscale":
+        # gdal raster unscale (apps/gdalalg_raster_unscale.cpp):
+        # true value = raw * scale + offset (GDALRasterBand GetScale/
+        # GetOffset convention; this engine takes them as step args since
+        # its codecs carry no band metadata)
+        return a * _f(args, "scale", 1.0) + _f(args, "offset", 0.0)
     if name == "color-map":
         # gdal raster color-map (apps/gdalalg_raster_color_map.cpp — the
         # GDALColorRelief engine as a pipeline step): band 1 through the
@@ -250,7 +257,8 @@ def run_pipeline(images: DataFrame, pipeline: str | list,
 VECTOR_STEPS = ("filter", "select", "sort", "limit", "simplify", "buffer",
                 "centroid", "convex-hull", "make-valid", "swap-xy",
                 "explode-collections", "segmentize", "concave-hull",
-                "make-point", "set-field-type", "set-geom-type", "combine")
+                "make-point", "set-field-type", "set-geom-type", "combine",
+                "check-geometry")
 
 # OGR field type -> Spark cast target (gdal vector set-field-type,
 # apps/gdalalg_vector_set_field_type.cpp)
@@ -421,6 +429,17 @@ def run_vector_pipeline(features: DataFrame, pipeline: str | list,
             df = df.withColumn(
                 wkb_col, _promote_multi_udf(
                     args.get("type", "multi"))(F.col(wkb_col)))
+        elif name == "check-geometry":
+            # gdal vector check-geometry
+            # (apps/gdalalg_vector_check_geometry.cpp): flag invalid
+            # geometries via the registered ST_IsValid; drop=true filters
+            # them out instead of annotating
+            if args.get("drop", "false") == "true":
+                df = df.where(F.expr(f"ST_IsValid({wkb_col})"))
+            else:
+                df = df.withColumn(
+                    "geom_valid",
+                    F.expr(f"ST_IsValid({wkb_col})").cast("int"))
         elif name == "combine":
             # gdal vector combine (apps/gdalalg_vector_combine.cpp):
             # features -> collections, optionally per group-by field(s);

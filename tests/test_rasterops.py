@@ -2243,3 +2243,45 @@ class TestRound5Steps:
             exp = color_relief_rgb(a, "nearest")
             got = decode(bytes(r["png"]))
             np.testing.assert_array_equal(got, exp)
+
+    def test_unscale_and_check_geometry(self, spark):
+        import pandas as pd
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.operators.layer_algebra import export_schema
+        from gdal_spark.pipeline import run_pipeline, run_vector_pipeline
+
+        # unscale: value chain = raw * 0.5 + 10, checked via vmin/vmax
+        imgs = images_df(spark, 3).where("fmt = 'png'")
+        out = run_pipeline(imgs, "unscale scale=0.5 offset=10").toPandas()
+        base = run_pipeline(imgs, "scale src_min=0 src_max=255 "
+                                  "dst_min=0 dst_max=255").toPandas()
+        m = out.set_index("image_id")
+        b = base.set_index("image_id")
+        for iid in m.index:
+            assert abs(m.loc[iid, "vmin"] - (b.loc[iid, "vmin"] * 0.5 + 10)) < 1e-9
+            assert abs(m.loc[iid, "vmax"] - (b.loc[iid, "vmax"] * 0.5 + 10)) < 1e-9
+
+        # check-geometry: bowtie is invalid, square is valid
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2],
+            "wkb": [
+                G.to_wkb("polygon",
+                         [[(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]]),
+                G.to_wkb("polygon",
+                         [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]),
+            ]}))
+        flagged = run_vector_pipeline(df, "check-geometry").toPandas()
+        got = dict(zip(flagged["fid"], flagged["geom_valid"]))
+        assert got[2] == 1 and got[1] == 0
+        kept = run_vector_pipeline(df, "check-geometry drop=true").toPandas()
+        assert kept["fid"].tolist() == [2]
+
+        # export-schema: OGR type names + geometry column listed apart
+        import json
+        sch = json.loads(export_schema(df))
+        lyr = sch["layers"][0]
+        assert {f["name"]: f["type"] for f in lyr["fields"]} == {
+            "fid": "Integer64"}
+        assert lyr["geometry_fields"][0]["encoding"] == "WKB"
