@@ -637,3 +637,31 @@ def export_schema(features: DataFrame, layer_name: str = "layer",
         "layers": [{"name": layer_name, "fields": fields,
                     "geometry_fields": geom_fields}]
     }, indent=2)
+
+
+def check_coverage(features: DataFrame, fid_col: str = "fid",
+                   wkb_col: str = "wkb", zoom: int = 5,
+                   min_area: float = 1e-9) -> DataFrame:
+    """gdal vector check-coverage
+    (apps/gdalalg_vector_check_coverage.cpp), the overlap half: pairs of
+    polygons whose interiors intersect with positive area — a valid
+    polygonal coverage allows only edge/point contact between neighbors.
+
+    Shape at scale: the self-join runs through the covering-cell
+    candidate machinery (no all-pairs), exact piece areas via the
+    polygon-overlay kernel; each unordered pair reports once
+    (fid_a < fid_b).  Gap detection (the other half of the reference
+    check) needs the coverage's outer boundary ring — documented out of
+    scope for this engine's overlay model."""
+    a = features.select(F.col(fid_col).alias("cov_aid"),
+                        F.col(wkb_col).alias(wkb_col))
+    b = features.select(F.col(fid_col).alias("cov_bid"),
+                        F.col(wkb_col).alias(wkb_col))
+    inter = poly_intersection(a, b, "cov_aid", "cov_bid", zoom=zoom,
+                              broadcast_b=False)
+    return (inter
+            .where(F.col("cov_aid") < F.col("cov_bid"))
+            .where(F.col("area") > min_area)
+            .select(F.col("cov_aid").alias("fid_a"),
+                    F.col("cov_bid").alias("fid_b"),
+                    "area"))

@@ -520,3 +520,29 @@ class TestGreinerHormann:
                     poly_area(A) - exp_i, rel=1e-6, abs=1e-9)
                 checked_d += 1
         assert checked_i > 60 and checked_d > 60
+
+
+class TestCheckCoverage:
+    """gdal vector check-coverage overlap detection (round 5)."""
+
+    def test_overlaps_flagged_edges_ignored(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import check_coverage
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: G.to_wkb(
+            "polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2, 3, 4],
+            "wkb": [
+                sq(0, 0, 2, 2),      # 1 and 2 share only an edge: valid
+                sq(2, 0, 4, 2),
+                sq(3, 0, 5, 2),      # 3 overlaps 2 by a 1x2 slab
+                sq(10, 10, 11, 11),  # disjoint
+            ]}))
+        got = check_coverage(df).toPandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["fid_a"], r["fid_b"]) == (2, 3)
+        assert abs(r["area"] - 2.0) < 1e-9
