@@ -18,6 +18,7 @@ Rows: (minx, miny, maxx, maxy) + id column per layer.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .spatial_join import covering_cells
@@ -651,8 +652,7 @@ def check_coverage(features: DataFrame, fid_col: str = "fid",
     candidate machinery (no all-pairs), exact piece areas via the
     polygon-overlay kernel; each unordered pair reports once
     (fid_a < fid_b).  Gap detection (the other half of the reference
-    check) needs the coverage's outer boundary ring — documented out of
-    scope for this engine's overlay model."""
+    check) is implemented separately by ``check_coverage_gaps``."""
     a = features.select(F.col(fid_col).alias("cov_aid"),
                         F.col(wkb_col).alias(wkb_col))
     b = features.select(F.col(fid_col).alias("cov_bid"),
@@ -665,3 +665,236 @@ def check_coverage(features: DataFrame, fid_col: str = "fid",
             .select(F.col("cov_aid").alias("fid_a"),
                     F.col("cov_bid").alias("fid_b"),
                     "area"))
+
+
+def check_coverage_gaps(features: DataFrame, minx: float, maxy: float,
+                        cell: float, nx: int, ny: int,
+                        max_gap_width: float, fid_col: str = "fid",
+                        wkb_col: str = "wkb",
+                        tile_px: int = 64) -> DataFrame:
+    """gdal vector check-coverage, the gap half: enclosed uncovered
+    regions between coverage polygons whose inscribed width is at most
+    ``max_gap_width`` (apps/gdalalg_vector_check_coverage.cpp:44
+    ``maximum-gap-width`` -> GEOSCoverageIsValid(coll, gapWidth) — GEOS
+    flags narrow gaps as coverage errors; wide holes are intentional).
+
+    Raster analogue on the caller's analysis grid: a gap is a 4-connected
+    component of uncovered pixels that (a) does not touch the grid border
+    (the unbounded outside is never a gap) and (b) has
+    2 * max(chamfer clearance) <= max_gap_width — the maximum-inscribed-
+    circle diameter test on the pixel lattice.
+
+    Distributed shape (100 TB): the raster is never materialized.
+    Features explode to tile_px^2 pixel tiles expanded by a halo of
+    ceil(W/2/cell)+2 pixels; each task rasterizes its tile+halo window,
+    labels uncovered components and measures local chamfer clearance
+    (exact for the <=W/2 decision because the halo exceeds W/2).
+    Components are stitched across tiles by an equi-join of core-edge
+    strips; the driver runs union-find over the DISTINCT crossing label
+    pairs only (bounded by edge-crossing component count, not pixels) and
+    the mapping is broadcast back for one global aggregation.  Tiles with
+    no feature within the halo are provably irrelevant: any component
+    fragment reaching one contains a pixel with observed clearance
+    > W/2 (its nearest coverage is beyond the halo), so it is rejected by
+    the width rule, and reported gaps — every pixel within W/2 of
+    coverage — are always fully inside assigned tiles.
+
+    Returns (gap_id, npix, area, width, cx, cy): pixel count, world area,
+    2*max clearance, and the pixel-center centroid of each gap."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..oracle import geom as G
+    from ..oracle.rasterize import (label_components, proximity,
+                                    rasterize_rings)
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    W = float(max_gap_width)
+    halo = int(math.ceil((W / 2.0) / cell)) + 2
+    span = float(cell) * tile_px
+    ntx = (nx + tile_px - 1) // tile_px
+    nty = (ny + tile_px - 1) // tile_px
+    hw = halo * float(cell)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def wkb_bbox(wkbs: pd.Series) -> pd.Series:
+        return wkbs.map(lambda b: list(G.bbox(G.parse_wkb(bytes(b)))))
+
+    feats = features.select(
+        F.col(fid_col).alias("fid"), F.col(wkb_col).alias("wkb"),
+        wkb_bbox(F.col(wkb_col)).alias("bb"),
+    ).select(
+        "fid", "wkb",
+        F.explode(F.sequence(
+            F.greatest(F.floor((F.element_at("bb", 1) - F.lit(hw)
+                                - F.lit(minx)) / F.lit(span)), F.lit(0)),
+            F.least(F.floor((F.element_at("bb", 3) + F.lit(hw)
+                             - F.lit(minx)) / F.lit(span)),
+                    F.lit(ntx - 1)),
+        )).alias("tx"),
+        F.element_at("bb", 2).alias("by0"), F.element_at("bb", 4).alias("by1"),
+    ).select(
+        "fid", "wkb", "tx",
+        F.explode(F.sequence(
+            F.greatest(F.floor((F.lit(maxy) - F.col("by1") - F.lit(hw))
+                               / F.lit(span)), F.lit(0)),
+            F.least(F.floor((F.lit(maxy) - F.col("by0") + F.lit(hw))
+                            / F.lit(span)), F.lit(nty - 1)),
+        )).alias("ty"),
+    ).where(F.col("tx").isNotNull() & F.col("ty").isNotNull())
+
+    out_schema = ("kind int, tx int, ty int, lab int, npix long, "
+                  "maxd double, sc double, sr double, border boolean, "
+                  "edge string, pos long, side int")
+
+    def analyze_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        tw = min(tile_px, nx - tx * tile_px)
+        th = min(tile_px, ny - ty * tile_px)
+        ww, wh = tw + 2 * halo, th + 2 * halo
+        wx0 = minx + tx * span - halo * cell
+        wy0 = maxy - ty * span + halo * cell
+        gt = [wx0, cell, 0.0, wy0, 0.0, -cell]
+        cov = np.zeros((wh, ww), dtype=np.float64)
+        for r in pdf.sort_values("fid").itertuples(index=False):
+            kind, d = G.parse_wkb(bytes(r.wkb))
+            rings = (d if kind == "polygon"
+                     else [ring for part in d for ring in part])
+            rasterize_rings(rings, gt, ww, wh, burn=1.0, out=cov)
+        unc = cov == 0.0
+        labels, _n = label_components(unc.astype(np.uint8), 4)
+        dist = np.minimum(proximity(~unc, cell), W)
+
+        core = np.zeros((wh, ww), dtype=bool)
+        core[halo:halo + th, halo:halo + tw] = True
+        sel = unc & core
+        rows_stats: dict = {k: [] for k in
+                            ("kind", "tx", "ty", "lab", "npix", "maxd",
+                             "sc", "sr", "border", "edge", "pos", "side")}
+        if sel.any():
+            rr, cc = np.nonzero(sel)
+            lv = labels[rr, cc].astype(np.int64)
+            uniq, inv = np.unique(lv, return_inverse=True)
+            npix = np.bincount(inv)
+            maxd = np.zeros(len(uniq))
+            np.maximum.at(maxd, inv, dist[rr, cc])
+            gr = rr - halo + ty * tile_px
+            gc = cc - halo + tx * tile_px
+            sc = np.bincount(inv, weights=(gc + 0.5))
+            sr = np.bincount(inv, weights=(gr + 0.5))
+            bord = np.zeros(len(uniq), dtype=bool)
+            on_b = (gr == 0) | (gr == ny - 1) | (gc == 0) | (gc == nx - 1)
+            np.logical_or.at(bord, inv[on_b], True)
+            n = len(uniq)
+            rows_stats["kind"] += [0] * n
+            rows_stats["tx"] += [tx] * n
+            rows_stats["ty"] += [ty] * n
+            rows_stats["lab"] += [int(x) for x in uniq]
+            rows_stats["npix"] += [int(x) for x in npix]
+            rows_stats["maxd"] += [float(x) for x in maxd]
+            rows_stats["sc"] += [float(x) for x in sc]
+            rows_stats["sr"] += [float(x) for x in sr]
+            rows_stats["border"] += [bool(x) for x in bord]
+            rows_stats["edge"] += [""] * n
+            rows_stats["pos"] += [0] * n
+            rows_stats["side"] += [0] * n
+
+            def emit_edge(lr, lc, ekey, positions, side):
+                m = unc[lr, lc]
+                if not np.any(m):
+                    return
+                labs_e = labels[lr, lc][m]
+                pos_e = positions[m]
+                k = len(labs_e)
+                rows_stats["kind"] += [1] * k
+                rows_stats["tx"] += [tx] * k
+                rows_stats["ty"] += [ty] * k
+                rows_stats["lab"] += [int(x) for x in labs_e]
+                rows_stats["npix"] += [0] * k
+                rows_stats["maxd"] += [0.0] * k
+                rows_stats["sc"] += [0.0] * k
+                rows_stats["sr"] += [0.0] * k
+                rows_stats["border"] += [False] * k
+                rows_stats["edge"] += [ekey] * k
+                rows_stats["pos"] += [int(x) for x in pos_e]
+                rows_stats["side"] += [side] * k
+
+            core_rows = np.arange(halo, halo + th)
+            core_cols = np.arange(halo, halo + tw)
+            g_rows = core_rows - halo + ty * tile_px
+            g_cols = core_cols - halo + tx * tile_px
+            # right boundary of this tile (V edge keyed by this tile)
+            if tx * tile_px + tw < nx:
+                emit_edge(core_rows, halo + tw - 1, f"V:{tx}:{ty}",
+                          g_rows, 0)
+            if tx > 0:
+                emit_edge(core_rows, halo, f"V:{tx - 1}:{ty}", g_rows, 1)
+            if ty * tile_px + th < ny:
+                emit_edge(halo + th - 1, core_cols, f"H:{tx}:{ty}",
+                          g_cols, 0)
+            if ty > 0:
+                emit_edge(halo, core_cols, f"H:{tx}:{ty - 1}", g_cols, 1)
+        return pd.DataFrame(rows_stats)
+
+    parts = (feats.groupBy("tx", "ty")
+             .applyInPandas(analyze_tile, schema=out_schema)
+             .persist())
+    key = F.concat_ws(":", "tx", "ty", "lab")
+    e0 = (parts.where((F.col("kind") == 1) & (F.col("side") == 0))
+          .select("edge", "pos", key.alias("ka")))
+    e1 = (parts.where((F.col("kind") == 1) & (F.col("side") == 1))
+          .select("edge", "pos", key.alias("kb")))
+    pair_rows = (e0.join(e1, ["edge", "pos"])
+                 .select("ka", "kb").distinct().collect())
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        ra, rb = find(r["ka"]), find(r["kb"])
+        if ra != rb:
+            # deterministic root: lexicographic min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(k, find(k)) for k in list(parent)]
+    spark = features.sparkSession
+    if mapping:
+        map_df = spark.createDataFrame(mapping, "key string, root string")
+    else:
+        map_df = spark.createDataFrame([], "key string, root string")
+
+    stats = (parts.where(F.col("kind") == 0)
+             .withColumn("key", key)
+             .join(F.broadcast(map_df), "key", "left")
+             .withColumn("gid", F.coalesce("root", "key")))
+    agg = (stats.groupBy("gid").agg(
+        F.sum("npix").alias("npix"),
+        F.max("maxd").alias("maxd"),
+        F.sum("sc").alias("sc"),
+        F.sum("sr").alias("sr"),
+        F.bool_or("border").alias("touches_border"),
+        F.min(F.struct("ty", "tx", "lab")).alias("rep"),
+    ))
+    from pyspark.sql import Window
+    gaps = (agg
+            .where(~F.col("touches_border"))
+            .where(2.0 * F.col("maxd") <= F.lit(W + 1e-9))
+            .select(
+                F.row_number().over(Window.orderBy("rep")).alias("gap_id"),
+                "npix",
+                (F.col("npix") * F.lit(float(cell) * float(cell)))
+                .alias("area"),
+                (2.0 * F.col("maxd")).alias("width"),
+                (F.lit(minx) + F.lit(float(cell)) * F.col("sc")
+                 / F.col("npix")).alias("cx"),
+                (F.lit(maxy) - F.lit(float(cell)) * F.col("sr")
+                 / F.col("npix")).alias("cy"),
+            ))
+    return gaps

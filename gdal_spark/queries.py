@@ -4740,15 +4740,96 @@ FROM ad a JOIN bd b
 """
 
 
-@q("poly_intersection_area", _POLY_INTER_SQL)
+# gdal vector check-coverage fixture: a 5x5 grid of 8x8 squares on a
+# 40x40 unit extent.  Four parity-isolated interior squares are shrunk on
+# their right edge by k cells (leaving enclosed k-wide sliver gaps whose
+# raster inscribed width is exactly 2*ceil(k/2)); square (0,0) is extended
+# +2 right and (4,4) +3 up to plant two interior-overlap pairs.  With
+# maximum-gap-width 5 the k=7 sliver (width 8) must be rejected.
+_COVERAGE_SHRINK = ((1, 2, 3), (2, 1, 1), (2, 3, 1), (3, 2, 7))
+
+_LAYER_SUITE_SQL = f"""
+WITH inter AS ({_POLY_INTER_SQL}),
+grid AS (
+  SELECT r, c, CAST(r*5 + c + 1 AS BIGINT) AS fid,
+         8.0*c AS x0, 32.0 - 8.0*r AS y0,
+         8.0*c + 8.0
+           - CASE WHEN r=1 AND c=2 THEN 3 WHEN r=2 AND c=1 THEN 1
+                  WHEN r=2 AND c=3 THEN 1 WHEN r=3 AND c=2 THEN 7
+                  ELSE 0 END
+           + CASE WHEN r=0 AND c=0 THEN 2 ELSE 0 END AS x1,
+         40.0 - 8.0*r + CASE WHEN r=4 AND c=4 THEN 3 ELSE 0 END AS y1
+  FROM (SELECT unnest(generate_series(0, 4)) AS r) rs
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS c) cs
+)
+SELECT 'inter' AS mode, CAST(aid AS BIGINT) AS a, CAST(bid AS BIGINT) AS b,
+       area_km2 AS v1, CAST(0 AS BIGINT) AS v2
+FROM inter
+UNION ALL
+SELECT 'overlap', ga.fid, gb.fid,
+       CAST(ROUND(1000.0 * (least(ga.x1, gb.x1) - greatest(ga.x0, gb.x0))
+                         * (least(ga.y1, gb.y1) - greatest(ga.y0, gb.y0)))
+            AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM grid ga JOIN grid gb ON ga.fid < gb.fid
+ AND least(ga.x1, gb.x1) > greatest(ga.x0, gb.x0)
+ AND least(ga.y1, gb.y1) > greatest(ga.y0, gb.y0)
+UNION ALL
+SELECT 'gap', CAST(ROUND(1000.0 * (8.0*c + 8.0 - k/2.0)) AS BIGINT),
+       CAST(ROUND(1000.0 * (36.0 - 8.0*r)) AS BIGINT),
+       CAST(8*k AS BIGINT), CAST(2000 * CEIL(k / 2.0) AS BIGINT)
+FROM (VALUES {", ".join(f"({r}, {c}, {k})" for r, c, k in _COVERAGE_SHRINK)})
+     s(r, c, k)
+WHERE 2 * CEIL(k / 2.0) <= 5
+"""
+
+
+def _coverage_fixture_df(spark):
+    """The 25-square coverage layer of _LAYER_SUITE_SQL as (fid, wkb)."""
+    import pandas as _pdl
+
+    from .oracle import geom as G
+
+    shrink = {(r, c): k for r, c, k in _COVERAGE_SHRINK}
+    rows = []
+    for r in range(5):
+        for c in range(5):
+            x0, x1 = 8.0 * c, 8.0 * c + 8.0 - shrink.get((r, c), 0)
+            y0, y1 = 32.0 - 8.0 * r, 40.0 - 8.0 * r
+            if (r, c) == (0, 0):
+                x1 += 2.0
+            if (r, c) == (4, 4):
+                y1 += 3.0
+            rows.append((r * 5 + c + 1, G.to_wkb(
+                "polygon",
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])))
+    return spark.createDataFrame(
+        _pdl.DataFrame(rows, columns=["fid", "wkb"]),
+        schema="fid long, wkb binary")
+
+
+@q("poly_intersection_area", _LAYER_SUITE_SQL)
 def poly_intersection_area(spark, sf_dir):
-    """Layer-algebra Intersection on GENERIC convex polygons
-    (ogrlayer.cpp:5385): diamond layers derived from customer/supplier
-    points run through the covering-cell pair join + Sutherland-Hodgman
-    clip (oracle/geom.py); DuckDB oracles the area via the rotated-
-    coordinate closed form."""
+    """Layer-algebra + coverage-check suite (three modes, one gate):
+
+    * inter — OGRLayer::Intersection (ogrlayer.cpp:5385) on GENERIC
+      convex polygons: diamond layers from customer/supplier points run
+      the covering-cell pair join + Sutherland-Hodgman clip
+      (oracle/geom.py); DuckDB oracles the area via the rotated-
+      coordinate closed form.
+    * overlap — gdal vector check-coverage overlap half
+      (apps/gdalalg_vector_check_coverage.cpp): interior-overlap pairs
+      of the 25-square fixture via the covering-cell self-join + exact
+      polygon-overlay areas.
+    * gap — check-coverage maximum-gap-width half (GEOSCoverageIsValid
+      gapWidth semantics): distributed tile+halo raster analysis with
+      cross-tile component stitching; enclosed slivers of inscribed
+      width <= 5 reported with pixel area / width / centroid, the k=7
+      sliver and the unbounded outside rejected."""
     from .functions.geometry import diamond_wkb
-    from .operators.layer_algebra import poly_intersection
+    from .operators.layer_algebra import (check_coverage,
+                                          check_coverage_gaps,
+                                          poly_intersection)
 
     register_tpch_views(spark, sf_dir)
     a = spark.sql(
@@ -4761,11 +4842,31 @@ def poly_intersection_area(spark, sf_dir):
         f"{T.sql_mx('lon')} AS mx, {T.sql_my('lat')} AS my, "
         f"1400000.0 AS s FROM supplier_points"
     ).select("bid", diamond_wkb("mx", "my", "s").alias("wkb"))
-    got = poly_intersection(a, b)
-    return got.select(
-        "aid", "bid",
-        F.round(F.col("area") / 1000000.0, 0).cast("bigint").alias("area_km2"),
+    inter = poly_intersection(a, b).select(
+        F.lit("inter").alias("mode"),
+        F.col("aid").cast("long").alias("a"),
+        F.col("bid").cast("long").alias("b"),
+        F.round(F.col("area") / 1000000.0, 0).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
     )
+    cov = _coverage_fixture_df(spark)
+    ov = check_coverage(cov).select(
+        F.lit("overlap").alias("mode"),
+        F.col("fid_a").cast("long").alias("a"),
+        F.col("fid_b").cast("long").alias("b"),
+        F.round(F.col("area") * 1000.0, 0).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    gaps = check_coverage_gaps(
+        cov, 0.0, 40.0, 1.0, 40, 40, max_gap_width=5.0, tile_px=16,
+    ).select(
+        F.lit("gap").alias("mode"),
+        F.round(F.col("cx") * 1000.0, 0).cast("long").alias("a"),
+        F.round(F.col("cy") * 1000.0, 0).cast("long").alias("b"),
+        F.col("npix").cast("long").alias("v1"),
+        F.round(F.col("width") * 1000.0, 0).cast("long").alias("v2"),
+    )
+    return inter.unionByName(ov).unionByName(gaps)
 
 
 # Donut (polygon with a hole): outer/inner boxes with off-representable

@@ -546,3 +546,65 @@ class TestCheckCoverage:
         r = got.iloc[0]
         assert (r["fid_a"], r["fid_b"]) == (2, 3)
         assert abs(r["area"] - 2.0) < 1e-9
+
+    def test_gap_half_tile_invariant(self, spark):
+        """check-coverage maximum-gap-width (GEOSCoverageIsValid gapWidth):
+        the 25-square fixture with parity-isolated slivers.  The same gaps
+        must come back whether the analysis runs as one window or as 16-px
+        tiles with cross-tile component stitching."""
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import check_coverage_gaps
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: G.to_wkb(
+            "polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+        shrink = {(1, 2): 3, (2, 1): 1, (2, 3): 1, (3, 2): 7}
+        rows = []
+        for r in range(5):
+            for c in range(5):
+                x1 = 8.0 * c + 8.0 - shrink.get((r, c), 0)
+                rows.append((r * 5 + c + 1,
+                             sq(8.0 * c, 32.0 - 8.0 * r, x1, 40.0 - 8.0 * r)))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "wkb"]))
+        expected = [  # (npix, width, cx, cy); k=7 sliver rejected (width 8)
+            (24, 4.0, 22.5, 28.0),
+            (8, 2.0, 15.5, 20.0),
+            (8, 2.0, 31.5, 20.0),
+        ]
+        for tile_px in (64, 16):
+            got = (check_coverage_gaps(df, 0.0, 40.0, 1.0, 40, 40,
+                                       max_gap_width=5.0, tile_px=tile_px)
+                   .toPandas().sort_values("gap_id").reset_index(drop=True))
+            assert [(int(r.npix), r.width, r.cx, r.cy)
+                    for r in got.itertuples()] == expected
+
+    def test_gap_half_outside_and_wide_excluded(self, spark):
+        """With a margin around the coverage, the outside region touches the
+        extent border and is never a gap; raising max_gap_width admits the
+        wide k=7 sliver too."""
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import check_coverage_gaps
+        from gdal_spark.oracle import geom as G
+
+        sq = lambda x0, y0, x1, y1: G.to_wkb(
+            "polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+        shrink = {(1, 2): 3, (2, 1): 1, (2, 3): 1, (3, 2): 7}
+        rows = []
+        for r in range(5):
+            for c in range(5):
+                x1 = 8.0 * c + 8.0 - shrink.get((r, c), 0)
+                rows.append((r * 5 + c + 1,
+                             sq(8.0 * c, 32.0 - 8.0 * r, x1, 40.0 - 8.0 * r)))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "wkb"]))
+        # extent = coverage bbox + 4-cell margin on every side
+        got = (check_coverage_gaps(df, -4.0, 44.0, 1.0, 48, 48,
+                                   max_gap_width=5.0, tile_px=16)
+               .toPandas())
+        assert sorted(got["npix"]) == [8, 8, 24]      # outside not reported
+        wide = (check_coverage_gaps(df, -4.0, 44.0, 1.0, 48, 48,
+                                    max_gap_width=9.0, tile_px=16)
+                .toPandas())
+        assert sorted(wide["npix"]) == [8, 8, 24, 56]  # k=7: 7x8 admitted
+        assert sorted(wide["width"])[-1] == 8.0
