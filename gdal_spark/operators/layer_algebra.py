@@ -898,3 +898,233 @@ def check_coverage_gaps(features: DataFrame, minx: float, maxy: float,
                  / F.col("npix")).alias("cy"),
             ))
     return gaps
+
+
+def simplify_coverage(features: DataFrame, tolerance: float,
+                      preserve_boundary: bool = False,
+                      fid_col: str = "fid",
+                      wkb_col: str = "wkb") -> DataFrame:
+    """gdal vector simplify-coverage
+    (apps/gdalalg_vector_simplify_coverage.cpp ->
+    GEOSCoverageSimplifyVW(coll, tolerance, preserveBoundary)):
+    topology-preserving Visvalingam-Whyatt simplification of a polygonal
+    coverage.  Every shared border is simplified ONCE and both neighbours
+    receive the identical simplified polyline, so the coverage stays a
+    coverage (no new gaps/overlaps along shared borders); arc endpoints
+    (coverage nodes) are pinned.  ``preserve_boundary`` keeps the
+    coverage's exterior boundary arcs (no neighbour) untouched.
+
+    Distributed shape (100 TB): pure key-partitioned relational passes,
+    no all-pairs and no driver-side geometry.
+      1. rings explode to directed segments (one Arrow pass);
+      2. one groupBy on the canonical segment key finds each segment's
+         co-owner (the neighbour across it, -1 = outside);
+      3. one groupBy on the vertex key flags junction vertices used by
+         >2 polygons (nodes where a third polygon touches mid-border);
+      4. per ring, runs of constant co-owner between junctions become
+         arcs; the arc's rotation/direction-canonical geometry hash
+         dedups the two copies of every shared border;
+      5. each distinct arc is VW-simplified once (oracle/vwsimplify.py,
+         endpoints pinned, closed island/hole rings anchor at their
+         lexicographically-smallest vertex so both owners agree);
+      6. arcs join back and two groupBys reassemble rings and polygons.
+
+    Assumes coverage neighbours share bit-identical vertices (the
+    coverage contract) and that ``tolerance`` is small relative to face
+    size (GEOS's post-hoc cross-arc collision check is out of scope —
+    documented).  Returns (fid, wkb) with the input's ring orientation.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..oracle import geom as G
+    from ..oracle.vwsimplify import vw_simplify
+
+    tol = float(tolerance)
+
+    def explode_segments(it):
+        for pdf in it:
+            out = {k: [] for k in ("fid", "pr", "seg", "x1", "y1",
+                                   "x2", "y2", "ks", "kv")}
+            for fid, wkb in zip(pdf[fid_col], pdf[wkb_col]):
+                kind, d = G.parse_wkb(bytes(wkb))
+                parts = [d] if kind == "polygon" else list(d)
+                for pi, rings in enumerate(parts):
+                    for ri, ring in enumerate(rings):
+                        p = np.asarray(ring, dtype=np.float64)
+                        if len(p) >= 2 and (p[0] == p[-1]).all():
+                            p = p[:-1]
+                        n = len(p)
+                        if n < 3:
+                            continue
+                        pr = pi * 65536 + ri
+                        for si in range(n):
+                            a = p[si]
+                            b = p[(si + 1) % n]
+                            ab, bb = a.tobytes(), b.tobytes()
+                            ks = ab + bb if ab <= bb else bb + ab
+                            out["fid"].append(int(fid))
+                            out["pr"].append(pr)
+                            out["seg"].append(si)
+                            out["x1"].append(float(a[0]))
+                            out["y1"].append(float(a[1]))
+                            out["x2"].append(float(b[0]))
+                            out["y2"].append(float(b[1]))
+                            out["ks"].append(ks)
+                            out["kv"].append(ab)
+            yield pd.DataFrame(out)
+
+    seg_schema = ("fid long, pr long, seg int, x1 double, y1 double, "
+                  "x2 double, y2 double, ks binary, kv binary")
+    segs = features.mapInPandas(explode_segments, schema=seg_schema)
+
+    owners = (segs.select("ks", "fid").groupBy("ks")
+              .agg(F.collect_set("fid").alias("owners")))
+    vjunc = (segs.select("kv", "fid").distinct().groupBy("kv")
+             .agg(F.count("*").alias("nf"))
+             .where(F.col("nf") > 2)
+             .select("kv", F.lit(True).alias("forced")))
+    segs2 = (segs.join(owners, "ks")
+             .withColumn("co", F.coalesce(
+                 F.array_min(F.expr("filter(owners, o -> o != fid)")),
+                 F.lit(-1).cast("long")))
+             .join(vjunc, "kv", "left")
+             .withColumn("forced", F.coalesce("forced", F.lit(False)))
+             .select("fid", "pr", "seg", "x1", "y1", "x2", "y2",
+                     "co", "forced"))
+
+    arc_schema = ("fid long, pr long, run int, akey binary, rev boolean, "
+                  "closed boolean, co long, pts binary")
+
+    def make_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg")
+        fid = int(pdf["fid"].iloc[0])
+        pr = int(pdf["pr"].iloc[0])
+        n = len(pdf)
+        xs1 = pdf["x1"].to_numpy()
+        ys1 = pdf["y1"].to_numpy()
+        co = pdf["co"].to_numpy()
+        forced = pdf["forced"].to_numpy()
+        # break BEFORE segment i when its start vertex is a junction:
+        # co-owner changed from the previous segment, or >2 polygons use
+        # the vertex
+        brk = np.nonzero((co != np.roll(co, 1)) | forced)[0]
+        rows = {k: [] for k in ("fid", "pr", "run", "akey", "rev",
+                                "closed", "co", "pts")}
+
+        def emit(run, pts, closed, aco):
+            fwd = pts.tobytes()
+            if closed:
+                # rotation+direction canonical: anchor at lexicographic
+                # min vertex (drop closure dup first)
+                q = pts[:-1]
+                k = int(np.lexsort((q[:, 1], q[:, 0]))[0])
+                q = np.roll(q, -k, axis=0)
+                q = np.concatenate([q, q[:1]], axis=0)
+                fb, rb = q.tobytes(), q[::-1].tobytes()
+                canon = fb if fb <= rb else rb
+                # rev = our traversal direction differs from the
+                # canonical one (rotation itself is irrelevant to a ring)
+                rev = canon == rb and fb != rb
+                rows["pts"].append(canon)
+            else:
+                rb = pts[::-1].tobytes()
+                canon = fwd if fwd <= rb else rb
+                rev = canon != fwd
+                rows["pts"].append(canon)
+            rows["akey"].append(hashlib.md5(canon).digest())
+            rows["fid"].append(fid)
+            rows["pr"].append(pr)
+            rows["run"].append(run)
+            rows["rev"].append(bool(rev))
+            rows["closed"].append(bool(closed))
+            rows["co"].append(int(aco))
+
+        if len(brk) == 0:
+            pts = np.stack([np.append(xs1, xs1[0]),
+                            np.append(ys1, ys1[0])], axis=1)
+            emit(0, pts, True, int(co[0]))
+        else:
+            for j, s in enumerate(brk):
+                e = brk[(j + 1) % len(brk)]
+                idxs = (np.arange(s, e) if e > s
+                        else np.concatenate([np.arange(s, n),
+                                             np.arange(0, e)]))
+                px = np.append(xs1[idxs], xs1[e % n])
+                py = np.append(ys1[idxs], ys1[e % n])
+                pts = np.stack([px, py], axis=1)
+                emit(j, pts, False, int(co[s]))
+        return pd.DataFrame(rows)
+
+    arcsrc = segs2.groupBy("fid", "pr").applyInPandas(
+        make_arcs, schema=arc_schema)
+
+    def simplify_arcs(it):
+        for pdf in it:
+            outk, outp = [], []
+            for akey, pts_b, closed, aco in zip(
+                    pdf["akey"], pdf["pts"], pdf["closed"], pdf["co"]):
+                pts = np.frombuffer(bytes(pts_b)).reshape(-1, 2)
+                if preserve_boundary and int(aco) == -1:
+                    sp = pts
+                else:
+                    sp = vw_simplify(pts, tol, closed=bool(closed))
+                outk.append(bytes(akey))
+                outp.append(np.ascontiguousarray(sp).tobytes())
+            yield pd.DataFrame({"akey": outk, "spts": outp})
+
+    arcs = (arcsrc.select("akey", "pts", "closed", "co")
+            .groupBy("akey")
+            .agg(F.first("pts").alias("pts"),
+                 F.first("closed").alias("closed"),
+                 F.min("co").alias("co"))
+            .mapInPandas(simplify_arcs, schema="akey binary, spts binary"))
+
+    ring_schema = "fid long, pr long, ringpts binary"
+
+    def assemble_ring(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("run")
+        fid = int(pdf["fid"].iloc[0])
+        pr = int(pdf["pr"].iloc[0])
+        parts = []
+        for pts_b, rev, closed in zip(pdf["spts"], pdf["rev"],
+                                      pdf["closed"]):
+            p = np.frombuffer(bytes(pts_b)).reshape(-1, 2)
+            if rev:
+                p = p[::-1]
+            if closed:
+                parts = [p]
+                break
+            parts.append(p)
+        ring = parts[0]
+        for p in parts[1:]:
+            ring = np.concatenate([ring, p[1:]], axis=0)
+        if not (ring[0] == ring[-1]).all():
+            ring = np.concatenate([ring, ring[:1]], axis=0)
+        return pd.DataFrame({
+            "fid": [fid], "pr": [pr],
+            "ringpts": [np.ascontiguousarray(ring).tobytes()],
+        })
+
+    rings = (arcsrc.join(arcs, "akey")
+             .groupBy("fid", "pr")
+             .applyInPandas(assemble_ring, schema=ring_schema))
+
+    def build_wkb(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid"].iloc[0])
+        pdf = pdf.sort_values("pr")
+        parts: dict = {}
+        for pr, rb in zip(pdf["pr"], pdf["ringpts"]):
+            ring = np.frombuffer(bytes(rb)).reshape(-1, 2)
+            parts.setdefault(int(pr) // 65536, []).append(
+                [tuple(v) for v in ring])
+        keys = sorted(parts)
+        if len(keys) == 1:
+            wkb = G.to_wkb("polygon", parts[keys[0]])
+        else:
+            wkb = G.to_wkb("multipolygon", [parts[k] for k in keys])
+        return pd.DataFrame({"fid": [fid], "wkb": [wkb]})
+
+    return rings.groupBy("fid").applyInPandas(
+        build_wkb, schema="fid long, wkb binary")

@@ -4781,7 +4781,53 @@ SELECT 'gap', CAST(ROUND(1000.0 * (8.0*c + 8.0 - k/2.0)) AS BIGINT),
 FROM (VALUES {", ".join(f"({r}, {c}, {k})" for r, c, k in _COVERAGE_SHRINK)})
      s(r, c, k)
 WHERE 2 * CEIL(k / 2.0) <= 5
+UNION ALL
+-- simplify-coverage: 3x3 zigzag grid, tolerance 1.5, preserve-boundary.
+-- Every interior zigzag border (7 extra vertices, VW effective areas
+-- <= 1.6 < 2.25) straightens to its corner chord, so all areas return to
+-- exactly 64; square (0,0)'s OUTER zigzag is preserved (+4 teeth = +1.6).
+SELECT 'simp', CAST(sr*3 + sc + 1 AS BIGINT),
+       CAST(CASE WHEN sr=0 AND sc=0 THEN 12 ELSE 5 END AS BIGINT),
+       CAST(CASE WHEN sr=0 AND sc=0 THEN 65600 ELSE 64000 END AS BIGINT),
+       CAST(5 + CASE WHEN sc < 2 THEN 7 ELSE 0 END
+              + CASE WHEN sc > 0 THEN 7 ELSE 0 END
+              + CASE WHEN sr=0 AND sc=0 THEN 7 ELSE 0 END AS BIGINT)
+FROM (SELECT unnest(generate_series(0, 2)) AS sr) srr
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS sc) scc
 """
+
+
+def _simplify_fixture_df(spark):
+    """3x3 grid of 8x8 squares whose interior vertical borders (and the
+    outer left edge of square (0,0)) carry a 7-vertex zigzag of amplitude
+    0.4 — the shared-arc VW fixture of _LAYER_SUITE_SQL's 'simp' mode."""
+    import pandas as _pdl
+
+    from .oracle import geom as G
+
+    def zig(x, ylo, dx, up):
+        pts = [(x + (dx if i % 2 == 1 else 0.0), ylo + i)
+               for i in range(1, 8)]
+        return pts if up else pts[::-1]
+
+    rows = []
+    for r in range(3):
+        for c in range(3):
+            x0, x1 = 8.0 * c, 8.0 * c + 8.0
+            y1, y0 = 24.0 - 8.0 * r, 16.0 - 8.0 * r
+            ring = [(x0, y0), (x1, y0)]
+            if c < 2:
+                ring += zig(x1, y0, 0.4, True)
+            ring += [(x1, y1), (x0, y1)]
+            if c > 0:
+                ring += zig(x0, y0, 0.4, False)
+            elif r == 0:
+                ring += zig(x0, y0, -0.4, False)
+            ring.append((x0, y0))
+            rows.append((r * 3 + c + 1, G.to_wkb("polygon", [ring])))
+    return spark.createDataFrame(
+        _pdl.DataFrame(rows, columns=["fid", "wkb"]),
+        schema="fid long, wkb binary")
 
 
 def _coverage_fixture_df(spark):
@@ -4825,11 +4871,17 @@ def poly_intersection_area(spark, sf_dir):
       gapWidth semantics): distributed tile+halo raster analysis with
       cross-tile component stitching; enclosed slivers of inscribed
       width <= 5 reported with pixel area / width / centroid, the k=7
-      sliver and the unbounded outside rejected."""
+      sliver and the unbounded outside rejected.
+    * simp — gdal vector simplify-coverage
+      (apps/gdalalg_vector_simplify_coverage.cpp ->
+      GEOSCoverageSimplifyVW): shared-arc Visvalingam-Whyatt at
+      tolerance 1.5 with preserve-boundary; interior zigzags straighten
+      exactly (areas return to 64), the exterior zigzag survives."""
     from .functions.geometry import diamond_wkb
     from .operators.layer_algebra import (check_coverage,
                                           check_coverage_gaps,
-                                          poly_intersection)
+                                          poly_intersection,
+                                          simplify_coverage)
 
     register_tpch_views(spark, sf_dir)
     a = spark.sql(
@@ -4866,7 +4918,25 @@ def poly_intersection_area(spark, sf_dir):
         F.col("npix").cast("long").alias("v1"),
         F.round(F.col("width") * 1000.0, 0).cast("long").alias("v2"),
     )
-    return inter.unionByName(ov).unionByName(gaps)
+    from .sql.ogr_compat import register_st_functions
+
+    register_st_functions(spark)
+    sfx = _simplify_fixture_df(spark)
+    before = sfx.select(
+        "fid", F.expr("ST_NPoints(wkb)").alias("n_before"))
+    simped = simplify_coverage(sfx, tolerance=1.5, preserve_boundary=True)
+    simp = (simped
+            .select("fid", F.expr("ST_NPoints(wkb)").alias("n_after"),
+                    F.expr("ST_Area(wkb)").alias("area"))
+            .join(before, "fid")
+            .select(
+                F.lit("simp").alias("mode"),
+                F.col("fid").cast("long").alias("a"),
+                F.col("n_after").cast("long").alias("b"),
+                F.round(F.col("area") * 1000.0, 0).cast("long").alias("v1"),
+                F.col("n_before").cast("long").alias("v2"),
+            ))
+    return inter.unionByName(ov).unionByName(gaps).unionByName(simp)
 
 
 # Donut (polygon with a hole): outer/inner boxes with off-representable

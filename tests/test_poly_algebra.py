@@ -608,3 +608,121 @@ class TestCheckCoverage:
                 .toPandas())
         assert sorted(wide["npix"]) == [8, 8, 24, 56]  # k=7: 7x8 admitted
         assert sorted(wide["width"])[-1] == 8.0
+
+
+class TestSimplifyCoverage:
+    """gdal vector simplify-coverage -> GEOSCoverageSimplifyVW (round 5):
+    shared-arc Visvalingam-Whyatt with pinned coverage nodes."""
+
+    @staticmethod
+    def _zigzag_grid(spark):
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+
+        def zig(x, ylo, dx, up):
+            pts = [(x + (dx if i % 2 == 1 else 0.0), ylo + i)
+                   for i in range(1, 8)]
+            return pts if up else pts[::-1]
+
+        rows = []
+        for r in range(3):
+            for c in range(3):
+                x0, x1 = 8.0 * c, 8.0 * c + 8.0
+                y1, y0 = 24.0 - 8.0 * r, 16.0 - 8.0 * r
+                ring = [(x0, y0), (x1, y0)]
+                if c < 2:
+                    ring += zig(x1, y0, 0.4, True)
+                ring += [(x1, y1), (x0, y1)]
+                if c > 0:
+                    ring += zig(x0, y0, 0.4, False)
+                elif r == 0:
+                    ring += zig(x0, y0, -0.4, False)
+                ring.append((x0, y0))
+                rows.append((r * 3 + c + 1, G.to_wkb("polygon", [ring])))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "wkb"]),
+            "fid long, wkb binary")
+
+    def test_shared_arcs_straighten_boundary_preserved(self, spark):
+        from gdal_spark.operators.layer_algebra import (check_coverage,
+                                                        simplify_coverage)
+        from gdal_spark.oracle import geom as G
+
+        df = self._zigzag_grid(spark)
+        out = simplify_coverage(df, tolerance=1.5, preserve_boundary=True)
+        pdf = out.toPandas().sort_values("fid")
+        for t in pdf.itertuples(index=False):
+            _, d = G.parse_wkb(bytes(t.wkb))
+            n, area = len(d[0]), abs(G._ring_signed_area(d[0]))
+            if t.fid == 1:  # outer zigzag preserved: 4 teeth = +1.6
+                assert n == 12 and abs(area - 65.6) < 1e-9
+            else:           # interior zigzags straighten exactly
+                assert n == 5 and abs(area - 64.0) < 1e-9
+        # simplification must not break the coverage: no overlaps
+        assert check_coverage(out).count() == 0
+
+    def test_no_preserve_flattens_exterior(self, spark):
+        from gdal_spark.operators.layer_algebra import simplify_coverage
+        from gdal_spark.oracle import geom as G
+
+        df = self._zigzag_grid(spark)
+        pdf = (simplify_coverage(df, tolerance=1.5,
+                                 preserve_boundary=False)
+               .toPandas().sort_values("fid"))
+        for t in pdf.itertuples(index=False):
+            _, d = G.parse_wkb(bytes(t.wkb))
+            assert len(d[0]) == 5
+            assert abs(abs(G._ring_signed_area(d[0])) - 64.0) < 1e-9
+
+    def test_tolerance_zero_identity(self, spark):
+        from gdal_spark.operators.layer_algebra import simplify_coverage
+        from gdal_spark.oracle import geom as G
+
+        df = self._zigzag_grid(spark)
+        pdf = simplify_coverage(df, tolerance=0.0).toPandas()
+        orig = {r["fid"]: bytes(r["wkb"])
+                for _, r in df.toPandas().iterrows()}
+        for t in pdf.itertuples(index=False):
+            _, d0 = G.parse_wkb(orig[t.fid])
+            _, d1 = G.parse_wkb(bytes(t.wkb))
+            # same vertex multiset per ring (rotation may differ for a
+            # ring with no junction; here every ring has junctions, so
+            # sequences must match up to start rotation)
+            assert len(d0[0]) == len(d1[0])
+            s0 = sorted(map(tuple, d0[0][:-1]))
+            s1 = sorted(map(tuple, d1[0][:-1]))
+            assert s0 == s1
+
+    def test_island_in_hole_shared_closed_ring(self, spark):
+        """A hole ring shared vertex-for-vertex with an island's outer
+        ring is ONE closed arc with no junctions: both owners must get
+        the identical simplified ring (rotation-canonical anchor)."""
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import simplify_coverage
+        from gdal_spark.oracle import geom as G
+
+        def zig(x, ylo, dx, up):
+            pts = [(x + (dx if i % 2 == 1 else 0.0), ylo + i)
+                   for i in range(1, 8)]
+            return pts if up else pts[::-1]
+
+        hole = [(8.0, 8.0), (16.0, 8.0)] + zig(16.0, 8.0, 0.4, True) \
+            + [(16.0, 16.0), (8.0, 16.0)] + [(8.0, 8.0)]
+        outer = [(0.0, 0.0), (24.0, 0.0), (24.0, 24.0), (0.0, 24.0),
+                 (0.0, 0.0)]
+        a = G.to_wkb("polygon", [outer, hole])
+        b = G.to_wkb("polygon", [hole])
+        df = spark.createDataFrame(
+            pd.DataFrame({"fid": [1, 2], "wkb": [a, b]}),
+            "fid long, wkb binary")
+        pdf = (simplify_coverage(df, tolerance=1.5)
+               .toPandas().sort_values("fid"))
+        _, da = G.parse_wkb(bytes(pdf.iloc[0]["wkb"]))
+        _, db = G.parse_wkb(bytes(pdf.iloc[1]["wkb"]))
+        ra = sorted(map(tuple, da[1][:-1]))   # A's hole ring
+        rb = sorted(map(tuple, db[0][:-1]))   # B's outer ring
+        assert ra == rb == [(8.0, 8.0), (8.0, 16.0),
+                            (16.0, 8.0), (16.0, 16.0)]
+        assert abs(abs(G._ring_signed_area(db[0])) - 64.0) < 1e-9
