@@ -1128,3 +1128,174 @@ def simplify_coverage(features: DataFrame, tolerance: float,
 
     return rings.groupBy("fid").applyInPandas(
         build_wkb, schema="fid long, wkb binary")
+
+
+def clean_coverage(features: DataFrame, merge_strategy: str = "longest-border",
+                   fid_col: str = "fid", wkb_col: str = "wkb",
+                   zoom: int = 5) -> DataFrame:
+    """gdal vector clean-coverage, the overlap-merge half
+    (apps/gdalalg_vector_clean_coverage.cpp:39 merge-strategy ->
+    GEOSCoverageCleanParams_setOverlapMergeStrategy): every interior
+    overlap between coverage neighbours is assigned to exactly ONE of the
+    two and subtracted from the other, per strategy:
+
+    * ``longest-border`` (the GEOS default): the piece goes to the
+      polygon sharing the longest border with it.  The overlap A∩B's
+      boundary splits by provenance — its edges lying on ∂B (interior to
+      A) separate it from A's remainder, edges on ∂A from B's remainder —
+      so the comparison is exact edge-length bookkeeping, no new
+      geometry.  Ties break to the lower fid (deterministic).
+    * ``max-area`` / ``min-area``: by total polygon area (tie -> lower
+      fid).
+    * ``min-index``: the lower fid keeps the piece.
+
+    Distributed shape: overlap pieces come from the covering-cell pair
+    join (no all-pairs); parent geometries join back by fid; one groupBy
+    per losing polygon subtracts its lost pieces sequentially through the
+    Greiner-Hormann difference kernel (oracle/geom.gh_polygon_pieces).
+    Pairwise resolution: a cyclic triple overlap (A beats B beats C
+    beats A over a common region) can leave that region unassigned — a
+    second clean pass converges it; GEOS resolves such cycles globally
+    (documented delta).  Returns (fid, wkb); split losers come back as
+    multipolygons."""
+    import numpy as np
+
+    from ..oracle import geom as G
+
+    if merge_strategy not in ("longest-border", "max-area", "min-area",
+                              "min-index"):
+        raise ValueError(f"unknown merge-strategy {merge_strategy!r}")
+
+    a = features.select(F.col(fid_col).alias("cov_aid"),
+                        F.col(wkb_col).alias("wkb"))
+    b = features.select(F.col(fid_col).alias("cov_bid"),
+                        F.col(wkb_col).alias("wkb"))
+    pieces = (poly_intersection(a, b, "cov_aid", "cov_bid", zoom=zoom,
+                                broadcast_b=False)
+              .where(F.col("cov_aid") < F.col("cov_bid"))
+              .where(F.col("area") > 1e-9)
+              .select("cov_aid", "cov_bid",
+                      F.col("wkb").alias("piece")))
+    pa = features.select(F.col(fid_col).alias("cov_aid"),
+                         F.col(wkb_col).alias("awkb"))
+    pb = features.select(F.col(fid_col).alias("cov_bid"),
+                         F.col(wkb_col).alias("bwkb"))
+    pairs = pieces.join(pa, "cov_aid").join(pb, "cov_bid")
+
+    def _edges_on_boundary_len(pts, rings, eps=1e-9):
+        """Total length of polyline edges whose midpoint lies on any ring
+        segment (distance < eps) — vectorized point-to-segment."""
+        mids = (pts[:-1] + pts[1:]) / 2.0
+        lens = np.hypot(*(pts[1:] - pts[:-1]).T)
+        on = np.zeros(len(mids), dtype=bool)
+        for ring in rings:
+            q = np.asarray(ring, dtype=np.float64)
+            a0, a1 = q[:-1], q[1:]
+            d = a1 - a0
+            L2 = (d * d).sum(axis=1)
+            L2 = np.where(L2 == 0.0, 1.0, L2)
+            for i, m in enumerate(mids):
+                if on[i]:
+                    continue
+                t = ((m - a0) * d).sum(axis=1) / L2
+                t = np.clip(t, 0.0, 1.0)
+                proj = a0 + t[:, None] * d
+                dist2 = ((proj - m) ** 2).sum(axis=1)
+                if (dist2 < eps * eps).any():
+                    on[i] = True
+        return float(lens[on].sum())
+
+    def decide(it):
+        for pdf in it:
+            loser, pc = [], []
+            for r in pdf.itertuples(index=False):
+                aw, bw = bytes(r.awkb), bytes(r.bwkb)
+                fa, fb = int(r.cov_aid), int(r.cov_bid)
+                if merge_strategy == "min-index":
+                    lose = fb
+                elif merge_strategy in ("max-area", "min-area"):
+                    def _poly_area(g):
+                        kind, d = g
+                        parts = [d] if kind == "polygon" else d
+                        return sum(
+                            abs(G._ring_signed_area(np.asarray(p[0])))
+                            - sum(abs(G._ring_signed_area(np.asarray(h)))
+                                  for h in p[1:])
+                            for p in parts)
+                    ar_a = _poly_area(G.parse_wkb(aw))
+                    ar_b = _poly_area(G.parse_wkb(bw))
+                    if merge_strategy == "max-area":
+                        # bigger polygon keeps the piece
+                        lose = fb if (ar_a > ar_b
+                                      or (ar_a == ar_b and fa < fb)) else fa
+                    else:
+                        lose = fb if (ar_a < ar_b
+                                      or (ar_a == ar_b and fa < fb)) else fa
+                else:  # longest-border
+                    kp, dp = G.parse_wkb(bytes(r.piece))
+                    prings = ([np.asarray(x) for x in dp]
+                              if kp == "polygon"
+                              else [np.asarray(x) for part in dp
+                                    for x in part])
+                    ka, da = G.parse_wkb(aw)
+                    kb, db = G.parse_wkb(bw)
+                    ra = ([np.asarray(x) for x in da] if ka == "polygon"
+                          else [np.asarray(x) for p in da for x in p])
+                    rb = ([np.asarray(x) for x in db] if kb == "polygon"
+                          else [np.asarray(x) for p in db for x in p])
+                    # piece edges ON ∂B separate the piece from A's
+                    # remainder -> they are the common border with A
+                    len_with_a = sum(_edges_on_boundary_len(pr, rb)
+                                     for pr in prings)
+                    len_with_b = sum(_edges_on_boundary_len(pr, ra)
+                                     for pr in prings)
+                    if len_with_a > len_with_b:
+                        lose = fb          # A keeps the piece
+                    elif len_with_b > len_with_a:
+                        lose = fa
+                    else:
+                        lose = fb          # tie -> lower fid keeps
+                loser.append(lose)
+                pc.append(bytes(r.piece))
+            yield pd.DataFrame({"fid": loser, "piece": pc})
+
+    lost = pairs.mapInPandas(decide, schema="fid long, piece binary")
+    lost = lost.join(features.select(F.col(fid_col).alias("fid"),
+                                     F.col(wkb_col).alias("wkb")), "fid")
+
+    def subtract_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid"].iloc[0])
+        own = G.parse_wkb(bytes(pdf["wkb"].iloc[0]))
+        kind, d = own
+        parts = [d] if kind == "polygon" else list(d)
+        # rings in play: each part as a (outer + holes) polygon
+        cur = parts
+        for piece_b in sorted(bytes(x) for x in pdf["piece"]):
+            gp = G.parse_wkb(piece_b)
+            nxt = []
+            for part in cur:
+                # Greiner-Hormann first; shared-boundary degeneracy (the
+                # NORMAL coverage case: the piece borders the loser's own
+                # edge) falls back to the exact convex-decomposition
+                # subtraction — the remainder may then come back as
+                # several disjoint convex pieces (area-exact, a coarser
+                # decomposition than GEOS's minimal rings)
+                res = G.polygon_difference_pieces(("polygon", list(part)),
+                                                  gp)
+                nxt.extend([[rg] for rg in res
+                            if abs(G._ring_signed_area(rg)) > 1e-9])
+            cur = nxt
+        if len(cur) == 1:
+            wkb = G.to_wkb("polygon", [np.asarray(x) for x in cur[0]])
+        else:
+            wkb = G.to_wkb("multipolygon",
+                           [[np.asarray(x) for x in p] for p in cur])
+        return pd.DataFrame({"fid": [fid], "wkb": [wkb]})
+
+    cleaned = lost.groupBy("fid").applyInPandas(
+        subtract_all, schema="fid long, wkb binary")
+    out = (features.select(F.col(fid_col).alias("fid"),
+                           F.col(wkb_col).alias("wkb"))
+           .join(cleaned.withColumnRenamed("wkb", "new_wkb"), "fid", "left")
+           .select("fid", F.coalesce("new_wkb", "wkb").alias("wkb")))
+    return out

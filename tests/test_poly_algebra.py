@@ -726,3 +726,82 @@ class TestSimplifyCoverage:
         assert ra == rb == [(8.0, 8.0), (8.0, 16.0),
                             (16.0, 8.0), (16.0, 16.0)]
         assert abs(abs(G._ring_signed_area(db[0])) - 64.0) < 1e-9
+
+
+class TestCleanCoverage:
+    """gdal vector clean-coverage overlap merge (round 5):
+    GEOSCoverageCleanParams merge strategies."""
+
+    @staticmethod
+    def _sq(x0, y0, x1, y1):
+        from gdal_spark.oracle import geom as G
+        return G.to_wkb("polygon",
+                        [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+    @staticmethod
+    def _areas(pdf):
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+        out = {}
+        for t in pdf.itertuples(index=False):
+            kind, d = G.parse_wkb(bytes(t.wkb))
+            parts = [d] if kind == "polygon" else d
+            out[t.fid] = round(sum(
+                abs(G._ring_signed_area(np.asarray(p[0]))) for p in parts), 9)
+        return out
+
+    def test_strategies(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import (check_coverage,
+                                                        clean_coverage)
+
+        # A tall 4x10 and B wide 10x4 overlapping by 2x4: the piece
+        # borders A's remainder along 8 units (B's edges inside A) and
+        # B's remainder along 4 (A's right edge) -> longest-border: A
+        # keeps. Both areas are 40 -> max/min-area tie to lower fid.
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2],
+            "wkb": [self._sq(0, 0, 4, 10), self._sq(2, 3, 12, 7)],
+        }), "fid long, wkb binary")
+        for strat in ("longest-border", "min-index", "max-area",
+                      "min-area"):
+            out = clean_coverage(df, merge_strategy=strat).toPandas()
+            assert self._areas(out) == {1: 40.0, 2: 32.0}, strat
+            odf = spark.createDataFrame(out, "fid long, wkb binary")
+            assert check_coverage(odf).count() == 0
+
+    def test_asymmetric_area_strategies(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import clean_coverage
+
+        # A 10x10 (area 100) and C 11x6 (area 66) overlapping by 1x6.
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2],
+            "wkb": [self._sq(0, 0, 10, 10), self._sq(9, 2, 20, 8)],
+        }), "fid long, wkb binary")
+        for strat, expect in (("longest-border", {1: 100.0, 2: 60.0}),
+                              ("max-area", {1: 100.0, 2: 60.0}),
+                              ("min-area", {1: 94.0, 2: 66.0})):
+            got = self._areas(
+                clean_coverage(df, merge_strategy=strat).toPandas())
+            assert got == expect, (strat, got)
+
+    def test_non_overlapping_untouched(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.layer_algebra import clean_coverage
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1, 2, 3],
+            "wkb": [self._sq(0, 0, 4, 4), self._sq(4, 0, 8, 4),
+                    self._sq(20, 20, 24, 24)],
+        }), "fid long, wkb binary")
+        out = clean_coverage(df).toPandas()
+        assert self._areas(out) == {1: 16.0, 2: 16.0, 3: 16.0}
+        # byte-identical geometry for untouched features
+        orig = {r["fid"]: bytes(r["wkb"]) for _, r in df.toPandas().iterrows()}
+        for t in out.itertuples(index=False):
+            assert bytes(t.wkb) == orig[t.fid]
