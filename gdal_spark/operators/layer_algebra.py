@@ -900,48 +900,25 @@ def check_coverage_gaps(features: DataFrame, minx: float, maxy: float,
     return gaps
 
 
-def simplify_coverage(features: DataFrame, tolerance: float,
-                      preserve_boundary: bool = False,
-                      fid_col: str = "fid",
-                      wkb_col: str = "wkb") -> DataFrame:
-    """gdal vector simplify-coverage
-    (apps/gdalalg_vector_simplify_coverage.cpp ->
-    GEOSCoverageSimplifyVW(coll, tolerance, preserveBoundary)):
-    topology-preserving Visvalingam-Whyatt simplification of a polygonal
-    coverage.  Every shared border is simplified ONCE and both neighbours
-    receive the identical simplified polyline, so the coverage stays a
-    coverage (no new gaps/overlaps along shared borders); arc endpoints
-    (coverage nodes) are pinned.  ``preserve_boundary`` keeps the
-    coverage's exterior boundary arcs (no neighbour) untouched.
+def _coverage_arc_decomposition(features: DataFrame, fid_col: str,
+                                 wkb_col: str) -> DataFrame:
+    """Shared arc decomposition of a polygonal coverage (used by
+    simplify_coverage and close_coverage_gaps): returns one row per
+    (ring, run) with the arc's rotation/direction-canonical geometry.
 
-    Distributed shape (100 TB): pure key-partitioned relational passes,
-    no all-pairs and no driver-side geometry.
-      1. rings explode to directed segments (one Arrow pass);
-      2. one groupBy on the canonical segment key finds each segment's
-         co-owner (the neighbour across it, -1 = outside);
-      3. one groupBy on the vertex key flags junction vertices used by
-         >2 polygons (nodes where a third polygon touches mid-border);
-      4. per ring, runs of constant co-owner between junctions become
-         arcs; the arc's rotation/direction-canonical geometry hash
-         dedups the two copies of every shared border;
-      5. each distinct arc is VW-simplified once (oracle/vwsimplify.py,
-         endpoints pinned, closed island/hole rings anchor at their
-         lexicographically-smallest vertex so both owners agree);
-      6. arcs join back and two groupBys reassemble rings and polygons.
+    Columns: fid, pr (part*65536+ring), run (order within the ring),
+    akey (md5 of canonical pts), rev (owner's traversal differs from
+    canonical), closed (junction-free full ring), co (neighbour across
+    the arc, -1 = outside), pts (canonical float64 (n,2) bytes).
 
-    Assumes coverage neighbours share bit-identical vertices (the
-    coverage contract) and that ``tolerance`` is small relative to face
-    size (GEOS's post-hoc cross-arc collision check is out of scope —
-    documented).  Returns (fid, wkb) with the input's ring orientation.
-    """
+    Arcs break where the co-owner changes or at vertices used by >2
+    polygons; co-owners come from ONE groupBy on the canonical segment
+    key, junction flags from ONE groupBy on the vertex key."""
     import hashlib
 
     import numpy as np
 
     from ..oracle import geom as G
-    from ..oracle.vwsimplify import vw_simplify
-
-    tol = float(tolerance)
 
     def explode_segments(it):
         for pdf in it:
@@ -1046,40 +1023,29 @@ def simplify_coverage(features: DataFrame, tolerance: float,
                             np.append(ys1, ys1[0])], axis=1)
             emit(0, pts, True, int(co[0]))
         else:
-            for j, s in enumerate(brk):
+            for j, sdx in enumerate(brk):
                 e = brk[(j + 1) % len(brk)]
-                idxs = (np.arange(s, e) if e > s
-                        else np.concatenate([np.arange(s, n),
+                idxs = (np.arange(sdx, e) if e > sdx
+                        else np.concatenate([np.arange(sdx, n),
                                              np.arange(0, e)]))
                 px = np.append(xs1[idxs], xs1[e % n])
                 py = np.append(ys1[idxs], ys1[e % n])
                 pts = np.stack([px, py], axis=1)
-                emit(j, pts, False, int(co[s]))
+                emit(j, pts, False, int(co[sdx]))
         return pd.DataFrame(rows)
 
-    arcsrc = segs2.groupBy("fid", "pr").applyInPandas(
+    return segs2.groupBy("fid", "pr").applyInPandas(
         make_arcs, schema=arc_schema)
 
-    def simplify_arcs(it):
-        for pdf in it:
-            outk, outp = [], []
-            for akey, pts_b, closed, aco in zip(
-                    pdf["akey"], pdf["pts"], pdf["closed"], pdf["co"]):
-                pts = np.frombuffer(bytes(pts_b)).reshape(-1, 2)
-                if preserve_boundary and int(aco) == -1:
-                    sp = pts
-                else:
-                    sp = vw_simplify(pts, tol, closed=bool(closed))
-                outk.append(bytes(akey))
-                outp.append(np.ascontiguousarray(sp).tobytes())
-            yield pd.DataFrame({"akey": outk, "spts": outp})
 
-    arcs = (arcsrc.select("akey", "pts", "closed", "co")
-            .groupBy("akey")
-            .agg(F.first("pts").alias("pts"),
-                 F.first("closed").alias("closed"),
-                 F.min("co").alias("co"))
-            .mapInPandas(simplify_arcs, schema="akey binary, spts binary"))
+def _reassemble_polygons(runs: DataFrame) -> DataFrame:
+    """Rebuild (fid, wkb) polygons from per-run arc rows
+    (fid, pr, run, spts, rev, closed): arcs stitch tail-to-head in run
+    order (junction vertices deduped), rings regroup into polygon /
+    multipolygon parts."""
+    import numpy as np
+
+    from ..oracle import geom as G
 
     ring_schema = "fid long, pr long, ringpts binary"
 
@@ -1107,8 +1073,7 @@ def simplify_coverage(features: DataFrame, tolerance: float,
             "ringpts": [np.ascontiguousarray(ring).tobytes()],
         })
 
-    rings = (arcsrc.join(arcs, "akey")
-             .groupBy("fid", "pr")
+    rings = (runs.groupBy("fid", "pr")
              .applyInPandas(assemble_ring, schema=ring_schema))
 
     def build_wkb(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1128,6 +1093,77 @@ def simplify_coverage(features: DataFrame, tolerance: float,
 
     return rings.groupBy("fid").applyInPandas(
         build_wkb, schema="fid long, wkb binary")
+
+
+def simplify_coverage(features: DataFrame, tolerance: float,
+                      preserve_boundary: bool = False,
+                      fid_col: str = "fid",
+                      wkb_col: str = "wkb") -> DataFrame:
+    """gdal vector simplify-coverage
+    (apps/gdalalg_vector_simplify_coverage.cpp ->
+    GEOSCoverageSimplifyVW(coll, tolerance, preserveBoundary)):
+    topology-preserving Visvalingam-Whyatt simplification of a polygonal
+    coverage.  Every shared border is simplified ONCE and both neighbours
+    receive the identical simplified polyline, so the coverage stays a
+    coverage (no new gaps/overlaps along shared borders); arc endpoints
+    (coverage nodes) are pinned.  ``preserve_boundary`` keeps the
+    coverage's exterior boundary arcs (no neighbour) untouched.
+
+    Distributed shape (100 TB): pure key-partitioned relational passes,
+    no all-pairs and no driver-side geometry.
+      1. rings explode to directed segments (one Arrow pass);
+      2. one groupBy on the canonical segment key finds each segment's
+         co-owner (the neighbour across it, -1 = outside);
+      3. one groupBy on the vertex key flags junction vertices used by
+         >2 polygons (nodes where a third polygon touches mid-border);
+      4. per ring, runs of constant co-owner between junctions become
+         arcs; the arc's rotation/direction-canonical geometry hash
+         dedups the two copies of every shared border;
+      5. each distinct arc is VW-simplified once (oracle/vwsimplify.py,
+         endpoints pinned, closed island/hole rings anchor at their
+         lexicographically-smallest vertex so both owners agree);
+      6. arcs join back and two groupBys reassemble rings and polygons.
+
+    Assumes coverage neighbours share bit-identical vertices (the
+    coverage contract) and that ``tolerance`` is small relative to face
+    size (GEOS's post-hoc cross-arc collision check is out of scope —
+    documented).  Returns (fid, wkb) with the input's ring orientation.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..oracle import geom as G
+    from ..oracle.vwsimplify import vw_simplify
+
+    tol = float(tolerance)
+
+    arcsrc = _coverage_arc_decomposition(features, fid_col, wkb_col)
+
+    def simplify_arcs(it):
+        for pdf in it:
+            outk, outp = [], []
+            for akey, pts_b, closed, aco in zip(
+                    pdf["akey"], pdf["pts"], pdf["closed"], pdf["co"]):
+                pts = np.frombuffer(bytes(pts_b)).reshape(-1, 2)
+                if preserve_boundary and int(aco) == -1:
+                    sp = pts
+                else:
+                    sp = vw_simplify(pts, tol, closed=bool(closed))
+                outk.append(bytes(akey))
+                outp.append(np.ascontiguousarray(sp).tobytes())
+            yield pd.DataFrame({"akey": outk, "spts": outp})
+
+    arcs = (arcsrc.select("akey", "pts", "closed", "co")
+            .groupBy("akey")
+            .agg(F.first("pts").alias("pts"),
+                 F.first("closed").alias("closed"),
+                 F.min("co").alias("co"))
+            .mapInPandas(simplify_arcs, schema="akey binary, spts binary"))
+
+    runs = arcsrc.join(arcs, "akey").select(
+        "fid", "pr", "run", "spts", "rev", "closed")
+    return _reassemble_polygons(runs)
 
 
 def clean_coverage(features: DataFrame, merge_strategy: str = "longest-border",
@@ -1299,3 +1335,288 @@ def clean_coverage(features: DataFrame, merge_strategy: str = "longest-border",
            .join(cleaned.withColumnRenamed("wkb", "new_wkb"), "fid", "left")
            .select("fid", F.coalesce("new_wkb", "wkb").alias("wkb")))
     return out
+
+
+def close_coverage_gaps(features: DataFrame, max_gap_width: float,
+                        fid_col: str = "fid",
+                        wkb_col: str = "wkb") -> DataFrame:
+    """gdal vector clean-coverage, the gap-closing half
+    (apps/gdalalg_vector_clean_coverage.cpp:44 maximum-gap-width ->
+    GEOSCoverageCleanParams_setGapMaximumWidth): enclosed uncovered
+    regions of inscribed width <= W are merged into the neighbour sharing
+    the longest border with them — an EXACT vector splice, no overlay:
+
+    1. ring orientation is normalized (outers CCW, holes CW) so the
+       uncovered side is always on the RIGHT of a boundary walk;
+    2. the shared arc decomposition marks exterior arcs (co = -1, no
+       polygon across); around every gap these arcs chain head-to-tail
+       into a CLOCKWISE loop (negative signed area) while each connected
+       component's true exterior chains counter-clockwise — the loop sign
+       is the gap classifier;
+    3. loops are stitched like the raster component stitcher: an
+       endpoint equi-join yields arc->arc edges, the driver walks the
+       (distinct, arc-count-bounded) edge list into cycles, and the loop
+       ids broadcast back;
+    4. per loop, the gap ring's inscribed width is measured by a LOCAL
+       chamfer grid at W/16 resolution (quantization +-W/16, documented);
+       junction-free negative rings (empty narrow holes) are single-arc
+       loops and simply get dropped from their owner;
+    5. a qualifying gap merges into the owner of its LONGEST loop arc
+       (GEOS longest-border; tie -> smallest arc key): that owner's arc
+       is replaced by the rest of the loop walked backwards — the border
+       between owner and gap disappears, every other neighbour keeps its
+       border vertex-for-vertex, so the result is still a valid coverage.
+
+    Returns (fid, wkb) with normalized ring orientation."""
+    import numpy as np
+
+    from ..oracle import geom as G
+    from ..oracle.rasterize import proximity, rasterize_rings
+
+    W = float(max_gap_width)
+
+    def normalize(it):
+        for pdf in it:
+            fids, wkbs = [], []
+            for fid, wkb in zip(pdf[fid_col], pdf[wkb_col]):
+                kind, d = G.parse_wkb(bytes(wkb))
+                parts = [d] if kind == "polygon" else list(d)
+                nparts = []
+                for rings in parts:
+                    nr = []
+                    for ri, ring in enumerate(rings):
+                        p = np.asarray(ring, dtype=np.float64)
+                        sa = G._ring_signed_area(p)
+                        want_ccw = ri == 0
+                        if (sa > 0) != want_ccw and sa != 0:
+                            p = p[::-1]
+                        nr.append(p)
+                    nparts.append(nr)
+                if kind == "polygon":
+                    out = G.to_wkb("polygon", nparts[0])
+                else:
+                    out = G.to_wkb("multipolygon", nparts)
+                fids.append(int(fid))
+                wkbs.append(out)
+            yield pd.DataFrame({"fid": fids, "wkb": wkbs})
+
+    norm = features.mapInPandas(normalize, schema="fid long, wkb binary")
+    arcsrc = _coverage_arc_decomposition(norm, "fid", "wkb").persist()
+
+    ext_schema = ("akey binary, fid long, pr long, run int, "
+                  "closed boolean, hk binary, tk binary, alen double, "
+                  "opts binary")
+
+    def ext_meta(it):
+        for pdf in it:
+            rows = {k: [] for k in ("akey", "fid", "pr", "run", "closed",
+                                    "hk", "tk", "alen", "opts")}
+            for r in pdf.itertuples(index=False):
+                p = np.frombuffer(bytes(r.pts)).reshape(-1, 2)
+                if r.rev:
+                    p = p[::-1]
+                rows["akey"].append(bytes(r.akey))
+                rows["fid"].append(int(r.fid))
+                rows["pr"].append(int(r.pr))
+                rows["run"].append(int(r.run))
+                rows["closed"].append(bool(r.closed))
+                rows["tk"].append(p[0].tobytes())
+                rows["hk"].append(p[-1].tobytes())
+                rows["alen"].append(
+                    float(np.hypot(*(p[1:] - p[:-1]).T).sum()))
+                rows["opts"].append(np.ascontiguousarray(p).tobytes())
+            yield pd.DataFrame(rows)
+
+    ext = (arcsrc.where(F.col("co") == -1)
+           .mapInPandas(ext_meta, schema=ext_schema)
+           .persist())
+
+    open_ext = ext.where(~F.col("closed"))
+    heads = open_ext.select(F.col("hk").alias("k"),
+                            F.col("akey").alias("from_a"))
+    tails = open_ext.select(F.col("tk").alias("k"),
+                            F.col("akey").alias("to_a"))
+    edge_rows = (heads.join(tails, "k")
+                 .select("from_a", "to_a").distinct().collect())
+
+    # driver-side cycle walk (edge count ~ exterior/gap arc count, the
+    # 1-D boundary of the coverage, not its area)
+    nxt: dict = {}
+    for r in sorted(edge_rows, key=lambda r: (bytes(r["from_a"]),
+                                              bytes(r["to_a"]))):
+        fa, ta = bytes(r["from_a"]), bytes(r["to_a"])
+        if fa not in nxt:
+            nxt[fa] = ta
+    loop_of: dict = {}
+    pos_of: dict = {}
+    for start in sorted(nxt):
+        if start in loop_of:
+            continue
+        path, cur = [], start
+        seen = set()
+        while cur not in seen and cur not in loop_of and cur in nxt:
+            seen.add(cur)
+            path.append(cur)
+            cur = nxt[cur]
+        if cur in seen:  # closed a new cycle at `cur`
+            i0 = path.index(cur)
+            cyc = path[i0:]
+            lid = min(cyc)
+            for i, ak in enumerate(cyc):
+                loop_of[ak] = lid
+                pos_of[ak] = (i - cyc.index(lid)) % len(cyc)
+
+    spark = features.sparkSession
+    loop_rows = [(k, loop_of[k], pos_of[k]) for k in loop_of]
+    if loop_rows:
+        loops_df = spark.createDataFrame(
+            loop_rows, "akey binary, loop binary, pos int")
+    else:
+        loops_df = spark.createDataFrame(
+            [], "akey binary, loop binary, pos int")
+
+    rep_schema = ("fid long, pr long, run int, npts binary, "
+                  "drop boolean")
+
+    def gap_width(ring: np.ndarray) -> float:
+        cell = max(W / 16.0, 1e-12)
+        x0, y0 = ring.min(axis=0) - cell
+        x1, y1 = ring.max(axis=0) + cell
+        w = max(int(np.ceil((x1 - x0) / cell)), 2)
+        h = max(int(np.ceil((y1 - y0) / cell)), 2)
+        gt = [x0, cell, 0.0, y1, 0.0, -cell]
+        inside = rasterize_rings([ring], gt, w, h, burn=1.0) > 0
+        if not inside.any():
+            return 0.0
+        d = proximity(~inside, cell)
+        return float(2.0 * d[inside].max())
+
+    def resolve_loop(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({k: [] for k in
+                              ("fid", "pr", "run", "npts", "drop")})
+        pdf = pdf.sort_values("pos")
+        arcs = [np.frombuffer(bytes(b)).reshape(-1, 2)
+                for b in pdf["opts"]]
+        ring = arcs[0]
+        for p in arcs[1:]:
+            ring = np.concatenate([ring, p[1:]], axis=0)
+        if not (ring[0] == ring[-1]).all():
+            ring = np.concatenate([ring, ring[:1]], axis=0)
+        # positive = a component's true exterior; ~zero = degenerate
+        # coincident-edge sliver (nothing to merge, and splicing one
+        # would corrupt its owners) — both skipped
+        if G._ring_signed_area(ring) >= -1e-12:
+            return empty.astype({"fid": "int64", "pr": "int64",
+                                 "run": "int32", "drop": "bool"})
+        if gap_width(ring) > W:
+            return empty.astype({"fid": "int64", "pr": "int64",
+                                 "run": "int32", "drop": "bool"})
+        lens = pdf["alen"].to_numpy()
+        keys = [bytes(b) for b in pdf["akey"]]
+        j = int(min(range(len(lens)),
+                    key=lambda i: (-lens[i], keys[i])))
+        m = len(arcs)
+        if m == 1:
+            # junction-free narrow hole: the ring vanishes entirely
+            return pd.DataFrame({
+                "fid": [int(pdf["fid"].iloc[j])],
+                "pr": [int(pdf["pr"].iloc[j])],
+                "run": [int(pdf["run"].iloc[j])],
+                "npts": [b""], "drop": [True]})
+        path = None
+        for step in range(1, m):
+            a = arcs[(j - step) % m][::-1]
+            path = a if path is None else np.concatenate(
+                [path, a[1:]], axis=0)
+        return pd.DataFrame({
+            "fid": [int(pdf["fid"].iloc[j])],
+            "pr": [int(pdf["pr"].iloc[j])],
+            "run": [int(pdf["run"].iloc[j])],
+            "npts": [np.ascontiguousarray(path).tobytes()],
+            "drop": [False]})
+
+    looped = ext.join(F.broadcast(loops_df), "akey")
+    closed_loops = (ext.where(F.col("closed"))
+                    .withColumn("loop", F.col("akey"))
+                    .withColumn("pos", F.lit(0)))
+    candidates = looped.unionByName(
+        closed_loops.select(*looped.columns))
+    reps = candidates.groupBy("loop").applyInPandas(
+        resolve_loop, schema=rep_schema)
+
+    drops = reps.where(F.col("drop")).select("fid", "pr")
+    repl = reps.where(~F.col("drop")).select(
+        "fid", "pr", "run", "npts")
+    runs = (arcsrc
+            .join(drops.withColumn("dropped", F.lit(True)),
+                  ["fid", "pr"], "left")
+            .where(F.col("dropped").isNull())
+            .join(repl, ["fid", "pr", "run"], "left")
+            .select(
+                "fid", "pr", "run",
+                F.coalesce("npts", "pts").alias("spts"),
+                F.when(F.col("npts").isNotNull(), F.lit(False))
+                .otherwise(F.col("rev")).alias("rev"),
+                "closed"))
+    return _reassemble_polygons(runs)
+
+
+def snap_coverage(features: DataFrame, snapping_distance: float,
+                  fid_col: str = "fid", wkb_col: str = "wkb") -> DataFrame:
+    """gdal vector clean-coverage, the node-snapping half
+    (apps/gdalalg_vector_clean_coverage.cpp:35 snapping-distance ->
+    GEOSCoverageCleanParams_setSnappingDistance): snap-round every vertex
+    to a grid of cell ``snapping_distance`` so near-miss vertices between
+    neighbours (digitisation jitter below the tolerance) land on the
+    bit-identical coordinate — restoring the shared-vertex coverage
+    contract the arc operators rely on.  Consecutive duplicate vertices
+    dedupe; rings collapsing below 3 distinct vertices drop (a dropped
+    outer ring drops its part).
+
+    Map-only (zero shuffles).  Power-of-two grids snap exactly (binary
+    scaling is lossless); other grids carry one representation rounding,
+    identical for all copies of a vertex."""
+    import numpy as np
+
+    from ..oracle import geom as G
+
+    d = float(snapping_distance)
+    if d <= 0:
+        raise ValueError("snapping_distance must be > 0")
+
+    def snap(it):
+        for pdf in it:
+            fids, wkbs = [], []
+            for fid, wkb in zip(pdf[fid_col], pdf[wkb_col]):
+                kind, data = G.parse_wkb(bytes(wkb))
+                parts = [data] if kind == "polygon" else list(data)
+                nparts = []
+                for rings in parts:
+                    nr = []
+                    for ri, ring in enumerate(rings):
+                        p = np.asarray(ring, dtype=np.float64)
+                        q = np.round(p / d) * d
+                        keep = np.ones(len(q), dtype=bool)
+                        keep[1:] = (q[1:] != q[:-1]).any(axis=1)
+                        q = q[keep]
+                        if len(q) >= 2 and (q[0] == q[-1]).all():
+                            q = q[:-1]
+                        if len(np.unique(q, axis=0)) < 3:
+                            if ri == 0:
+                                nr = None
+                            continue
+                        if nr is not None:
+                            nr.append(np.concatenate([q, q[:1]], axis=0))
+                    if nr:
+                        nparts.append(nr)
+                if not nparts:
+                    continue
+                if len(nparts) == 1:
+                    out = G.to_wkb("polygon", nparts[0])
+                else:
+                    out = G.to_wkb("multipolygon", nparts)
+                fids.append(int(fid))
+                wkbs.append(out)
+            yield pd.DataFrame({"fid": fids, "wkb": wkbs})
+
+    return features.mapInPandas(snap, schema="fid long, wkb binary")

@@ -4782,6 +4782,69 @@ FROM (VALUES {", ".join(f"({r}, {c}, {k})" for r, c, k in _COVERAGE_SHRINK)})
      s(r, c, k)
 WHERE 2 * CEIL(k / 2.0) <= 5
 UNION ALL
+-- clean-coverage overlap merge: two rect pairs.  Pair (31, 32) uses
+-- longest-border: piece edges coinciding with a B edge line border A's
+-- remainder and vice versa (axis-aligned closed form); pair (41, 42)
+-- uses min-area (smaller polygon keeps the piece).  Loser area = own
+-- minus overlap.
+SELECT 'merge', m.fid, CAST(0 AS BIGINT),
+       CAST(ROUND(1000.0 * m.area) AS BIGINT), CAST(0 AS BIGINT)
+FROM (
+  WITH mr AS (
+    SELECT * FROM (VALUES
+      (CAST(31 AS BIGINT), 0.0, 0.0, 4.0, 10.0),
+      (CAST(32 AS BIGINT), 2.0, 3.0, 12.0, 7.0),
+      (CAST(41 AS BIGINT), 0.0, 0.0, 10.0, 10.0),
+      (CAST(42 AS BIGINT), 9.0, 2.0, 20.0, 8.0)) v(fid, x0, y0, x1, y1)
+  ), pr AS (
+    SELECT a.fid AS fa, b.fid AS fb,
+           (a.x1 - a.x0) * (a.y1 - a.y0) AS area_a,
+           (b.x1 - b.x0) * (b.y1 - b.y0) AS area_b,
+           GREATEST(a.x0, b.x0) AS gx0, GREATEST(a.y0, b.y0) AS gy0,
+           LEAST(a.x1, b.x1) AS gx1, LEAST(a.y1, b.y1) AS gy1,
+           a.x0 AS ax0, a.x1 AS ax1, a.y0 AS ay0, a.y1 AS ay1,
+           b.x0 AS bx0, b.x1 AS bx1, b.y0 AS by0, b.y1 AS by1
+    FROM mr a JOIN mr b ON a.fid + 1 = b.fid AND a.fid % 10 = 1
+  ), dec AS (
+    SELECT *,
+      (gy1 - gy0) * (CAST(gx0 IN (bx0, bx1) AS INT)
+                     + CAST(gx1 IN (bx0, bx1) AS INT))
+      + (gx1 - gx0) * (CAST(gy0 IN (by0, by1) AS INT)
+                       + CAST(gy1 IN (by0, by1) AS INT)) AS with_a,
+      (gy1 - gy0) * (CAST(gx0 IN (ax0, ax1) AS INT)
+                     + CAST(gx1 IN (ax0, ax1) AS INT))
+      + (gx1 - gx0) * (CAST(gy0 IN (ay0, ay1) AS INT)
+                       + CAST(gy1 IN (ay0, ay1) AS INT)) AS with_b,
+      (gx1 - gx0) * (gy1 - gy0) AS piece
+    FROM pr
+  ), res AS (
+    SELECT fa, fb, area_a, area_b, piece,
+           CASE WHEN fa = 31 THEN (with_a >= with_b)  -- longest-border
+                ELSE (area_a <= area_b) END AS a_wins  -- min-area
+    FROM dec
+  )
+  SELECT fa AS fid, CASE WHEN a_wins THEN area_a
+                         ELSE area_a - piece END AS area FROM res
+  UNION ALL
+  SELECT fb, CASE WHEN a_wins THEN area_b - piece ELSE area_b END
+  FROM res
+) m
+UNION ALL
+-- clean-coverage snap + gap close: jittered noded 3x3 grid (cell 8),
+-- snap grid 2^-5 restores exact integers, then gaps of inscribed width
+-- <= 3 close: the 1x8 sliver (width 2) merges into its longest-border
+-- neighbour — the two 8-unit side arcs tie and the arc-key tiebreak
+-- lands on fid 5 (pinned; deterministic for this fixed geometry) — the
+-- 6x8 gap (width 8) stays open.
+SELECT 'clean', CAST(cr*3 + cc + 1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1000 * (64
+            - CASE WHEN cr=1 AND cc=0 THEN 8 ELSE 0 END
+            - CASE WHEN cr=1 AND cc=2 THEN 48 ELSE 0 END
+            + CASE WHEN cr=1 AND cc=1 THEN 8 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM (SELECT unnest(generate_series(0, 2)) AS cr) crr
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS cc) ccc
+UNION ALL
 -- simplify-coverage: 3x3 zigzag grid, tolerance 1.5, preserve-boundary.
 -- Every interior zigzag border (7 extra vertices, VW effective areas
 -- <= 1.6 < 2.25) straightens to its corner chord, so all areas return to
@@ -4825,6 +4888,72 @@ def _simplify_fixture_df(spark):
                 ring += zig(x0, y0, -0.4, False)
             ring.append((x0, y0))
             rows.append((r * 3 + c + 1, G.to_wkb("polygon", [ring])))
+    return spark.createDataFrame(
+        _pdl.DataFrame(rows, columns=["fid", "wkb"]),
+        schema="fid long, wkb binary")
+
+
+def _merge_fixture_df(spark, pair):
+    """The two overlap-merge rect pairs of _LAYER_SUITE_SQL's 'merge'
+    mode: pair 31/32 (longest-border) and 41/42 (min-area)."""
+    import pandas as _pdl
+
+    from .oracle import geom as G
+
+    rects = {31: (0.0, 0.0, 4.0, 10.0), 32: (2.0, 3.0, 12.0, 7.0),
+             41: (0.0, 0.0, 10.0, 10.0), 42: (9.0, 2.0, 20.0, 8.0)}
+    rows = []
+    for fid in pair:
+        x0, y0, x1, y1 = rects[fid]
+        rows.append((fid, G.to_wkb(
+            "polygon",
+            [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])))
+    return spark.createDataFrame(
+        _pdl.DataFrame(rows, columns=["fid", "wkb"]),
+        schema="fid long, wkb binary")
+
+
+def _clean_fixture_df(spark):
+    """Jittered NODED 3x3 grid (unit-densified 8x8 squares) for the
+    'clean' mode: square (1,0) shrunk 1 (sliver gap, one vertex jittered
+    off-grid), square (1,2) shrunk 6 (wide gap that must stay)."""
+    import numpy as _npl
+
+    import pandas as _pdl
+
+    from .oracle import geom as G
+
+    def dense_rect(x0, y0, x1, y1, jitter=None):
+        pts = []
+        xs = list(_npl.arange(x0, x1)) + [x1]
+        ys = list(_npl.arange(y0, y1)) + [y1]
+        for x in xs[:-1]:
+            pts.append((float(x), float(y0)))
+        for y in ys[:-1]:
+            pts.append((float(x1), float(y)))
+        for x in xs[:0:-1]:
+            pts.append((float(x), float(y1)))
+        for y in ys[:0:-1]:
+            pts.append((float(x0), float(y)))
+        pts.append(pts[0])
+        if jitter:
+            jx, jy, dx, dy = jitter
+            pts = [(px + dx, py + dy) if (px, py) == (jx, jy)
+                   else (px, py) for px, py in pts]
+        return G.to_wkb("polygon", [pts])
+
+    rows = []
+    for r in range(3):
+        for c in range(3):
+            x0, x1 = 8.0 * c, 8.0 * c + 8.0
+            y1, y0 = 24.0 - 8.0 * r, 16.0 - 8.0 * r
+            jit = None
+            if (r, c) == (1, 0):
+                x1 -= 1.0
+                jit = (3.0, 16.0, 0.002, -0.001)
+            if (r, c) == (1, 2):
+                x0 += 6.0
+            rows.append((r * 3 + c + 1, dense_rect(x0, y0, x1, y1, jit)))
     return spark.createDataFrame(
         _pdl.DataFrame(rows, columns=["fid", "wkb"]),
         schema="fid long, wkb binary")
@@ -4876,12 +5005,23 @@ def poly_intersection_area(spark, sf_dir):
       (apps/gdalalg_vector_simplify_coverage.cpp ->
       GEOSCoverageSimplifyVW): shared-arc Visvalingam-Whyatt at
       tolerance 1.5 with preserve-boundary; interior zigzags straighten
-      exactly (areas return to 64), the exterior zigzag survives."""
+      exactly (areas return to 64), the exterior zigzag survives.
+    * merge — gdal vector clean-coverage overlap merge
+      (apps/gdalalg_vector_clean_coverage.cpp merge-strategy):
+      longest-border and min-area rect pairs, loser areas replayed via
+      axis-aligned border/area closed forms.
+    * clean — clean-coverage snapping-distance + maximum-gap-width:
+      jittered noded grid snaps back to exact integers (2^-5 grid),
+      then the 1x8 sliver closes into its longest-border neighbour by
+      an exact arc-loop splice while the 6x8 gap stays."""
     from .functions.geometry import diamond_wkb
     from .operators.layer_algebra import (check_coverage,
                                           check_coverage_gaps,
+                                          clean_coverage,
+                                          close_coverage_gaps,
                                           poly_intersection,
-                                          simplify_coverage)
+                                          simplify_coverage,
+                                          snap_coverage)
 
     register_tpch_views(spark, sf_dir)
     a = spark.sql(
@@ -4936,7 +5076,28 @@ def poly_intersection_area(spark, sf_dir):
                 F.round(F.col("area") * 1000.0, 0).cast("long").alias("v1"),
                 F.col("n_before").cast("long").alias("v2"),
             ))
-    return inter.unionByName(ov).unionByName(gaps).unionByName(simp)
+    def _area_rows(df, mode_name):
+        return df.select(
+            F.lit(mode_name).alias("mode"),
+            F.col("fid").cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            F.round(F.expr("ST_Area(wkb)") * 1000.0, 0).cast("long")
+            .alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+
+    merge = _area_rows(
+        clean_coverage(_merge_fixture_df(spark, (31, 32)),
+                       merge_strategy="longest-border"), "merge"
+    ).unionByName(_area_rows(
+        clean_coverage(_merge_fixture_df(spark, (41, 42)),
+                       merge_strategy="min-area"), "merge"))
+    clean = _area_rows(
+        close_coverage_gaps(
+            snap_coverage(_clean_fixture_df(spark), 0.03125),
+            max_gap_width=3.0), "clean")
+    return (inter.unionByName(ov).unionByName(gaps).unionByName(simp)
+            .unionByName(merge).unionByName(clean))
 
 
 # Donut (polygon with a hole): outer/inner boxes with off-representable

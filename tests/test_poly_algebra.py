@@ -805,3 +805,124 @@ class TestCleanCoverage:
         orig = {r["fid"]: bytes(r["wkb"]) for _, r in df.toPandas().iterrows()}
         for t in out.itertuples(index=False):
             assert bytes(t.wkb) == orig[t.fid]
+
+
+class TestCoverageGapClose:
+    """clean-coverage gap closing + node snapping (round 5)."""
+
+    @staticmethod
+    def _dense_rect(x0, y0, x1, y1, jitter=None):
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+        pts = []
+        xs = list(np.arange(x0, x1)) + [x1]
+        ys = list(np.arange(y0, y1)) + [y1]
+        for x in xs[:-1]:
+            pts.append((float(x), float(y0)))
+        for y in ys[:-1]:
+            pts.append((float(x1), float(y)))
+        for x in xs[:0:-1]:
+            pts.append((float(x), float(y1)))
+        for y in ys[:0:-1]:
+            pts.append((float(x0), float(y)))
+        pts.append(pts[0])
+        if jitter:
+            jx, jy, dx, dy = jitter
+            pts = [(px + dx, py + dy) if (px, py) == (jx, jy) else (px, py)
+                   for px, py in pts]
+        return G.to_wkb("polygon", [pts])
+
+    def _grid(self, spark, jitter=False):
+        import pandas as pd
+        rows = []
+        for r in range(3):
+            for c in range(3):
+                x0, x1 = 8 * c, 8 * c + 8
+                y1, y0 = 24 - 8 * r, 16 - 8 * r
+                jit = None
+                if (r, c) == (1, 0):
+                    x1 -= 1        # 1x8 sliver at x in [7, 8]
+                    if jitter:
+                        jit = (3.0, 16.0, 0.002, -0.001)
+                if (r, c) == (1, 2):
+                    x0 += 6        # 6x8 wide gap (width 8 > W)
+                rows.append((r * 3 + c + 1,
+                             self._dense_rect(x0, y0, x1, y1, jit)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "wkb"]),
+            "fid long, wkb binary")
+
+    @staticmethod
+    def _areas(pdf):
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+        out = {}
+        for t in pdf.itertuples(index=False):
+            kind, d = G.parse_wkb(bytes(t.wkb))
+            parts = [d] if kind == "polygon" else d
+            out[t.fid] = round(sum(
+                abs(G._ring_signed_area(np.asarray(p[0]))) for p in parts), 6)
+        return out
+
+    def test_narrow_gap_closes_wide_stays(self, spark):
+        from gdal_spark.operators.layer_algebra import (check_coverage,
+                                                        check_coverage_gaps,
+                                                        close_coverage_gaps)
+
+        df = self._grid(spark)
+        out = close_coverage_gaps(df, max_gap_width=3.0).toPandas()
+        areas = self._areas(out)
+        # the 1x8 sliver merges into the longest-border neighbour (tie
+        # between the two 8-unit side arcs resolves to fid 5's arc key);
+        # the 6x8 gap (inscribed width 8) is untouched
+        assert areas == {1: 64.0, 2: 64.0, 3: 64.0, 4: 56.0, 5: 72.0,
+                         6: 16.0, 7: 64.0, 8: 64.0, 9: 64.0}
+        odf = spark.createDataFrame(out[["fid", "wkb"]],
+                                    "fid long, wkb binary")
+        assert check_coverage_gaps(odf, -1.0, 25.0, 1.0, 26, 26,
+                                   max_gap_width=3.0).count() == 0
+        assert check_coverage(odf).count() == 0
+
+    def test_snap_restores_noded_coverage(self, spark):
+        import numpy as np
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.operators.layer_algebra import (close_coverage_gaps,
+                                                        snap_coverage)
+
+        df = self._grid(spark, jitter=True)
+        snapped = snap_coverage(df, 0.03125)  # 2^-5: integers snap exact
+        out = close_coverage_gaps(snapped, max_gap_width=3.0).toPandas()
+        assert self._areas(out)[5] == 72.0    # gap still detected+closed
+        _, d = G.parse_wkb(bytes(out[out.fid == 4]["wkb"].iloc[0]))
+        arr = np.asarray(d[0])
+        assert np.all(arr == np.round(arr))   # jitter fully removed
+
+    def test_narrow_hole_dropped(self, spark):
+        """A junction-free narrow hole is a single-closed-arc gap loop:
+        closing it deletes the ring from its owner."""
+        import pandas as pd
+
+        from gdal_spark.oracle import geom as G
+        from gdal_spark.operators.layer_algebra import close_coverage_gaps
+
+        outer = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0),
+                 (0.0, 0.0)]
+        hole = [(5.0, 5.0), (5.0, 15.0), (6.0, 15.0), (6.0, 5.0),
+                (5.0, 5.0)]  # 1x10 slit, inscribed width 1
+        wide_hole = [(10.0, 5.0), (10.0, 15.0), (18.0, 15.0),
+                     (18.0, 5.0), (10.0, 5.0)]  # 8x10, width 8
+        df = spark.createDataFrame(pd.DataFrame({
+            "fid": [1],
+            "wkb": [G.to_wkb("polygon", [outer, hole, wide_hole])],
+        }), "fid long, wkb binary")
+        import numpy as np
+
+        out = close_coverage_gaps(df, max_gap_width=3.0).toPandas()
+        _, d = G.parse_wkb(bytes(out["wkb"].iloc[0]))
+        assert len(d) == 2  # outer + the wide hole only; slit ring gone
+        net = (abs(G._ring_signed_area(np.asarray(d[0])))
+               - abs(G._ring_signed_area(np.asarray(d[1]))))
+        assert net == 400.0 - 80.0
