@@ -323,3 +323,63 @@ def md_group_tree(side: dict) -> dict:
         }
 
     return build("/")
+
+
+def md_compare(ref: DataFrame, inp: DataFrame,
+               tolerance: float = 0.0) -> DataFrame:
+    """gdal mdim compare (apps/gdalalg_mdim_compare.cpp): structural +
+    value comparison of two chunked multidim stores; empty result means
+    identical (the reference's return-code-0 path).
+
+    Report rows (var, aspect, n, max_abs):
+      * aspect 'only_in_ref' / 'only_in_input' — arrays missing on one
+        side (the reference's set_difference walk, :147/:169), n = chunk
+        count;
+      * aspect 'shape' — common chunks whose per-chunk extents differ
+        (dimension mismatch, :248);
+      * aspect 'values' — total differing values over common same-shape
+        chunks (abs diff > tolerance), max_abs = the largest difference
+        (CompareArray, :279).
+
+    Distributed shape: ONE full-outer equi-join on (var, chunk) — the
+    chunk grid key, partition-prunable — then pure JVM array math
+    (zip_with / filter / aggregate / array_max) per chunk and one
+    groupBy(var); no Python worker, no driver-side data."""
+    a = ref.select("var", "chunk", F.col("shape").alias("a_shape"),
+                   F.col("data").alias("a_data"))
+    b = inp.select("var", "chunk", F.col("shape").alias("b_shape"),
+                   F.col("data").alias("b_data"))
+    j = a.join(b, ["var", "chunk"], "full_outer")
+
+    only_ref = (j.where(F.col("b_data").isNull())
+                .groupBy("var")
+                .agg(F.count("*").alias("n"))
+                .select("var", F.lit("only_in_ref").alias("aspect"),
+                        "n", F.lit(None).cast("double").alias("max_abs")))
+    only_inp = (j.where(F.col("a_data").isNull())
+                .groupBy("var")
+                .agg(F.count("*").alias("n"))
+                .select("var", F.lit("only_in_input").alias("aspect"),
+                        "n", F.lit(None).cast("double").alias("max_abs")))
+    both = j.where(F.col("a_data").isNotNull()
+                   & F.col("b_data").isNotNull())
+    shape_mism = (both.where(F.col("a_shape") != F.col("b_shape"))
+                  .groupBy("var")
+                  .agg(F.count("*").alias("n"))
+                  .select("var", F.lit("shape").alias("aspect"), "n",
+                          F.lit(None).cast("double").alias("max_abs")))
+    tol = F.lit(float(tolerance))
+    diffs = F.zip_with("a_data", "b_data",
+                       lambda x, y: F.abs(x - y))
+    per_chunk = (both.where(F.col("a_shape") == F.col("b_shape"))
+                 .select("var",
+                         F.size(F.filter(diffs, lambda d: d > tol))
+                         .cast("long").alias("nd"),
+                         F.array_max(diffs).alias("md")))
+    values = (per_chunk.groupBy("var")
+              .agg(F.sum("nd").alias("n"), F.max("md").alias("max_abs"))
+              .where(F.col("n") > 0)
+              .select("var", F.lit("values").alias("aspect"), "n",
+                      "max_abs"))
+    return (only_ref.unionByName(only_inp).unionByName(shape_mism)
+            .unionByName(values))

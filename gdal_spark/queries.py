@@ -5416,6 +5416,35 @@ def viewshed_cumulative_q(spark, sf_dir):
     return viewshed_cumulative(imgs, spacing=10)
 
 
+@q("mdim_compare", None)
+def mdim_compare_q(spark, sf_dir):
+    """gdal mdim compare (apps/gdalalg_mdim_compare.cpp): reference vs
+    perturbed input store — arrays only on one side, per-chunk shape
+    mismatches, and JVM-side value diffs (zip_with/filter/aggregate, no
+    Python worker).  Deterministic fixture: 3 planted diffs in 'temp',
+    'salt' missing from the input, extra 'wind' array."""
+    from .operators.multidim import MDMeta, array_to_chunks, md_compare
+
+    m1 = MDMeta("temp", [("t", 6), ("y", 8), ("x", 8)], [2, 4, 4])
+    m2 = MDMeta("salt", [("y", 8), ("x", 8)], [4, 4])
+    a1 = np.arange(6 * 8 * 8, dtype=np.float64).reshape(6, 8, 8)
+    a2 = np.arange(8 * 8, dtype=np.float64).reshape(8, 8)
+    ref = array_to_chunks(spark, a1, m1).unionByName(
+        array_to_chunks(spark, a2, m2))
+    b1 = a1.copy()
+    b1[0, 0, 0] += 5.0
+    b1[3, 4, 4] -= 2.5
+    b1[5, 7, 7] += 0.25
+    m3 = MDMeta("wind", [("y", 4), ("x", 4)], [4, 4])
+    inp = array_to_chunks(spark, b1, m1).unionByName(
+        array_to_chunks(spark, np.ones((4, 4)), m3))
+    return (md_compare(ref, inp)
+            .select("var", "aspect", "n",
+                    F.round(F.coalesce("max_abs", F.lit(-1.0)), 6)
+                    .alias("max_abs"))
+            .orderBy("var", "aspect"))
+
+
 @q("mdim_info", None)
 def mdim_info_q(spark, sf_dir):
     """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a

@@ -86,3 +86,40 @@ class TestMultidim:
             sub.explain()
         pf = re.search(r"PartitionFilters: \[[^\]]*\]", buf.getvalue())
         assert pf and "c0" in pf.group(0) and "/model/era5/t2m" in pf.group(0)
+
+
+class TestMdCompare:
+    """gdal mdim compare (round 5): store diff report."""
+
+    def test_report(self, spark):
+        import numpy as np
+
+        from gdal_spark.operators.multidim import (MDMeta, array_to_chunks,
+                                                   md_compare)
+
+        m1 = MDMeta("temp", [("t", 6), ("y", 8), ("x", 8)], [2, 4, 4])
+        m2 = MDMeta("salt", [("y", 8), ("x", 8)], [4, 4])
+        a1 = np.arange(6 * 8 * 8, dtype=np.float64).reshape(6, 8, 8)
+        a2 = np.arange(8 * 8, dtype=np.float64).reshape(8, 8)
+        ref = array_to_chunks(spark, a1, m1).unionByName(
+            array_to_chunks(spark, a2, m2))
+        b1 = a1.copy()
+        b1[0, 0, 0] += 5.0
+        b1[3, 4, 4] -= 2.5
+        b1[5, 7, 7] += 0.25
+        m3 = MDMeta("wind", [("y", 4), ("x", 4)], [4, 4])
+        inp = array_to_chunks(spark, b1, m1).unionByName(
+            array_to_chunks(spark, np.ones((4, 4)), m3))
+        rep = {(r["var"], r["aspect"]): (r["n"], r["max_abs"])
+               for _, r in md_compare(ref, inp).toPandas().iterrows()}
+        assert rep[("salt", "only_in_ref")][0] == 4
+        assert rep[("wind", "only_in_input")][0] == 1
+        assert rep[("temp", "values")] == (3, 5.0)
+        assert ("temp", "shape") not in rep
+        # identical stores -> empty report (return code 0)
+        assert md_compare(ref, ref).count() == 0
+        # tolerance drops sub-threshold diffs
+        rep2 = {(r["var"], r["aspect"]): r["n"]
+                for _, r in md_compare(ref, inp, tolerance=1.0)
+                .toPandas().iterrows()}
+        assert rep2[("temp", "values")] == 2
