@@ -383,3 +383,67 @@ def md_compare(ref: DataFrame, inp: DataFrame,
                       "max_abs"))
     return (only_ref.unionByName(only_inp).unionByName(shape_mism)
             .unionByName(values))
+
+
+def md_mosaic(parts, var: str | None = None):
+    """gdal mdim mosaic (apps/gdalalg_mdim_mosaic.cpp): assemble one
+    logical array from several multidim sources.  The reference aligns
+    sources by their 1-D indexing variables (regular spacing, consistent
+    across datasets, :474-:542); in this engine's chunk-table model that
+    contract becomes: every source declares a per-dimension element
+    ``origin`` into the global grid, chunk-aligned, with identical chunk
+    sizes — the same information the indexing variables carry.
+
+    ``parts``: list of (chunks_df, MDMeta, origin) in mosaic order.
+    Later sources win on collision (the gdalbuildvrt last-wins rule the
+    raster mosaic operator also implements).
+
+    Distributed shape: re-keying a source's chunks into the global grid
+    is pure JVM column math (transform(chunk, +origin/chunksize) — ZERO
+    shuffle); the only shuffle is one groupBy(var, chunk) max_by(src)
+    to resolve overlaps.  Overlap resolution is CHUNK-granular (whole
+    chunks replace; where sources overlap they must do so at chunk
+    boundaries — the reference materializes value-level, documented
+    delta).  Returns (chunks_df, MDMeta) for the mosaic."""
+    if not parts:
+        raise ValueError("md_mosaic needs at least one source")
+    base_meta = parts[0][1]
+    nd = len(base_meta.dims)
+    name = var or base_meta.var
+    sizes = [0] * nd
+    outs = []
+    for src_idx, (df, meta, origin) in enumerate(parts):
+        if len(meta.dims) != nd:
+            raise ValueError("all sources must share dimensionality "
+                             "(reference: 'same number of dimensions')")
+        if list(meta.chunks) != list(base_meta.chunks):
+            raise ValueError("chunk sizes must match across sources "
+                             "(the indexing-variable spacing contract)")
+        off_chunks = []
+        for d in range(nd):
+            o = int(origin[d])
+            if o % meta.chunks[d] != 0:
+                raise ValueError(
+                    f"origin[{d}]={o} not aligned to chunk "
+                    f"{meta.chunks[d]} (reference: indexing values must "
+                    "sit on the common grid)")
+            off_chunks.append(o // meta.chunks[d])
+            sizes[d] = max(sizes[d], o + meta.dims[d][1])
+        shifted = df.where(F.col("var") == meta.var).select(
+            F.lit(name).alias("var"),
+            F.expr("transform(chunk, (c, i) -> c + element_at(array({}), "
+                   "i + 1))".format(
+                       ", ".join(str(int(x)) for x in off_chunks)))
+            .alias("chunk"),
+            "shape", "data", F.lit(src_idx).alias("src"))
+        outs.append(shifted)
+    allc = outs[0]
+    for o in outs[1:]:
+        allc = allc.unionByName(o)
+    merged = (allc.groupBy("var", "chunk")
+              .agg(F.max_by("shape", "src").alias("shape"),
+                   F.max_by("data", "src").alias("data")))
+    out_meta = MDMeta(name,
+                      [(base_meta.dims[d][0], sizes[d]) for d in range(nd)],
+                      list(base_meta.chunks))
+    return merged, out_meta

@@ -5445,6 +5445,31 @@ def mdim_compare_q(spark, sf_dir):
             .orderBy("var", "aspect"))
 
 
+@q("mdim_mosaic", None)
+def mdim_mosaic_q(spark, sf_dir):
+    """gdal mdim mosaic (apps/gdalalg_mdim_mosaic.cpp): four chunk-
+    aligned tiles + one later overlapping tile assemble an 8x12 global
+    grid; re-key is JVM column math (zero shuffle), overlap resolution
+    is ONE groupBy max_by(src). Emits per-chunk checksums of the
+    mosaic."""
+    from .operators.multidim import MDMeta, array_to_chunks, md_mosaic
+
+    parts = []
+    for i, (oy, ox) in enumerate([(0, 0), (0, 6), (4, 0), (4, 6)]):
+        a = np.full((4, 6), float(i + 1))
+        m = MDMeta("z", [("y", 4), ("x", 6)], [2, 3])
+        parts.append((array_to_chunks(spark, a, m), m, (oy, ox)))
+    mw = MDMeta("zw", [("y", 4), ("x", 6)], [2, 3])
+    parts.append((array_to_chunks(spark, np.full((4, 6), 9.0), mw),
+                  mw, (2, 3)))
+    merged, _meta = md_mosaic(parts, var="z")
+    return merged.select(
+        "var", "chunk",
+        F.expr("aggregate(data, 0D, (acc, x) -> acc + x)").alias("csum"),
+        F.size("data").alias("n"),
+    ).orderBy("chunk")
+
+
 @q("mdim_info", None)
 def mdim_info_q(spark, sf_dir):
     """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a

@@ -123,3 +123,49 @@ class TestMdCompare:
                 for _, r in md_compare(ref, inp, tolerance=1.0)
                 .toPandas().iterrows()}
         assert rep2[("temp", "values")] == 2
+
+
+class TestMdMosaic:
+    """gdal mdim mosaic (round 5): chunk-aligned source placement."""
+
+    def test_tiling_and_last_wins(self, spark):
+        import numpy as np
+
+        from gdal_spark.operators.multidim import (MDMeta, array_to_chunks,
+                                                   chunks_to_array,
+                                                   md_mosaic)
+
+        parts = []
+        for i, (oy, ox) in enumerate([(0, 0), (0, 6), (4, 0), (4, 6)]):
+            a = np.full((4, 6), float(i + 1))
+            m = MDMeta("z", [("y", 4), ("x", 6)], [2, 3])
+            parts.append((array_to_chunks(spark, a, m), m, (oy, ox)))
+        mw = MDMeta("zw", [("y", 4), ("x", 6)], [2, 3])
+        parts.append((array_to_chunks(spark, np.full((4, 6), 9.0), mw),
+                      mw, (2, 3)))
+        merged, meta = md_mosaic(parts, var="z")
+        assert [s for _, s in meta.dims] == [8, 12]
+        got = chunks_to_array(merged, meta)
+        exp = np.zeros((8, 12))
+        exp[0:4, 0:6] = 1
+        exp[0:4, 6:12] = 2
+        exp[4:8, 0:6] = 3
+        exp[4:8, 6:12] = 4
+        exp[2:6, 3:9] = 9        # later source wins
+        assert np.array_equal(got, exp)
+
+    def test_alignment_contract(self, spark):
+        import numpy as np
+        import pytest
+
+        from gdal_spark.operators.multidim import (MDMeta, array_to_chunks,
+                                                   md_mosaic)
+
+        m = MDMeta("z", [("y", 4), ("x", 6)], [2, 3])
+        df = array_to_chunks(spark, np.ones((4, 6)), m)
+        with pytest.raises(ValueError, match="not aligned"):
+            md_mosaic([(df, m, (1, 0))])
+        m2 = MDMeta("z", [("y", 4), ("x", 6)], [4, 3])
+        df2 = array_to_chunks(spark, np.ones((4, 6)), m2)
+        with pytest.raises(ValueError, match="chunk sizes"):
+            md_mosaic([(df, m, (0, 0)), (df2, m2, (4, 0))])
