@@ -231,6 +231,22 @@ def main():
           p.count("Exchange") <= 3,  # top-bigram partial agg + join sides
           f"{p.count('Exchange')} Exchange nodes")
 
+    # --- round 5: coverage trio + mdim mosaic keep their scale shapes ----
+    import numpy as np
+
+    from gdal_spark.operators.multidim import (MDMeta, array_to_chunks,
+                                               md_mosaic)
+    mm_parts = []
+    for i, (oy, ox) in enumerate([(0, 0), (0, 6), (4, 0), (4, 6)]):
+        mmeta = MDMeta("z", [("y", 4), ("x", 6)], [2, 3])
+        mm_parts.append((array_to_chunks(
+            spark, np.full((4, 6), float(i + 1)), mmeta), mmeta, (oy, ox)))
+    merged, _ = md_mosaic(mm_parts)
+    p = plan_of(merged)
+    check("mdim mosaic: zero-shuffle re-key, ONE overlap-resolve Exchange",
+          p.count("Exchange") == 1 and "max_by" in p,
+          f"{p.count('Exchange')} Exchange nodes")
+
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
