@@ -447,3 +447,55 @@ def md_mosaic(parts, var: str | None = None):
                       [(base_meta.dims[d][0], sizes[d]) for d in range(nd)],
                       list(base_meta.chunks))
     return merged, out_meta
+
+
+def md_reproject(df: DataFrame, meta: MDMeta, src_gt,
+                 to_lonlat, from_lonlat,
+                 method: str = "nearest") -> tuple:
+    """gdal mdim reproject (apps/gdalalg_mdim_reproject.cpp): warp the
+    two horizontal dimensions of a multidim array to EPSG:4326 through
+    the engine's closed-form transform pairs (mercator/UTM/LCC/polar/
+    Albers/sinusoidal — oracle/warp.warp_proj_to_4326, all 14 kernels).
+
+    Contract: the trailing (y, x) dimensions must be UNCHUNKED (chunk
+    extent == dimension size) so every chunk holds whole horizontal
+    planes — the standard layout for time/level-chunked stacks, and the
+    md analogue of the reference's per-2D-slice warp loop.  Leading
+    dimensions keep their chunking, so the warp is a MAP-ONLY pass: each
+    chunk warps its planes independently, zero shuffles at any scale.
+
+    Returns (chunks_df, MDMeta) — horizontal sizes are preserved (the
+    suggested-output grid of warp_proj_to_4326)."""
+    from ..oracle.warp import warp_proj_to_4326
+
+    nd = len(meta.dims)
+    if nd < 2:
+        raise ValueError("md_reproject needs >= 2 dimensions")
+    for d in (nd - 2, nd - 1):
+        if meta.chunks[d] != meta.dims[d][1]:
+            raise ValueError(
+                "horizontal dims must be unchunked (chunk == size); "
+                f"dim {meta.dims[d][0]}: chunk {meta.chunks[d]} != "
+                f"size {meta.dims[d][1]}")
+
+    def warp_chunks(it):
+        for pdf in it:
+            out = {k: [] for k in ("var", "chunk", "shape", "data")}
+            for r in pdf.itertuples(index=False):
+                shape = [int(x) for x in r.shape]
+                arr = np.asarray(r.data, dtype=np.float64).reshape(shape)
+                planes = arr.reshape((-1, shape[-2], shape[-1]))
+                warped = np.stack([
+                    warp_proj_to_4326(pl, src_gt, to_lonlat, from_lonlat,
+                                      method=method)[0]
+                    for pl in planes])
+                wshape = shape[:-2] + list(warped.shape[-2:])
+                out["var"].append(r.var)
+                out["chunk"].append(list(r.chunk))
+                out["shape"].append(wshape)
+                out["data"].append(warped.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    warped_df = df.mapInPandas(warp_chunks, schema=MD_SCHEMA)
+    out_meta = MDMeta(meta.var, list(meta.dims), list(meta.chunks))
+    return warped_df, out_meta

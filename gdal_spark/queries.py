@@ -5470,6 +5470,30 @@ def mdim_mosaic_q(spark, sf_dir):
     ).orderBy("chunk")
 
 
+@q("mdim_reproject", None)
+def mdim_reproject_q(spark, sf_dir):
+    """gdal mdim reproject (apps/gdalalg_mdim_reproject.cpp): warp the
+    horizontal dims of a time-chunked mercator stack to EPSG:4326
+    (bilinear) — map-only, one plane-warp per chunk, zero shuffles.
+    Emits per-chunk sums of the warped planes."""
+    from .operators.multidim import MDMeta, array_to_chunks, md_reproject
+    from .oracle.warp import lonlat_to_mercator_xy, mercator_to_lonlat_xy
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(0, 255, size=(4, 16, 16)).astype(np.float64)
+    m = MDMeta("b", [("t", 4), ("y", 16), ("x", 16)], [1, 16, 16])
+    gt = [-2000000.0, 250000.0, 0.0, 2000000.0, 0.0, -250000.0]
+    wdf, _ = md_reproject(array_to_chunks(spark, a, m), m, gt,
+                          mercator_to_lonlat_xy, lonlat_to_mercator_xy,
+                          method="bilinear")
+    return wdf.select(
+        "var", "chunk",
+        F.round(F.expr("aggregate(data, 0D, (acc, x) -> acc + x)"), 4)
+        .alias("csum"),
+        F.size("data").alias("n"),
+    ).orderBy("chunk")
+
+
 @q("mdim_info", None)
 def mdim_info_q(spark, sf_dir):
     """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a

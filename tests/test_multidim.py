@@ -169,3 +169,37 @@ class TestMdMosaic:
         df2 = array_to_chunks(spark, np.ones((4, 6)), m2)
         with pytest.raises(ValueError, match="chunk sizes"):
             md_mosaic([(df, m, (0, 0)), (df2, m2, (4, 0))])
+
+
+class TestMdReproject:
+    """gdal mdim reproject (round 5): map-only horizontal warp."""
+
+    def test_plane_parity_and_contract(self, spark):
+        import numpy as np
+        import pytest
+
+        from gdal_spark.operators.multidim import (MDMeta, array_to_chunks,
+                                                   chunks_to_array,
+                                                   md_reproject)
+        from gdal_spark.oracle.warp import (lonlat_to_mercator_xy,
+                                            mercator_to_lonlat_xy,
+                                            warp_proj_to_4326)
+
+        rng = np.random.RandomState(42)
+        a = rng.randint(0, 255, size=(4, 16, 16)).astype(np.float64)
+        m = MDMeta("b", [("t", 4), ("y", 16), ("x", 16)], [1, 16, 16])
+        gt = [-2000000.0, 250000.0, 0.0, 2000000.0, 0.0, -250000.0]
+        wdf, wm = md_reproject(array_to_chunks(spark, a, m), m, gt,
+                               mercator_to_lonlat_xy,
+                               lonlat_to_mercator_xy, method="bilinear")
+        got = chunks_to_array(wdf, wm)
+        exp = np.stack([
+            warp_proj_to_4326(a[t], gt, mercator_to_lonlat_xy,
+                              lonlat_to_mercator_xy, method="bilinear")[0]
+            for t in range(4)])
+        assert np.array_equal(got, exp)
+        # horizontal dims must be chunk-resident
+        bad = MDMeta("b", [("t", 4), ("y", 16), ("x", 16)], [1, 8, 16])
+        with pytest.raises(ValueError, match="unchunked"):
+            md_reproject(array_to_chunks(spark, a, bad), bad, gt,
+                         mercator_to_lonlat_xy, lonlat_to_mercator_xy)
