@@ -2238,3 +2238,43 @@ def viewshed_cumulative(images: DataFrame, spacing: int = 10,
     return images.select("image_id", "bytes").mapInPandas(
         gen, schema="image_id string, n_observers int, max_count int, "
                     "mean_count double, cs long")
+
+
+def dataset_check(images: DataFrame) -> DataFrame:
+    """gdal dataset check (apps/gdalalg_dataset_check.cpp: 'check whether
+    there are errors when reading the content of a dataset') as a
+    corpus-integrity sweep: attempt a FULL decode of every blob through
+    the codec registry (magic-byte dispatch, the reference's open-info
+    probe) and report per-format totals, error counts, and the first
+    error message — the 100 TB corrupted-blob scan.
+
+    Map-only (one Arrow pass) + one tiny groupBy(fmt); errors never
+    propagate, they become rows."""
+    import pandas as pd
+
+    from ..codecs.registry import decode as _decode
+
+    def scan(it):
+        for pdf in it:
+            fmts, oks, errs = [], [], []
+            for b, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = _decode(bytes(b), fmt)
+                    ok = px.size > 0
+                    err = "" if ok else "empty raster"
+                except Exception as e:  # noqa: BLE001 — the whole point
+                    ok, err = False, f"{type(e).__name__}: {e}"[:200]
+                fmts.append(fmt)
+                oks.append(ok)
+                errs.append(err)
+            yield pd.DataFrame({"fmt": fmts, "ok": oks, "err": errs})
+
+    scanned = images.select("bytes", "fmt").mapInPandas(
+        scan, schema="fmt string, ok boolean, err string")
+    return (scanned.groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+                 .alias("n_errors"),
+                 F.max_by("err", F.when(~F.col("ok"), 1).otherwise(0))
+                 .alias("first_error"))
+            .orderBy("fmt"))

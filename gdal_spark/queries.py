@@ -5494,6 +5494,28 @@ def mdim_reproject_q(spark, sf_dir):
     ).orderBy("chunk")
 
 
+@q("dataset_check", None)
+def dataset_check_q(spark, sf_dir):
+    """gdal dataset check (apps/gdalalg_dataset_check.cpp): full-decode
+    integrity sweep of the image corpus + two deterministically
+    corrupted blobs (truncated PNG, garbage magic) that must surface as
+    errors, not exceptions."""
+    import pandas as pd
+
+    from .fixtures.images import images_df
+    from .operators.rasterops import dataset_check
+
+    imgs = images_df(spark, min(_images_n(sf_dir), 200)).select(
+        "image_id", "bytes", "fmt")
+    bad = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["bad_trunc", "bad_magic"],
+        "bytes": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 20,
+                  b"NOTAFORMAT" * 4],
+        "fmt": ["png", "png"],
+    }), "image_id string, bytes binary, fmt string")
+    return dataset_check(imgs.unionByName(bad))
+
+
 @q("mdim_info", None)
 def mdim_info_q(spark, sf_dir):
     """gdal mdim info (apps/gdalalg_mdim_info.cpp report role): write a

@@ -2285,3 +2285,29 @@ class TestRound5Steps:
         assert {f["name"]: f["type"] for f in lyr["fields"]} == {
             "fid": "Integer64"}
         assert lyr["geometry_fields"][0]["encoding"] == "WKB"
+
+
+class TestDatasetCheck:
+    """gdal dataset check (round 5): read-error sweep."""
+
+    def test_clean_and_corrupt(self, spark):
+        import pandas as pd
+
+        from gdal_spark.fixtures.images import images_df
+        from gdal_spark.operators.rasterops import dataset_check
+
+        imgs = images_df(spark, 24).select("image_id", "bytes", "fmt")
+        rep = dataset_check(imgs).toPandas()
+        assert rep["n_errors"].sum() == 0
+        assert rep["n"].sum() == 24
+        bad = spark.createDataFrame(pd.DataFrame({
+            "image_id": ["t", "m"],
+            "bytes": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 20,
+                      b"NOTAFORMAT" * 4],
+            "fmt": ["png", "png"],
+        }), "image_id string, bytes binary, fmt string")
+        rep2 = dataset_check(imgs.unionByName(bad)).toPandas()
+        assert rep2["n_errors"].sum() == 2
+        assert rep2["n"].sum() == 26
+        errs = rep2[rep2["n_errors"] > 0]["first_error"].iloc[0]
+        assert errs != ""
